@@ -1,0 +1,94 @@
+"""Text-analysis scalar functions for the LLM-data-pipeline surface.
+
+The reference has no string functions (SURVEY.md §2.8) — these are the
+Spark-native text ops a training-data pipeline needs over the ``documents``
+table: tokenization, language-ID heuristic, quality scoring, fingerprinting.
+All are pure Catalyst expressions (JVM-side, whole-stage codegen) and each
+has an exact DuckDB-SQL oracle; no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny stopword lists for the n-gram/stopword language heuristic. Kept in
+# sync with the SQL oracle strings in registry/text_queries.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+DE_STOPWORDS = ("der", "die", "das", "und", "zu", "ist", "ein", "mit", "von", "nicht")
+FR_STOPWORDS = ("le", "la", "de", "et", "un", "est", "pour", "que", "dans", "sur")
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Whitespace tokenization; drops empty tokens from repeated spaces."""
+    return F.filter(F.split(text, " "), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens_col(text)).cast("bigint")
+
+
+def _stop_hits(toks: Column, stopwords: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    toks = tokens_col(text)
+    return _stop_hits(toks, stopwords).cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def lang_id_cols(text: Column | str) -> dict[str, Column]:
+    """Stopword-hit language scores + argmax prediction (deterministic
+    heuristic; ties broken en > de > fr, 'und' = undetermined on 0 hits)."""
+    toks = tokens_col(text)
+    en = _stop_hits(toks, EN_STOPWORDS)
+    de = _stop_hits(toks, DE_STOPWORDS)
+    fr = _stop_hits(toks, FR_STOPWORDS)
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return {
+        "en_hits": en.cast("bigint"),
+        "de_hits": de.cast("bigint"),
+        "fr_hits": fr.cast("bigint"),
+        "pred_lang": pred,
+    }
+
+
+def quality_score_cols(text: Column | str) -> dict[str, Column]:
+    """Length / word-length / stopword-ratio quality features + composite.
+
+    Composite = 0.4*stopword_ratio + 0.3*len_score + 0.3*wordlen_score where
+    len_score saturates at 200 tokens and wordlen_score is 1 inside the
+    'natural prose' 3..8 avg-chars band. Deterministic double math, rounded
+    by callers for hash-stability.
+    """
+    toks = tokens_col(text)
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    n_chars = F.length(text).cast("double")
+    avg_word_len = (n_chars - (n_tok - 1)) / n_tok  # chars minus separators
+    sw = _stop_hits(toks, EN_STOPWORDS).cast("double") / n_tok
+    len_score = F.least(n_tok / F.lit(200.0), F.lit(1.0))
+    wordlen_score = F.when((avg_word_len >= 3) & (avg_word_len <= 8), F.lit(1.0)).otherwise(F.lit(0.0))
+    quality = 0.4 * sw + 0.3 * len_score + 0.3 * wordlen_score
+    return {
+        "n_tokens": F.size(toks).cast("bigint"),
+        "avg_word_len": avg_word_len,
+        "stopword_ratio": sw,
+        "quality": quality,
+    }
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Content fingerprint: md5 of the sorted distinct token set.
+
+    Word-order-insensitive (bag-of-words identity) — two docs with the same
+    vocabulary collide, which is the dedup-candidate behavior we want from a
+    cheap fingerprint. Exact-duplicate detection uses md5(text) directly.
+    """
+    toks = F.array_sort(F.array_distinct(tokens_col(text)))
+    return F.md5(F.array_join(toks, " "))
