@@ -1,0 +1,92 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from mysteryann_spark.operators.projection import build_roargraph_from_table
+    from mysteryann_spark.operators.search import search_graph
+    from mysteryann_spark.params import IndexParams
+    from mysteryann_spark.queries.registry import all_queries
+    from mysteryann_spark.session import get_spark
+    from mysteryann_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="mysteryann-bench")
+    registry = all_queries()
+    timings: dict[str, float] = {}
+
+    def run(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # warm-up: JVM + parquet footer caches (reference warms 100 queries
+    # before timing, tests/test_search_roargraph.cpp:197-200)
+    load_table(spark, "lineitem", SF_DIR).count()
+
+    for qname in (
+        "flagship_revenue_by_nation",
+        "pricing_summary",
+        "window_rank",
+        "brand_sales",
+        "knn_exact",
+        "bipartite_edges",
+    ):
+        fn = registry[qname].fn
+        run(qname, lambda fn=fn: fn(spark, SF_DIR).count())
+
+    # graph build + full search, timed separately
+    emb = load_table(spark, "embeddings", SF_DIR).cache()
+    emb.count()
+    params = IndexParams(M_sq=20, M_pjbp=8, L_pjpq=40, k=10, L_pq=40, metric="l2")
+    state: dict = {}
+
+    def build() -> None:
+        adj, ep = build_roargraph_from_table(spark, emb, params)
+        state["adj"] = adj.localCheckpoint()
+        state["ep"] = ep
+        state["adj"].count()
+
+    run("roargraph_build", build)
+
+    def search() -> None:
+        q = emb.select(F.col("vec_id").alias("qid"), "embedding")
+        search_graph(
+            q, emb, state["adj"], state["ep"], k=10, l_search=40, metric="l2"
+        ).count()
+
+    run("roargraph_search", search)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

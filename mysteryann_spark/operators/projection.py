@@ -1,0 +1,147 @@
+"""RoarGraph projection build — SURVEY.md §2.9 G4, batch DataFrame form.
+
+The reference's ``LinkProjection`` (src/index_bipartite.cpp:1043-1277) runs
+five phases under OpenMP with per-node mutexes. The Spark rendering turns
+each phase into a DataFrame job; reverse-edge lock contention becomes a
+groupBy(dst) shuffle — lock-free by construction:
+
+1. Per training query: top-``M_sq`` exact NNs; target = 1-NN; remaining
+   NNs become the target's candidate pool; occlusion-prune -> adjacency
+   (:1059-1097). Deviation: queries sharing a target are MERGED into one
+   pool and pruned once (the reference lets the last OpenMP thread win the
+   write race at :1088-1091 — nondeterministic; the merged form is
+   deterministic and uses strictly more information).
+2. Reverse edges appended, overfull nodes pruned (:1100-1104).
+3. Over-degree re-prune (:1107-1136). Phases 2+3 collapse into one
+   union + groupBy + unconditional prune: pruning a pool already <= M
+   returns the same set (backfill refills everything), so the conditional
+   is unnecessary in batch form.
+4. Connectivity enhancement (:1192-1248): per base node, beam-search from
+   the medoid and prune the visited set into ``supply_nbrs``. Deviation:
+   the reference searches the *incrementally growing* supply graph
+   (NSW-style insertion — earlier nodes see a sparser graph, order-
+   dependent); we search the completed phase-3 projection graph, which is
+   deterministic and gives every node the same-quality candidate pool.
+   Gated by recall, as the reference itself gates build quality (§5).
+5. Supply merged into projection, capped at 2*M_pjbp (:1251-1269).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysteryann_spark.operators.knn import knn_join_arrays, medoid
+from mysteryann_spark.operators.prune import prune_candidates
+from mysteryann_spark.params import IndexParams
+
+
+def _edges(adj: DataFrame) -> DataFrame:
+    return adj.select("node", F.explode("nbrs").alias("cand_id"))
+
+
+def _prune_merged(
+    fwd_edges: DataFrame, base_df: DataFrame, m: int, metric: str
+) -> DataFrame:
+    """union(edges, reversed edges) -> per-node occlusion prune."""
+    rev = fwd_edges.select(
+        F.col("cand_id").alias("node"), F.col("node").alias("cand_id")
+    )
+    merged = fwd_edges.unionByName(rev)
+    return prune_candidates(merged, base_df, m, metric)
+
+
+def build_roargraph(
+    base_df: DataFrame,
+    queries_df: DataFrame,
+    params: IndexParams,
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, int]:
+    """Returns (projection adjacency ``(node, nbrs)``, entry point id).
+
+    base_df: ``(vec_id, embedding)`` base vectors; queries_df:
+    ``(qid, embedding)`` sampled training queries from the other modality.
+    """
+    metric = params.metric
+
+    # --- phase 0: exact kNN of every training query into the base set
+    # (the table the reference loads as learn_base_knn_, :2622-2639)
+    knn = knn_join_arrays(
+        queries_df, base_df, params.M_sq, metric,
+        base_id=base_id, vec_col=vec_col,
+    )
+
+    # --- phase 1: target = 1-NN; rest of the list -> target's pool
+    tgt = F.element_at("nn", 1)
+    phase1_cands = (
+        knn.select(tgt.alias("node"), F.explode(F.slice("nn", 2, params.M_sq)).alias("cand_id"))
+        .where(F.col("cand_id") != F.col("node"))
+    )
+    adj1 = prune_candidates(phase1_cands, base_df, params.M_pjbp, metric,
+                            base_id=base_id, vec_col=vec_col)
+
+    # --- phases 2+3: reverse edges + re-prune overfull nodes
+    adj3 = _prune_merged(_edges(adj1), base_df, params.M_pjbp, metric)
+    adj3 = adj3.localCheckpoint()  # cut lineage: phase 4 searches this graph
+
+    # --- entry point (CalculateProjectionep, :2004-2041)
+    ep, _ = medoid(base_df, base_id, vec_col)
+
+    # --- phase 4: connectivity enhancement — beam-search the projection
+    # graph from the medoid for every base node, prune visited set
+    from mysteryann_spark.operators.search import search_graph
+
+    visited = search_graph(
+        base_df.select(F.col(base_id).alias("qid"), vec_col),
+        base_df,
+        adj3,
+        ep,
+        k=params.L_pjpq,
+        l_search=params.L_pjpq,
+        metric=metric,
+        base_id=base_id,
+        vec_col=vec_col,
+    )
+    supply_cands = visited.select(
+        F.col("qid").alias("node"), F.col("nn_id").alias("cand_id")
+    ).where(F.col("cand_id") != F.col("node"))
+    supply = _prune_merged(supply_cands, base_df, params.M_pjbp, metric)
+
+    # --- phase 5: merge supply into projection, cap at 2*M_pjbp (:1251-1269)
+    cap = params.degree_cap
+    merged = (
+        adj3.withColumnRenamed("nbrs", "pj_nbrs")
+        .join(supply.withColumnRenamed("nbrs", "sp_nbrs"), "node", "full_outer")
+        .select(
+            "node",
+            F.slice(
+                F.concat(
+                    F.coalesce("pj_nbrs", F.array().cast("array<bigint>")),
+                    F.array_except(
+                        F.coalesce("sp_nbrs", F.array().cast("array<bigint>")),
+                        F.coalesce("pj_nbrs", F.array().cast("array<bigint>")),
+                    ),
+                ),
+                1,
+                cap,
+            ).alias("nbrs"),
+        )
+    )
+    return merged, ep
+
+
+def build_roargraph_from_table(
+    spark: SparkSession,
+    emb_df: DataFrame,
+    params: IndexParams,
+    n_queries: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Convenience split for testdata: every embedding is a base point;
+    training queries are a deterministic prefix (vec_id < n_queries) —
+    the reference's sampled-query set drawn from the query distribution."""
+    base = emb_df.select("vec_id", "embedding")
+    q = emb_df.select(F.col("vec_id").alias("qid"), "embedding")
+    if n_queries is not None:
+        q = q.where(F.col("qid") < n_queries)
+    return build_roargraph(base, q, params)

@@ -1,0 +1,118 @@
+"""Occlusion (RNG-style, alpha=1) prune — SURVEY.md §2.9 G6/G7/G9.
+
+Numpy re-expression of the reference's candidate-pruning rule
+(PruneBiSearchBaseGetBase, src/index_bipartite.cpp:1612-1694): given a
+candidate pool for a target node, sorted by (distance-to-target, id), keep
+candidate c only if no already-kept r satisfies d(c, r) < d(c, target);
+then backfill nearest non-kept candidates up to M. All pools are small
+(<= a few hundred), so the kernel is a local O(M*|pool|) numpy loop inside
+``applyInPandas`` — per-group work, never a Spark shuffle.
+
+The reference's three passes (sorted pool, original-order slack pass with
+alpha=1.0, nearest backfill) collapse to two here because our callers
+always present pools already (dist, id)-sorted and deduplicated, which
+makes pass 2 a no-op re-scan of pass 1's input.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from mysteryann_spark.functions.vector import np_distances
+
+
+def occlusion_prune_np(
+    cand_ids: np.ndarray,
+    cand_dists: np.ndarray,
+    cand_vecs: np.ndarray,
+    m: int,
+    metric: str = "l2",
+) -> list[int]:
+    """Prune one pool. Inputs must exclude the target itself.
+
+    cand_ids/cand_dists/cand_vecs are parallel arrays; dists are to the
+    target node. Returns <= m kept ids, deterministic.
+    """
+    if len(cand_ids) == 0:
+        return []
+    # (dist, id) total order — neighbor.h:29-31 tiebreak.
+    order = np.lexsort((cand_ids, cand_dists))
+    ids = cand_ids[order]
+    dists = cand_dists[order]
+    vecs = cand_vecs[order]
+    # dedup keeping first (closest) occurrence
+    _, first_idx = np.unique(ids, return_index=True)
+    keep_mask = np.zeros(len(ids), dtype=bool)
+    keep_mask[first_idx] = True
+    ids, dists, vecs = ids[keep_mask], dists[keep_mask], vecs[keep_mask]
+    # re-sort after dedup (np.unique disturbed nothing: mask preserves order)
+
+    pair = np_distances(metric, vecs, vecs)  # (n, n) candidate-candidate dists
+    kept: list[int] = [0]
+    for j in range(1, len(ids)):
+        if len(kept) >= m:
+            break
+        # occluded if any kept r with d(c_j, r) < d(c_j, tgt)
+        if not np.any(pair[j, kept] < dists[j]):
+            kept.append(j)
+    if len(kept) < m:
+        kept_set = set(kept)
+        for j in range(len(ids)):
+            if len(kept) >= m:
+                break
+            if j not in kept_set:
+                kept.append(j)
+    return [int(ids[j]) for j in kept]
+
+
+_ADJ_SCHEMA = StructType(
+    [
+        StructField("node", LongType(), False),
+        StructField("nbrs", ArrayType(LongType()), False),
+    ]
+)
+
+
+def prune_candidates(
+    cand_df: DataFrame,
+    base_df: DataFrame,
+    m: int,
+    metric: str = "l2",
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed prune: ``(node, cand_id)`` pairs -> ``(node, nbrs)``.
+
+    Joins candidate vectors + the node's own vector (two id-equi joins that
+    co-partition on the shuffle key), groups by node, and runs the numpy
+    kernel per group. Group fan-in is bounded by the callers (<= slack*M_sq
+    candidates per node), so executor memory per group is O(pool * dim).
+    """
+    node_vec = base_df.select(
+        F.col(base_id).alias("node"), F.col(vec_col).alias("node_vec")
+    )
+    cand_vec = base_df.select(
+        F.col(base_id).alias("cand_id"), F.col(vec_col).alias("cand_vec")
+    )
+    grouped = (
+        cand_df.where(F.col("cand_id") != F.col("node"))
+        .dropDuplicates(["node", "cand_id"])
+        .join(cand_vec, "cand_id")
+        .join(node_vec, "node")
+    )
+
+    def prune_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cand_vec"]])
+        tgt = np.asarray(pdf["node_vec"].iloc[0], dtype=np.float64)[None, :]
+        dists = np_distances(metric, tgt, vecs)[0]
+        ids = pdf["cand_id"].to_numpy(dtype=np.int64)
+        nbrs = occlusion_prune_np(ids, dists, vecs, m, metric)
+        return pd.DataFrame({"node": [key[0]], "nbrs": [nbrs]})
+
+    # applyInPandas guarantees each node's whole pool arrives in one call
+    # (mapInPandas could split a group across arrow batches).
+    return grouped.groupBy("node").applyInPandas(prune_group, _ADJ_SCHEMA)

@@ -1,0 +1,57 @@
+"""RoarGraph build + search registry entries — SURVEY.md §2.9 G4, §2.10 Q1.
+
+These are the genuinely non-SQL-expressible operators (iterative occlusion
+pruning, best-first graph traversal): no ``oracle_sql`` entry, so the
+driver records the weaker rows-only check. Their quality gates live in
+``tests/test_graph.py`` instead, mirroring the reference's own methodology
+(recall against exact ground truth — tests/test_search_roargraph.cpp:23-36):
+recall@10 >= 0.95 at the registered build parameters, degree caps
+respected, deterministic across rebuilds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysteryann_spark.operators.projection import build_roargraph_from_table
+from mysteryann_spark.operators.search import search_graph
+from mysteryann_spark.params import IndexParams
+from mysteryann_spark.queries.base import QuerySpec
+from mysteryann_spark.sources.tables import load_table
+
+# Registered build config (scaled-down run_roargraph_test.sh:5-10 shape).
+PARAMS = IndexParams(M_sq=20, M_pjbp=8, L_pjpq=40, k=10, L_pq=40, metric="l2")
+_N_SEARCH_QUERIES = 50
+
+
+def _build(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, "embeddings", sf_dir)
+    adj, ep = build_roargraph_from_table(spark, emb, PARAMS)
+    return emb, adj, ep
+
+
+def roargraph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node degree of the built projection graph (the reference's
+    post-build degree audit, src/index_bipartite.cpp:1143-1179)."""
+    _, adj, _ = _build(spark, sf_dir)
+    return adj.select("node", F.size("nbrs").cast("bigint").alias("degree"))
+
+
+def roargraph_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k beam-search results for the query slice (qid < 50)."""
+    emb, adj, ep = _build(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < _N_SEARCH_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    res = search_graph(
+        q, emb, adj.localCheckpoint(), ep,
+        k=PARAMS.k, l_search=PARAMS.L_pq, metric=PARAMS.metric,
+    )
+    return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank", "cmps", "hops")
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "roargraph_degrees": QuerySpec(roargraph_degrees, None),
+    "roargraph_search_topk": QuerySpec(roargraph_search_topk, None),
+}

@@ -1,0 +1,56 @@
+"""Exact kNN join + medoid vs driver-side numpy brute force."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mysteryann_spark.functions.vector import np_distances
+from mysteryann_spark.operators.knn import knn_join, knn_join_arrays, medoid
+
+
+def _matrix(emb):
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r[0])
+    return np.array([r[0] for r in rows]), np.stack(
+        [np.asarray(r[1], dtype=np.float64) for r in rows]
+    )
+
+
+def test_knn_matches_bruteforce(spark, emb):
+    ids, mat = _matrix(emb)
+    q = emb.where("vec_id < 10").select(F.col("vec_id").alias("qid"), "embedding")
+    got = knn_join(q, emb, 5, "l2").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["nn_id"], r["dist"]))
+    D = np_distances("l2", mat[:10], mat)
+    for qi in range(10):
+        order = sorted(range(len(ids)), key=lambda j: (D[qi, j], ids[j]))[:5]
+        want = [int(ids[j]) for j in order]
+        rows = sorted(by_q[qi])
+        assert [nn for _, nn, _ in rows] == want
+        for (_, _, dist), j in zip(rows, order):
+            assert abs(dist - D[qi, j]) < 1e-9
+
+
+def test_knn_arrays_shape(spark, emb):
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("qid"), "embedding")
+    out = knn_join_arrays(q, emb, 7, "cosine").collect()
+    assert len(out) == 5
+    for r in out:
+        assert len(r["nn"]) == 7 and len(r["dists"]) == 7
+        assert r["dists"] == sorted(r["dists"])  # rank-ordered, minimizing
+
+
+def test_knn_exclude_self(spark, emb):
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("qid"), "embedding")
+    out = knn_join(q, emb, 3, "l2", exclude_self=True).collect()
+    assert all(r["nn_id"] != r["qid"] for r in out)
+
+
+def test_medoid_matches_numpy(spark, emb):
+    ids, mat = _matrix(emb)
+    cent = mat.mean(axis=0)
+    d = ((mat - cent) ** 2).sum(axis=1)
+    want = int(ids[np.lexsort((ids, d))[0]])
+    mid, dist = medoid(emb)
+    assert mid == want
+    assert abs(dist - d.min()) < 1e-9
