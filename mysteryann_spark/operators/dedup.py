@@ -1,0 +1,281 @@
+"""Deduplication operators for the LLM-data-pipeline surface.
+
+Not present in the reference (it is an ANN library), but core to the
+north-star extension set (BASELINE.json): exact dedup, MinHash+LSH,
+SimHash, n-gram Jaccard, and embedding-cosine near-dup — each designed so
+the shuffle-heavy step touches candidate pairs, never the full cross
+product.
+
+Scale notes per operator:
+- exact/fingerprint dedup: one hash-groupBy — the canonical 100 TB dedup
+  pass (map-side md5, shuffle only (hash, doc_id) pairs).
+- MinHash-LSH: signatures are per-row expressions (no shuffle); banding
+  shuffles (band_id, band_hash, doc_id) tuples; only same-bucket pairs are
+  verified. Hot buckets (boilerplate docs) would skew — cap bucket size /
+  salt in a production run; here bucket sizes are logged by the caller.
+- SimHash: fully per-row (one 64-bit signature per doc, no shuffle).
+- embedding near-dup: blocked GEMM against a broadcast normalized matrix —
+  one pass, no pair shuffle; for bases beyond broadcast size this becomes
+  an LSH/IVF-bucketed pair generation (similarity.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from mysteryann_spark.functions.text import tokens_col
+from mysteryann_spark.functions.vector import np_normalize
+
+# ---------------------------------------------------------------------------
+# exact + fingerprint dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, key_expr=None) -> DataFrame:
+    """Group documents by content hash; mark the min-doc_id canonical row.
+
+    Returns (doc_id, group_size, is_canonical). ``key_expr`` defaults to
+    md5 of the raw text (byte-exact duplicates); pass e.g.
+    ``doc_fingerprint`` output for bag-of-words duplicates.
+    """
+    key = key_expr if key_expr is not None else F.md5("text")
+    w = Window.partitionBy("grp")
+    return (
+        docs.select("doc_id", key.alias("grp"))
+        .withColumn("group_size", F.count("*").over(w))
+        .withColumn(
+            "is_canonical",
+            (F.col("doc_id") == F.min("doc_id").over(w)).cast("int"),
+        )
+        .select("doc_id", "group_size", "is_canonical")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame, num_perm: int = 16, seed: int = 42
+) -> DataFrame:
+    """Per-doc MinHash signature over the distinct-token (unigram shingle)
+    set. Each permutation is xxhash64(perm_seed, token) minimized over the
+    shingle set — a pure Catalyst expression, zero shuffle."""
+    shingles = F.array_distinct(tokens_col("text"))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(F.lit(seed + i), s))
+            )
+            for i in range(num_perm)
+        ]
+    )
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, with both the signature
+    estimate and the exact token-set Jaccard for verification.
+
+    Returns (id_a, id_b, est_jaccard, jaccard) for same-bucket pairs with
+    exact jaccard >= threshold, id_a < id_b.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, seed)
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.select(
+        "band", "bucket", F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    b = banded.select(
+        "band", "bucket", F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(float(num_perm))
+    )
+    toks = lambda c: F.array_distinct(tokens_col(c))  # noqa: E731
+    docs_a = docs.select(F.col("doc_id").alias("id_a"), toks("text").alias("tok_a"))
+    docs_b = docs.select(F.col("doc_id").alias("id_b"), toks("text").alias("tok_b"))
+    jac = F.size(F.array_intersect("tok_a", "tok_b")).cast("double") / F.size(
+        F.array_union("tok_a", "tok_b")
+    ).cast("double")
+    return (
+        cand.withColumn("est_jaccard", est)
+        .join(docs_a, "id_a")
+        .join(docs_b, "id_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"), F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_bits(docs: DataFrame, num_bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc as a bit string (sign of per-bit weighted
+    sums of token hashes). Entirely per-row Catalyst expressions: the
+    token loop is ``aggregate`` over the token array, the bit loop a
+    ``zip_with`` over 64 counters — no shuffle, no UDF."""
+    # hash once per token, then unpack bits with a Python-level loop
+    # (shiftright's bit count must be a literal int, not a Column)
+    hashes = F.transform(tokens_col("text"), lambda t: F.xxhash64(t))
+    bit_vec = lambda h: F.array(  # noqa: E731
+        *[
+            (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            for j in range(num_bits)
+        ]
+    )
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), num_bits),
+        lambda acc, h: F.zip_with(acc, bit_vec(h), lambda a, b: a + b),
+    )
+    bits = F.transform(counts, lambda c: F.when(c > 0, F.lit("1")).otherwise(F.lit("0")))
+    return docs.select("doc_id", F.array_join(bits, "").alias("simhash"))
+
+
+def simhash_hamming_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """All pairs within the given Hamming distance (for slices; production
+    path buckets on bit-chunks first, pigeonhole-style)."""
+    s = simhash_bits(docs)
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    split_bits = lambda c: F.split(c, "")  # noqa: E731
+    hamming = F.size(
+        F.filter(
+            F.zip_with(split_bits("h_a"), split_bits("h_b"), lambda x, y: (x != y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 2, threshold: float = 0.1) -> DataFrame:
+    """Exact word-n-gram Jaccard over all doc pairs (callers pre-slice;
+    the scalable candidate generator is minhash_lsh_pairs)."""
+    w = tokens_col("text")
+    grams = F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+            )
+        )
+    )
+    g = docs.select("doc_id", grams.alias("grams"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"))
+    jac = F.size(F.array_intersect("g_a", "g_b")).cast("double") / F.size(
+        F.array_union("g_a", "g_b")
+    ).cast("double")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+_PAIR_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType(), False),
+        StructField("id_b", LongType(), False),
+        StructField("cos_sim", DoubleType(), False),
+    ]
+)
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (a < b) pairs with cosine similarity >= threshold.
+
+    Blocked GEMM: the normalized matrix is broadcast; each partition
+    multiplies its block against it and emits only threshold-passing pairs
+    — O(n^2) flops but O(pairs_found) rows, never a pair shuffle."""
+    spark = emb.sparkSession
+    rows = sorted(emb.select(base_id, vec_col).collect(), key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np_normalize(np.stack([np.asarray(r[1], dtype=np.float64) for r in rows]))
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf[base_id].to_numpy(dtype=np.int64)
+            bmat = np_normalize(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            )
+            sims = bmat @ all_mat.T
+            ii, jj = np.nonzero((sims >= threshold) & (bids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": bids[ii], "id_b": all_ids[jj], "cos_sim": sims[ii, jj]}
+            )
+
+    return emb.select(base_id, vec_col).mapInPandas(block, _PAIR_SCHEMA)

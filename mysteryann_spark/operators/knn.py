@@ -79,6 +79,10 @@ def knn_join(
             bids = pdf[base_id].to_numpy(dtype=np.int64)
             bmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             dmat = np_distances(metric, b_qmat, bmat)  # (n_q, n_batch)
+            if exclude_self:
+                # mask before the local top-k, or a batch owning the query's
+                # own row would surrender one of its k candidate slots
+                dmat[b_qids[:, None] == bids[None, :]] = np.inf
             m = min(k, dmat.shape[1])
             # local top-m per query: argpartition then exact (dist, id) sort
             part = np.argpartition(dmat, m - 1, axis=1)[:, :m]
@@ -91,7 +95,7 @@ def knn_join(
 
     candidates = base_df.select(base_id, vec_col).mapInPandas(local_topk, _CAND_SCHEMA)
     if exclude_self:
-        candidates = candidates.where(F.col("nn_id") != F.col("qid"))
+        candidates = candidates.where(F.col("dist") != float("inf"))
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nn_id").asc())
     return (
         candidates.withColumn("rank", F.row_number().over(w))

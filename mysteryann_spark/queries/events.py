@@ -1,0 +1,183 @@
+"""Event-time windowing queries — SURVEY.md §2.11.
+
+The reference has no streaming at all; these are the Spark-native
+equivalents run in batch over the ``events`` table so the DuckDB oracle
+applies (true Structured Streaming versions of the same aggregations live
+in mysteryann_spark/streaming/ and are parity-tested against these batch
+results in tests/test_streaming.py).
+
+All window starts are rendered as UTC strings: Spark session timezone is
+pinned per-query (ensure_utc) because the driver's session isn't
+guaranteed UTC, while DuckDB reads parquet timestamps as naive UTC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysteryann_spark.queries.base import QuerySpec, stable_round
+from mysteryann_spark.session import ensure_utc
+from mysteryann_spark.sources.tables import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    return load_table(spark, "events", sf_dir)
+
+
+# --- tumbling window --------------------------------------------------------
+
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+_TUMBLING_SQL = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, count(*) AS n, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- sliding window ---------------------------------------------------------
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour: every event lands in 2 windows."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            stable_round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(F.date_format("w.start", _TS_FMT).alias("win_start"), "n", "n_users", "avg_value")
+    )
+
+
+_SLIDING_SQL = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts) - o * INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS win_start,
+       count(*) AS n, count(DISTINCT user_id) AS n_users, round(avg(value) + 1e-9, 6) AS avg_value
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o)
+GROUP BY 1
+"""
+
+
+# --- sessionization (gap-based) --------------------------------------------
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user (the batch rendering of
+    session_window: lag + gap flag + running sum). Gap math in integer
+    microseconds on both engines."""
+    e = _events(spark, sf_dir).withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.when(
+        F.lag("us").over(w).isNull() | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = e.withColumn("new_sess", gap).withColumn("session_id", F.sum("new_sess").over(run))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), _TS_FMT_US).alias("sess_start"),
+        F.expr("(max(us) - min(us)) div 1000").alias("duration_ms"),
+    )
+
+
+_SESSION_SQL = """
+WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
+g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g)
+SELECT user_id, session_id, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+       (max(us) - min(us)) // 1000 AS duration_ms
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# --- as-of join -------------------------------------------------------------
+
+
+def events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event: the most recent click event id of the same
+    user at-or-before it (as-of backward join, rendered with an
+    ignore-nulls last() window)."""
+    e = _events(spark, sf_dir).where(F.col("event_type").isin("click", "error"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    tagged = e.withColumn("prev_click_id", F.last(click_id, ignorenulls=True).over(w))
+    return tagged.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "prev_click_id"
+    )
+
+
+_ASOF_SQL = """
+WITH u AS (SELECT event_id, user_id, ts, event_type,
+                  CASE WHEN event_type = 'click' THEN event_id END AS click_id
+           FROM events WHERE event_type IN ('click', 'error')),
+w AS (SELECT *, last_value(click_id IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_id
+      FROM u)
+SELECT event_id, user_id, prev_click_id FROM w WHERE event_type = 'error'
+"""
+
+
+# --- pivot ------------------------------------------------------------------
+
+_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    pivoted = e.groupBy("user_id").pivot("event_type", _TYPES).agg(F.count(F.lit(1)))
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in _TYPES],
+    )
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "events_tumbling": QuerySpec(events_tumbling, _TUMBLING_SQL),
+    "events_sliding": QuerySpec(events_sliding, _SLIDING_SQL),
+    "events_sessionize": QuerySpec(events_sessionize, _SESSION_SQL),
+    "events_asof_click": QuerySpec(events_asof_click, _ASOF_SQL),
+    "events_pivot": QuerySpec(events_pivot, _PIVOT_SQL),
+}

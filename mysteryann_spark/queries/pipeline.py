@@ -1,0 +1,298 @@
+"""LLM-data-pipeline queries: dedup, text analysis, similarity search,
+multimodal — the north-star extension set (BASELINE.json), each as a
+registry entry. SQL-expressible ops carry exact DuckDB oracles; the
+hash-seeded sketches (MinHash/SimHash/LSH — xxhash64 has no DuckDB
+equivalent) are rows-only with property gates in tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysteryann_spark.functions.text import (
+    doc_fingerprint,
+    lang_id_cols,
+    quality_score_cols,
+    token_count,
+    tokens_col,
+)
+from mysteryann_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_bits,
+)
+from mysteryann_spark.operators.multimodal import (
+    decode_frames,
+    mean_pool_embeddings,
+    synth_media_from_documents,
+)
+from mysteryann_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from mysteryann_spark.queries.base import QuerySpec, stable_round
+from mysteryann_spark.sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "documents", sf_dir)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "embeddings", sf_dir)
+
+
+# --- text analysis (all oracle-checked) ------------------------------------
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens_col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))) AS BIGINT) AS n_distinct,
+       md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = lang_id_cols("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[expr.alias(name) for name, expr in cols.items()]
+    )
+
+
+_LANG_SQL = """
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+h AS (SELECT doc_id,
+        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x))) AS BIGINT) AS en_hits,
+        CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','zu','ist','ein','mit','von','nicht'], x))) AS BIGINT) AS de_hits,
+        CAST(len(list_filter(toks, x -> list_contains(['le','la','de','et','un','est','pour','que','dans','sur'], x))) AS BIGINT) AS fr_hits
+      FROM t)
+SELECT doc_id, en_hits, de_hits, fr_hits,
+       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+            WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+            WHEN fr_hits > 0 THEN 'fr'
+            ELSE 'und' END AS pred_lang
+FROM h
+"""
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = quality_score_cols("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        cols["n_tokens"].alias("n_tokens"),
+        stable_round(cols["avg_word_len"], 6).alias("avg_word_len"),
+        stable_round(cols["stopword_ratio"], 6).alias("stopword_ratio"),
+        stable_round(cols["quality"], 6).alias("quality"),
+    )
+
+
+_QUALITY_SQL = """
+WITH t AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+b AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        greatest(len(toks), 1) * 1.0 AS nt,
+        CAST(length(text) AS DOUBLE) AS n_chars,
+        len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x))) * 1.0 AS sw_hits
+      FROM t),
+c AS (SELECT doc_id, n_tokens,
+        (n_chars - (nt - 1)) / nt AS awl,
+        sw_hits / nt AS swr,
+        least(nt / 200.0, 1.0) AS len_score
+      FROM b)
+SELECT doc_id, n_tokens,
+       round(awl + 1e-9, 6) AS avg_word_len,
+       round(swr + 1e-9, 6) AS stopword_ratio,
+       round(0.4 * swr + 0.3 * len_score + 0.3 * (CASE WHEN awl >= 3 AND awl <= 8 THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS quality
+FROM c
+"""
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+_DEDUP_EXACT_SQL = """
+SELECT doc_id,
+       count(*) OVER (PARTITION BY md5(text)) AS group_size,
+       CAST(doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_canonical
+FROM documents
+"""
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words dedup: same sorted distinct-token set => duplicates
+    (54 non-trivial groups at sf0.01)."""
+    return exact_dedup(_docs(spark, sf_dir), key_expr=doc_fingerprint("text"))
+
+
+_DEDUP_FP_SQL = """
+WITH k AS (SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))), ' ')) AS grp
+      FROM documents)
+SELECT doc_id,
+       count(*) OVER (PARTITION BY grp) AS group_size,
+       CAST(doc_id = min(doc_id) OVER (PARTITION BY grp) AS INT) AS is_canonical
+FROM k
+"""
+
+
+def dedup_jaccard_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard pairs >= 0.1 over the doc_id < 100 slice."""
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 100), n=2, threshold=0.1
+    )
+
+
+_JACCARD_SQL = """
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+           FROM documents WHERE doc_id < 100),
+g AS (SELECT doc_id,
+        CASE WHEN len(w) < 2 THEN []
+             ELSE list_distinct(list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1]))
+        END AS grams
+      FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+             len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.1
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (unigram shingles, 32 perms, 8 bands,
+    exact-Jaccard-verified >= 0.5). Rows-only: xxhash64 signatures are not
+    reproducible in DuckDB; completeness vs exact Jaccard is gated in
+    tests/test_pipeline.py."""
+    return minhash_lsh_pairs(_docs(spark, sf_dir), num_perm=32, bands=8, threshold=0.5)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit SimHash signature (rows-only; bit-string column)."""
+    return simhash_bits(_docs(spark, sf_dir))
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return embedding_neardup_pairs(e, 0.4).select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+_EMB_NEARDUP_SQL = """
+WITH n AS (
+  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(unnest(a.embedding) AS DOUBLE) AS xa, CAST(unnest(b.embedding) AS DOUBLE) AS xb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+s AS (SELECT id_a, id_b, sum(xa * xb) AS dot FROM p GROUP BY id_a, id_b)
+SELECT s.id_a, s.id_b, round(s.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+FROM s JOIN n na ON s.id_a = na.vec_id JOIN n nb ON s.id_b = nb.vec_id
+WHERE s.dot / (na.nrm * nb.nrm) >= 0.4
+"""
+
+
+# --- similarity search ------------------------------------------------------
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
+    return cosine_topk(q, e, 5).select(
+        "qid", "nn_id", F.round("dist", 6).alias("dist"), "rank"
+    )
+
+
+_ANN_COSINE_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+u AS (SELECT q.qid, b.vec_id AS nn_id,
+             CAST(unnest(q.qe) AS DOUBLE) AS xa, CAST(unnest(b.embedding) AS DOUBLE) AS xb
+      FROM q CROSS JOIN embeddings b WHERE b.vec_id != q.qid),
+d AS (SELECT qid, nn_id,
+             -(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb)))) AS dist
+      FROM u GROUP BY qid, nn_id),
+r AS (SELECT qid, nn_id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nn_id) AS INT) AS rank
+      FROM d)
+SELECT qid, nn_id, round(dist, 6) AS dist, rank FROM r WHERE rank <= 5
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate cosine top-k (rows-only; recall vs the
+    exact baseline gated in tests)."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
+    return lsh_cosine_topk(q, e, 5).select(
+        "qid", "nn_id", F.round("dist", 6).alias("dist"), "rank"
+    )
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: synth media table -> frame-sampled decode
+    (deterministic fake): one row per (media, frame) with payload stats."""
+    media = synth_media_from_documents(_docs(spark, sf_dir))
+    return decode_frames(media)
+
+
+def multimodal_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pooled = mean_pool_embeddings(_emb(spark, sf_dir), "label")
+    return pooled.select(
+        "label",
+        "n",
+        *[F.round(F.element_at("pooled", i + 1), 6).alias(f"c{i + 1}") for i in range(4)],
+    )
+
+
+_MM_POOL_SQL = """
+WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+m AS (SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+      FROM embeddings CROSS JOIN idx GROUP BY label, i),
+nrm AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM m GROUP BY label),
+c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+SELECT c.label, c.n,
+       round(max(CASE WHEN m.i = 1 THEN m.m END) / nrm.nrm, 6) AS c1,
+       round(max(CASE WHEN m.i = 2 THEN m.m END) / nrm.nrm, 6) AS c2,
+       round(max(CASE WHEN m.i = 3 THEN m.m END) / nrm.nrm, 6) AS c3,
+       round(max(CASE WHEN m.i = 4 THEN m.m END) / nrm.nrm, 6) AS c4
+FROM c JOIN m ON c.label = m.label JOIN nrm ON c.label = nrm.label
+GROUP BY c.label, c.n, nrm.nrm
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "doc_token_stats": QuerySpec(doc_token_stats, _TOKEN_STATS_SQL),
+    "doc_lang_id": QuerySpec(doc_lang_id, _LANG_SQL),
+    "doc_quality": QuerySpec(doc_quality, _QUALITY_SQL),
+    "dedup_exact": QuerySpec(dedup_exact, _DEDUP_EXACT_SQL),
+    "dedup_fingerprint": QuerySpec(dedup_fingerprint, _DEDUP_FP_SQL),
+    "dedup_jaccard_bigram": QuerySpec(dedup_jaccard_bigram, _JACCARD_SQL),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
+    "dedup_simhash": QuerySpec(dedup_simhash, None),
+    "dedup_embedding": QuerySpec(dedup_embedding, _EMB_NEARDUP_SQL),
+    "ann_cosine_topk": QuerySpec(ann_cosine_topk, _ANN_COSINE_SQL),
+    "ann_lsh_topk": QuerySpec(ann_lsh_topk, None),
+    "multimodal_decode": QuerySpec(multimodal_decode, None),
+    "multimodal_meanpool": QuerySpec(multimodal_meanpool, _MM_POOL_SQL),
+}

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mysteryann_spark.queries.base import QuerySpec
+from mysteryann_spark.queries.base import QuerySpec, stable_round
 from mysteryann_spark.sources.tables import load_table
 
 
@@ -79,9 +79,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
         ).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        stable_round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        stable_round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        stable_round(F.avg("l_discount"), 6).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -92,9 +92,9 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       round(avg(l_quantity) + 1e-9, 6) AS avg_qty,
+       round(avg(l_extendedprice) + 1e-9, 6) AS avg_price,
+       round(avg(l_discount) + 1e-9, 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -378,7 +378,7 @@ def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("k"), 6).alias("avg_k"),
+            stable_round(F.avg("k"), 6).alias("avg_k"),
             F.max("k").alias("max_k"),
             F.min("k").alias("min_k"),
         )
@@ -387,7 +387,7 @@ def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_SQL = """
 SELECT event_type, count(*) AS n,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) + 1e-9, 6) AS avg_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k
 FROM events GROUP BY event_type
@@ -407,7 +407,7 @@ def case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn("bucket", bucket)
         .groupBy("bucket")
-        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 6).alias("avg_price"))
+        .agg(F.count("*").alias("n"), stable_round(F.avg("o_totalprice"), 6).alias("avg_price"))
     )
 
 
@@ -415,7 +415,7 @@ _CASE_SQL = """
 SELECT CASE WHEN o_totalprice < 25000 THEN 'small'
             WHEN o_totalprice < 100000 THEN 'medium'
             ELSE 'large' END AS bucket,
-       count(*) AS n, round(avg(o_totalprice), 6) AS avg_price
+       count(*) AS n, round(avg(o_totalprice) + 1e-9, 6) AS avg_price
 FROM orders GROUP BY 1
 """
 

@@ -1,0 +1,184 @@
+"""Structured Streaming operators over the events table — SURVEY.md §2.11.
+
+The reference is batch-only; these are the Spark-native streaming renditions
+of the batch window queries in queries/events.py, parity-tested against
+them (tests/test_streaming.py) by driving the parquet file through
+``readStream`` into a memory sink.
+
+Watermarking: 1 hour on event time — late rows beyond the watermark are
+dropped from open windows, which is the scale-correct default for an
+unbounded 100 TB/day event feed (state store stays bounded). With the
+static testdata file everything arrives "on time", so batch parity holds
+exactly.
+
+Stateful sessionization uses applyInPandasWithState — the Spark equivalent
+of a custom stateful operator: per-user state carries (last_ts,
+session_id); timeouts flush idle users.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Raw parquet schema: ts is INT64 TIMESTAMP(NANOS) which the reader only
+# accepts as long under nanosAsLong (see sources/tables.py).
+_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded stream (file source: each file is a
+    micro-batch — the local stand-in for a Kafka topic).
+
+    The file source requires a directory, and /root/testdata is read-only,
+    so the single parquet file is staged (symlinked) into a temp dir.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        "/tmp/mysteryann_stream", sf_dir.strip("/").replace("/", "_"), "events"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw = spark.readStream.format("parquet").schema(_RAW_SCHEMA).load(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_counts(events: DataFrame) -> DataFrame:
+    """Streaming twin of queries/events.events_tumbling."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+_SESS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+_SESS_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("session_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("start_us", LongType()),
+    ]
+)
+
+_GAP_US = 1_800_000_000  # 30 min, same as the batch query
+
+
+def _session_fn(key, pdfs, state):
+    """Per-user stateful session assembly: emits a row per CLOSED session.
+
+    The open tail session lives in state and is flushed by an EVENT-TIME
+    timeout (watermark passes last_event + gap) — wall-clock timeouts would
+    keep the micro-batch scheduler spinning forever on a bounded source,
+    and at scale they'd flush sessions of a lagging partition incorrectly.
+    """
+    import pandas as pd
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        last_us, session_id, n_events, start_us = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_id": [session_id],
+                "n_events": [n_events],
+                "duration_ms": [(last_us - start_us) // 1000],
+            }
+        )
+        return
+
+    rows = []
+    if state.exists:
+        last_us, session_id, n_events, start_us = state.get
+    else:
+        last_us, session_id, n_events, start_us = None, 0, 0, None
+    for pdf in pdfs:
+        for us in sorted(pdf["us"].tolist()):
+            if last_us is None or us - last_us > _GAP_US:
+                if last_us is not None:
+                    rows.append((user_id, session_id, n_events, (last_us - start_us) // 1000))
+                session_id += 1
+                n_events = 0
+                start_us = us
+            n_events += 1
+            last_us = us
+    state.update((last_us, session_id, n_events, start_us))
+    # flush when the watermark passes the session gap (must stay above the
+    # current watermark or Spark rejects the timestamp)
+    timeout_ms = max(last_us // 1000 + _GAP_US // 1000, state.getCurrentWatermarkMs() + 1)
+    state.setTimeoutTimestamp(timeout_ms)
+    yield pd.DataFrame(
+        rows, columns=["user_id", "session_id", "n_events", "duration_ms"]
+    )
+
+
+def stream_sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: gap-based sessions via
+    applyInPandasWithState (GroupState per user, event-time timeout)."""
+    with_us = events.withWatermark("ts", "1 hour").withColumn("us", F.unix_micros("ts"))
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=_SESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
+def run_stream_to_memory(
+    streaming_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming frame to completion against the static file and
+    return the materialized result (memory sink)."""
+    q = (
+        streaming_df.writeStream.outputMode(output_mode)
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    # availableNow processes the backlog then terminates on its own — unlike
+    # processAllAvailable, which never settles for stateful ops whose
+    # ProcessingTimeTimeout keeps scheduling follow-up micro-batches.
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return streaming_df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,48 @@
+"""Structured Streaming parity vs the batch window queries."""
+
+import pytest
+
+from mysteryann_spark.queries.events import events_tumbling
+from mysteryann_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_memory,
+    stream_sessionize,
+    stream_tumbling_counts,
+)
+from tests.conftest import SF_DIR
+
+
+def test_stream_tumbling_matches_batch(spark):
+    stream = stream_tumbling_counts(read_events_stream(spark, SF_DIR))
+    got = run_stream_to_memory(stream, "tumbling_out", "complete").collect()
+    want = events_tumbling(spark, SF_DIR).collect()
+    key = lambda r: (r["win_start"], r["event_type"])  # noqa: E731
+    got_map = {key(r): (r["n"], r["total_value"]) for r in got}
+    want_map = {key(r): (r["n"], r["total_value"]) for r in want}
+    assert got_map == want_map
+
+
+def test_stream_sessionize_closed_sessions(spark):
+    stream = stream_sessionize(read_events_stream(spark, SF_DIR))
+    got = run_stream_to_memory(stream, "sessions_out", "append").collect()
+    # gap-closed sessions are emitted inline; each user's open tail session
+    # is emitted only if the final watermark passed last_ts + gap. So:
+    # every emitted row must match the batch sessionizer exactly, and every
+    # non-tail batch session must have been emitted.
+    from mysteryann_spark.queries.events import events_sessionize
+
+    batch = events_sessionize(spark, SF_DIR).collect()
+    last_sess = {}
+    for r in batch:
+        cur = last_sess.get(r["user_id"], -1)
+        last_sess[r["user_id"]] = max(cur, r["session_id"])
+    batch_map = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["duration_ms"]) for r in batch
+    }
+    non_tail = {
+        k: v for k, v in batch_map.items() if k[1] != last_sess[k[0]]
+    }
+    got_map = {(r["user_id"], r["session_id"]): (r["n_events"], r["duration_ms"]) for r in got}
+    assert set(non_tail) <= set(got_map)
+    for k, v in got_map.items():
+        assert batch_map[k] == v, (k, v, batch_map[k])
