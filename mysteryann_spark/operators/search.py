@@ -112,6 +112,115 @@ def _beam_search_one(
     return pool, cmps, hops
 
 
+def _beam_search_bipartite_one(
+    qvec: np.ndarray,
+    seed_rows: np.ndarray,
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    bmat: np.ndarray,
+    l_search: int,
+    metric: str,
+) -> tuple[list[tuple[float, int]], int, int]:
+    """2-hop best-first loop over the bipartite graph
+    (SearchBipartiteGraph, src/index_bipartite.cpp:282-356): expanding a
+    base node walks base -> query-node -> base, so only base nodes are
+    ever scored. Seeds are pre-drawn random base rows."""
+    uniq = [int(s) for s in dict.fromkeys(seed_rows.tolist())]
+    dists0 = np_distances(metric, qvec[None, :], bmat[np.asarray(uniq)])[0]
+    pool = sorted((float(d), r) for d, r in zip(dists0, uniq))[:l_search]
+    visited: set[int] = set(uniq)
+    expanded: set[int] = set()
+    cmps, hops = len(uniq), 0
+    while True:
+        cur = next(((d, r) for d, r in pool if r not in expanded), None)
+        if cur is None:
+            break
+        expanded.add(cur[1])
+        hops += 1
+        fresh: list[int] = []
+        for nbr in indices[indptr[cur[1]] : indptr[cur[1] + 1]]:
+            for nn2 in indices[indptr[nbr] : indptr[nbr + 1]]:
+                if nn2 not in visited:
+                    visited.add(nn2)
+                    fresh.append(int(nn2))
+        if not fresh:
+            continue
+        batch = np.asarray(fresh, dtype=np.int64)
+        dists = np_distances(metric, qvec[None, :], bmat[batch])[0]
+        cmps += len(fresh)
+        worst = pool[-1][0] if len(pool) >= l_search else np.inf
+        for d, r in zip(dists, batch):
+            if d < worst or len(pool) < l_search:
+                insort(pool, (float(d), int(r)))
+                if len(pool) > l_search:
+                    pool.pop()
+                    worst = pool[-1][0]
+    return pool, cmps, hops
+
+
+def search_bipartite(
+    queries_df: DataFrame,
+    base_df: DataFrame,
+    adj_df: DataFrame,
+    base_count: int,
+    k: int,
+    l_search: int,
+    metric: str = "l2",
+    n_seeds: int = 10,
+    seed: int = 42,
+    query_id: str = "qid",
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k search over a bipartite adjacency (build_bipartite output,
+    global ID space: base [0, base_count), query nodes above). The
+    reference draws its 10 seeds from random_device — nondeterministic by
+    design; here they're drawn from a (seed, qid)-keyed generator so runs
+    are reproducible (SURVEY.md §5 determinism stance)."""
+    spark = base_df.sparkSession
+    brows = base_df.select(base_id, vec_col).collect()
+    brows.sort(key=lambda r: r[0])
+    ids = np.array([r[0] for r in brows], dtype=np.int64)
+    if len(ids) != base_count or ids[0] != 0 or ids[-1] != base_count - 1:
+        raise ValueError("bipartite search requires dense base ids [0, base_count)")
+    bmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in brows])
+
+    adj_rows = [(int(r[0]), [int(x) for x in r[1]]) for r in adj_df.collect()]
+    total = max(base_count, max(n for n, _ in adj_rows) + 1 if adj_rows else 0)
+    nbr_lists: list[list[int]] = [[] for _ in range(total)]
+    for node, nbrs in adj_rows:
+        nbr_lists[node] = nbrs
+    indptr = np.zeros(total + 1, dtype=np.int64)
+    for i, lst in enumerate(nbr_lists):
+        indptr[i + 1] = indptr[i] + len(lst)
+    indices = np.fromiter(
+        (x for lst in nbr_lists for x in lst), dtype=np.int64, count=int(indptr[-1])
+    )
+    bc = spark.sparkContext.broadcast((bmat, indptr, indices))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_mat, b_indptr, b_indices = bc.value
+        for pdf in batches:
+            out = {c: [] for c in ("qid", "nn_id", "dist", "rank", "cmps", "hops")}
+            for qid, vec in zip(pdf[query_id], pdf[vec_col]):
+                qvec = np.asarray(vec, dtype=np.float64)
+                rng = np.random.default_rng([seed, int(qid)])
+                seeds = rng.integers(0, base_count, size=n_seeds)
+                pool, cmps, hops = _beam_search_bipartite_one(
+                    qvec, seeds, b_indptr, b_indices, b_mat, l_search, metric
+                )
+                for rank, (d, row) in enumerate(pool[:k], start=1):
+                    out["qid"].append(qid)
+                    out["nn_id"].append(row)
+                    out["dist"].append(d)
+                    out["rank"].append(rank)
+                    out["cmps"].append(cmps)
+                    out["hops"].append(hops)
+            yield pd.DataFrame(out)
+
+    return queries_df.select(query_id, vec_col).mapInPandas(run, _RESULT_SCHEMA)
+
+
 def search_graph(
     queries_df: DataFrame,
     base_df: DataFrame,

@@ -1,0 +1,150 @@
+"""Distributed frontier-join beam search — the scale path for SURVEY.md
+§2.10 Q1 / §3.2 when the index does NOT fit in executor memory.
+
+The broadcast path (operators/search.py) replays the reference's
+``SearchRoarGraph`` loop (src/index_bipartite.cpp:2311-2420) per executor;
+that requires the whole adjacency + base matrix on every executor — fine
+for the single-node reference's regime, wrong at 100 TB. This module is
+the Pregel-style rendering: the graph and the vectors stay partitioned,
+and one best-first *step for every query at once* becomes a round of
+joins:
+
+    pool      = per-query top-L of all visited candidates (window)
+    frontier  = best unexpanded pool entry per query          (window)
+    expand    = frontier ⋈ adjacency  → new candidate ids     (shuffle on node)
+    score     = candidates ⋈ base vectors ⋈ query vectors     (shuffle on id/qid)
+    visited  ∪= scored candidates                             (anti-join dedup)
+
+Equivalence: the sequential loop expands, per query, the closest
+unexpanded node of the bounded (dist, id)-ordered queue, and its final
+queue is exactly the top-L of every node it ever scored. One frontier
+round here expands precisely that node for every live query, so the
+visited set — and therefore the final top-L pool — is IDENTICAL to the
+broadcast path (tested in tests/test_graph.py). Hops = rounds a query
+stayed live; cmps = candidates scored. Both derive from the state table
+afterwards instead of being counted inline.
+
+Scale notes:
+- State (qid, nn_id, dist, expanded) is one row per scored candidate —
+  bounded by cmps (~L·avg_degree·hops), NOT by index size; it shuffles
+  on qid only at window steps.
+- The adjacency join shuffles (qid, node) pairs against the edge table —
+  both sides hash-partitioned on the node id; no executor ever holds the
+  full graph.
+- Per-round cost is dominated by small shuffles; total rounds = max hops
+  (~15-40 at reference parameters). This trades latency for unbounded
+  index size — exactly Spark's join-vs-broadcast tradeoff, so callers
+  pick: broadcast path when the index fits (the common case, and what
+  the reference assumes always), frontier path beyond it.
+- Lineage is cut per round (localCheckpoint) or the plan would double
+  every iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mysteryann_spark.functions.vector import distance_col
+
+
+def search_graph_distributed(
+    queries_df: DataFrame,
+    base_df: DataFrame,
+    adj_df: DataFrame,
+    entry_point: int,
+    k: int,
+    l_search: int,
+    metric: str = "l2",
+    query_id: str = "qid",
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+    max_rounds: int = 200,
+) -> DataFrame:
+    """Top-k ANN for every query row without broadcasting the index;
+    returns ``(qid, nn_id, dist, rank, cmps, hops)`` — bit-identical to
+    ``search.search_graph`` on the same inputs."""
+    spark = queries_df.sparkSession
+    q = queries_df.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qvec"))
+    base = base_df.select(F.col(base_id).alias("nn_id"), F.col(vec_col).alias("bvec"))
+
+    # Seed: every query starts at the medoid entry point.
+    ep_vec = base.where(F.col("nn_id") == entry_point)
+    visited = (
+        q.crossJoin(F.broadcast(ep_vec))
+        .select(
+            "qid",
+            "nn_id",
+            distance_col(metric, "qvec", "bvec").alias("dist"),
+            F.lit(False).alias("expanded"),
+        )
+    )
+    if exclude_self:
+        visited = visited.where(F.col("nn_id") != F.col("qid"))
+    visited = visited.localCheckpoint(eager=True)
+
+    pool_w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nn_id").asc())
+
+    for _ in range(max_rounds):
+        pool = visited.withColumn("rk", F.row_number().over(pool_w)).where(
+            F.col("rk") <= l_search
+        )
+        # one row per live query — tiny; checkpoint so the emptiness probe
+        # and the two joins below reuse it instead of re-running the window
+        frontier = (
+            pool.where(~F.col("expanded"))
+            .withColumn("fr", F.row_number().over(pool_w))
+            .where(F.col("fr") == 1)
+            .select("qid", "nn_id")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+
+        # expand: frontier ⋈ adjacency → fresh candidate ids per query
+        # (anti-join against the PRE-mark state — same id set, already
+        # materialized, so the mark join isn't recomputed here)
+        cand = (
+            frontier.join(adj_df, frontier["nn_id"] == adj_df["node"])
+            .select("qid", F.explode("nbrs").alias("nn_id"))
+            .dropDuplicates(["qid", "nn_id"])
+            .join(visited.select("qid", "nn_id"), ["qid", "nn_id"], "left_anti")
+        )
+        if exclude_self:
+            cand = cand.where(F.col("nn_id") != F.col("qid"))
+
+        # mark the frontier nodes expanded
+        marked = (
+            visited.join(
+                F.broadcast(frontier.withColumn("mark", F.lit(True))),
+                ["qid", "nn_id"],
+                "left",
+            )
+            .withColumn("expanded", F.col("expanded") | F.coalesce("mark", F.lit(False)))
+            .drop("mark")
+        )
+
+        # score: candidate ⋈ base vector ⋈ query vector
+        scored = (
+            cand.join(base, "nn_id")
+            .join(q, "qid")
+            .select(
+                "qid",
+                "nn_id",
+                distance_col(metric, "qvec", "bvec").alias("dist"),
+                F.lit(False).alias("expanded"),
+            )
+        )
+        visited = marked.unionByName(scored).localCheckpoint(eager=True)
+
+    counters = visited.groupBy("qid").agg(
+        F.count("*").cast("int").alias("cmps"),
+        F.sum(F.col("expanded").cast("int")).cast("int").alias("hops"),
+    )
+    return (
+        visited.withColumn("rank", F.row_number().over(pool_w))
+        .where(F.col("rank") <= k)
+        .join(counters, "qid")
+        .select("qid", "nn_id", "dist", F.col("rank").cast("int"), "cmps", "hops")
+    )

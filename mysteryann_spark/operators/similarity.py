@@ -47,6 +47,82 @@ def _bucket_expr(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def ivf_cosine_topk(
+    queries_df: DataFrame,
+    base_df: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    max_iter: int = 10,
+    seed: int = 42,
+    query_id: str = "qid",
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k.
+
+    Build: KMeans (Spark ML, seeded) over L2-normalized base vectors;
+    every base vector lands in one centroid's inverted list. Search: each
+    query probes its ``n_probe`` nearest centroids and exact-reranks only
+    those lists — per-query work drops to ~n_probe/n_centroids of the
+    base, and the candidate join is a plain equi-join on the centroid id.
+
+    Scale shape: the base side is shuffled ONCE on centroid id (at 100 TB
+    this is the partitioning you'd persist/bucket the index by); queries
+    explode x n_probe and join on the same key, so Catalyst co-partitions
+    both sides. Centroid scoring broadcasts a (n_centroids x dim) literal
+    — always tiny. Returns (qid, nn_id, dist, rank) like knn_join.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    norm = lambda c: F.transform(  # noqa: E731
+        c,
+        lambda x: x.cast("double")
+        / F.sqrt(F.aggregate(F.transform(c, lambda v: v.cast("double") * v), F.lit(0.0), lambda s, v: s + v)),
+    )
+    b = base_df.select(F.col(base_id).alias("nn_id"), norm(F.col(vec_col)).alias("nvec"))
+    q = queries_df.select(F.col(query_id).alias("qid"), norm(F.col(vec_col)).alias("qvec"))
+
+    km = KMeans(k=n_centroids, maxIter=max_iter, seed=seed, featuresCol="features")
+    model = km.fit(b.select(array_to_vector("nvec").alias("features")))
+    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
+
+    def nearest_centroids(vec, n: int):
+        """Array of the n nearest centroid ids, by L2 on unit vectors."""
+        scored = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]), lambda a, bb: (a - bb) * (a - bb)),
+                        F.lit(0.0),
+                        lambda s, v: s + v,
+                    ).alias("d"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.transform(F.array_sort(scored), lambda s: s["cid"]), 1, n)
+
+    assigned = b.withColumn("cid", F.element_at(nearest_centroids(F.col("nvec"), 1), 1))
+    probes = q.select("qid", "qvec", F.explode(nearest_centroids(F.col("qvec"), n_probe)).alias("cid"))
+
+    cand = probes.join(assigned, "cid").select("qid", "nn_id", "qvec", "nvec")
+    if exclude_self:
+        cand = cand.where(F.col("qid") != F.col("nn_id"))
+    # unit vectors: cosine distance = 1 - dot
+    dot = F.aggregate(F.zip_with("qvec", "nvec", lambda a, bb: a * bb), F.lit(0.0), lambda s, v: s + v)
+    scored = cand.select("qid", "nn_id", (F.lit(1.0) - dot).alias("dist"))
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nn_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nn_id", "dist", "rank")
+    )
+
+
 def lsh_cosine_topk(
     queries_df: DataFrame,
     base_df: DataFrame,

@@ -51,7 +51,48 @@ def roargraph_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank", "cmps", "hops")
 
 
+def roargraph_search_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-join (Pregel-style) rendering of the beam search — the
+    scale path for indexes beyond executor memory. Bit-identical to the
+    broadcast path (tests/test_graph.py parity test); registered on a
+    small query slice because each best-first hop is a join round."""
+    from mysteryann_spark.operators.search_distributed import search_graph_distributed
+
+    emb, adj, ep = _build(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
+    res = search_graph_distributed(
+        q, emb, adj.localCheckpoint(), ep, k=5, l_search=8, metric=PARAMS.metric
+    )
+    return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank", "cmps", "hops")
+
+
+def bipartite_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: 2-hop beam search over the bipartite graph with 10 seeded
+    random entry points (SearchBipartiteGraph,
+    src/index_bipartite.cpp:282-356; the reference's random_device seeds
+    made deterministic)."""
+    from mysteryann_spark.operators.bipartite import build_bipartite
+    from mysteryann_spark.operators.knn import knn_join_arrays
+    from mysteryann_spark.operators.search import search_bipartite
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base_count = emb.count()
+    q_all = emb.select(F.col("vec_id").alias("qid"), "embedding")
+    knn = knn_join_arrays(q_all, emb, PARAMS.M_sq, PARAMS.metric)
+    adj = build_bipartite(knn, m=PARAMS.M_sq, base_count=base_count).localCheckpoint()
+    q = emb.where(F.col("vec_id") < _N_SEARCH_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    res = search_bipartite(
+        q, emb, adj, base_count=base_count,
+        k=PARAMS.k, l_search=PARAMS.L_pq, metric=PARAMS.metric,
+    )
+    return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank", "cmps", "hops")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "roargraph_degrees": QuerySpec(roargraph_degrees, None),
     "roargraph_search_topk": QuerySpec(roargraph_search_topk, None),
+    "roargraph_search_distributed": QuerySpec(roargraph_search_distributed, None),
+    "bipartite_search_topk": QuerySpec(bipartite_search_topk, None),
 }

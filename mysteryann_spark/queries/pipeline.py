@@ -246,6 +246,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans inverted-file) approximate cosine top-k: probe the 6
+    nearest of 16 centroid lists, exact-rerank inside them (rows-only;
+    recall vs the exact baseline gated in tests)."""
+    from mysteryann_spark.operators.similarity import ivf_cosine_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
+    return ivf_cosine_topk(q, e, 5, n_centroids=16, n_probe=6).select(
+        "qid", "nn_id", F.round("dist", 6).alias("dist"), "rank"
+    )
+
+
 # --- multimodal -------------------------------------------------------------
 
 
@@ -293,6 +306,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_embedding": QuerySpec(dedup_embedding, _EMB_NEARDUP_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, _ANN_COSINE_SQL),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, None),
+    "ann_ivf_topk": QuerySpec(ann_ivf_topk, None),
     "multimodal_decode": QuerySpec(multimodal_decode, None),
     "multimodal_meanpool": QuerySpec(multimodal_meanpool, _MM_POOL_SQL),
 }

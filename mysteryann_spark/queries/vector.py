@@ -57,6 +57,25 @@ GROUP BY vec_id
 """
 
 
+def fbin_roundtrip_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S5 connector parity: embeddings -> reference-native fbin ->
+    distributed byte-range read back -> per-vector norms. Same oracle as
+    vector_norms: float32 payload is preserved bit-exactly, so the norms
+    hash-match the parquet-derived ones."""
+    import os
+
+    from mysteryann_spark.sources.fbin import read_fbin, write_fbin
+
+    path = os.path.join(
+        "/tmp/mysteryann_fbin", sf_dir.strip("/").replace("/", "_") + ".fbin"
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_fbin(_emb(spark, sf_dir), path)
+    return read_fbin(spark, path).select(
+        "vec_id", F.round(l2_norm("embedding"), 6).alias("norm")
+    )
+
+
 def vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = normalize_expr("embedding")
     return _emb(spark, sf_dir).select(
@@ -207,6 +226,7 @@ SELECT t.tgt AS node, t.qid + nb.n AS nbr FROM t CROSS JOIN nb
 
 QUERIES: dict[str, QuerySpec] = {
     "vector_norms": QuerySpec(vector_norms, _NORMS_SQL),
+    "fbin_roundtrip_norms": QuerySpec(fbin_roundtrip_norms, _NORMS_SQL),
     "vector_normalize": QuerySpec(vector_normalize, _NORMALIZE_SQL),
     "distance_pairs": QuerySpec(distance_pairs, _DIST_SQL),
     "knn_exact": QuerySpec(knn_exact, _KNN_SQL),

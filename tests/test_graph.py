@@ -67,3 +67,52 @@ def test_build_deterministic(spark, emb, index):
     a = {r["node"]: list(r["nbrs"]) for r in adj.collect()}
     b = {r["node"]: list(r["nbrs"]) for r in adj2.collect()}
     assert a == b
+
+
+def test_distributed_search_matches_broadcast(spark, emb, index):
+    """The frontier-join scale path must reproduce the broadcast path's
+    results exactly: same visited-set evolution => same top-L pool."""
+    from mysteryann_spark.operators.search_distributed import search_graph_distributed
+
+    adj, ep = index
+    q = emb.where("vec_id < 20").select(F.col("vec_id").alias("qid"), "embedding")
+    bc = search_graph(q, emb, adj, ep, k=5, l_search=8, metric="l2").collect()
+    di = search_graph_distributed(q, emb, adj, ep, k=5, l_search=8, metric="l2").collect()
+    key = lambda r: (r["qid"], r["rank"])  # noqa: E731
+    bc_map = {key(r): (r["nn_id"], r["dist"], r["cmps"], r["hops"]) for r in bc}
+    di_map = {key(r): (r["nn_id"], r["dist"], r["cmps"], r["hops"]) for r in di}
+    assert set(bc_map) == set(di_map)
+    for kk, (nn, d, cmps, hops) in bc_map.items():
+        nn2, d2, cmps2, hops2 = di_map[kk]
+        assert nn == nn2, (kk, nn, nn2)
+        assert abs(d - d2) < 1e-9
+        assert (cmps, hops) == (cmps2, hops2), (kk, cmps, hops, cmps2, hops2)
+
+
+def test_bipartite_two_hop_search_recall(spark, emb):
+    """Q2: 2-hop beam search over the bipartite graph (10 seeded random
+    entry points) must recover most exact neighbors on the self-query
+    workload."""
+    from mysteryann_spark.operators.bipartite import build_bipartite
+    from mysteryann_spark.operators.search import search_bipartite
+
+    q_all = emb.select(F.col("vec_id").alias("qid"), "embedding")
+    knn = knn_join_arrays(q_all, emb, 20, "l2")
+    adj = build_bipartite(knn, m=20, base_count=500).localCheckpoint()
+    q = emb.where("vec_id < 50").select(F.col("vec_id").alias("qid"), "embedding")
+    res = search_bipartite(q, emb, adj, base_count=500, k=10, l_search=40, metric="l2")
+    res_arr = (
+        res.groupBy("qid")
+        .agg(F.array_sort(F.collect_list(F.struct("rank", "nn_id"))).alias("t"))
+        .select("qid", F.transform("t", lambda x: x["nn_id"]).alias("nn"))
+    )
+    gt = knn_join_arrays(q, emb, 10, "l2")
+    recall = mean_recall(res_arr, gt, 10)
+    assert recall >= 0.9, f"bipartite 2-hop recall@10={recall}"
+
+    # determinism: seeded entry points -> identical reruns
+    a = sorted(map(tuple, res.collect()))
+    b = sorted(map(tuple, search_bipartite(
+        q, emb, adj, base_count=500, k=10, l_search=40, metric="l2"
+    ).collect()))
+    assert a == b

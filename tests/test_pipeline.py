@@ -99,3 +99,20 @@ def test_multimodal_real_decode_is_stubbed(spark):
     media = synth_media_from_documents(docs_full)
     with pytest.raises(NotImplementedError):
         decode_frames(media, real_decode=True)
+
+
+def test_ivf_ann_recall_and_determinism(spark, emb):
+    from mysteryann_spark.operators.similarity import ivf_cosine_topk
+
+    q = emb.where("vec_id < 50").select(F.col("vec_id").alias("qid"), "embedding")
+    exact = knn_join(q, emb, 5, "cosine", exclude_self=True)
+    approx = ivf_cosine_topk(q, emb, 5, n_centroids=16, n_probe=6)
+    e = {(r["qid"], r["nn_id"]) for r in exact.collect()}
+    rows = approx.collect()
+    a = {(r["qid"], r["nn_id"]) for r in rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"IVF recall {recall}"
+    # seeded KMeans -> identical rerun
+    again = {(r["qid"], r["nn_id"]) for r in ivf_cosine_topk(
+        q, emb, 5, n_centroids=16, n_probe=6).collect()}
+    assert a == again
