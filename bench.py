@@ -35,9 +35,12 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
-    # warm-up: JVM + parquet footer caches (reference warms 100 queries
-    # before timing, tests/test_search_roargraph.cpp:197-200)
+    # warm-up: JVM + parquet footer caches + Python/Arrow worker spawn
+    # (reference warms 100 queries before timing,
+    # tests/test_search_roargraph.cpp:197-200)
     load_table(spark, "lineitem", SF_DIR).count()
+    _warm = load_table(spark, "embeddings", SF_DIR).limit(64)
+    _warm.mapInPandas(lambda it: it, _warm.schema).count()
 
     for qname in (
         "flagship_revenue_by_nation",

@@ -98,21 +98,36 @@ def prune_candidates(
     cand_vec = base_df.select(
         F.col(base_id).alias("cand_id"), F.col(vec_col).alias("cand_vec")
     )
-    grouped = (
+    # Assemble each node's whole pool JVM-side (collect_list after the
+    # vector equi-join), THEN cross into Python once per Arrow batch —
+    # applyInPandas would pay one Python call + Arrow conversion per node,
+    # which dominates when pools are small and nodes are many. Pool
+    # completeness is guaranteed by the groupBy, batch splitting can't
+    # separate a pool, and per-group memory stays O(pool * dim).
+    pools = (
         cand_df.where(F.col("cand_id") != F.col("node"))
         .dropDuplicates(["node", "cand_id"])
         .join(cand_vec, "cand_id")
+        .groupBy("node")
+        .agg(
+            F.collect_list("cand_id").alias("cand_ids"),
+            F.collect_list("cand_vec").alias("cand_vecs"),
+        )
         .join(node_vec, "node")
     )
 
-    def prune_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cand_vec"]])
-        tgt = np.asarray(pdf["node_vec"].iloc[0], dtype=np.float64)[None, :]
-        dists = np_distances(metric, tgt, vecs)[0]
-        ids = pdf["cand_id"].to_numpy(dtype=np.int64)
-        nbrs = occlusion_prune_np(ids, dists, vecs, m, metric)
-        return pd.DataFrame({"node": [key[0]], "nbrs": [nbrs]})
+    def prune_batch(batches) -> "pd.DataFrame":
+        for pdf in batches:
+            out_nodes, out_nbrs = [], []
+            for node, cids, cvecs, nvec in zip(
+                pdf["node"], pdf["cand_ids"], pdf["cand_vecs"], pdf["node_vec"]
+            ):
+                vecs = np.stack([np.asarray(v, dtype=np.float64) for v in cvecs])
+                tgt = np.asarray(nvec, dtype=np.float64)[None, :]
+                dists = np_distances(metric, tgt, vecs)[0]
+                ids = np.asarray(cids, dtype=np.int64)
+                out_nodes.append(node)
+                out_nbrs.append(occlusion_prune_np(ids, dists, vecs, m, metric))
+            yield pd.DataFrame({"node": out_nodes, "nbrs": out_nbrs})
 
-    # applyInPandas guarantees each node's whole pool arrives in one call
-    # (mapInPandas could split a group across arrow batches).
-    return grouped.groupBy("node").applyInPandas(prune_group, _ADJ_SCHEMA)
+    return pools.mapInPandas(prune_batch, _ADJ_SCHEMA)
