@@ -234,6 +234,71 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 2, threshold: float = 0.1) -> 
 
 
 # ---------------------------------------------------------------------------
+# connected components (near-dup pair graph -> dedup groups)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iters: int = 30,
+) -> DataFrame:
+    """Undirected connected components by min-label propagation: every
+    node's label starts as its own id and each round takes the min over
+    its neighborhood; fixpoint = per-component min id.
+
+    This is the canonical dedup-grouping step (near-dup PAIRS -> disjoint
+    GROUPS with one canonical representative). edges: ``(src, dst)``;
+    nodes: ``(id)``. Returns ``(id, component)``.
+
+    Scale: each round is one shuffle on node id over the (label) state —
+    rounds = graph diameter, and near-dup graphs are unions of small
+    dense clusters, so diameter stays tiny even at 100 TB. (For adversarial
+    long-chain graphs the two-phase large-star/small-star variant
+    [Kiveris et al., "Connected Components in MapReduce"] halves diameter
+    per round; not needed for dedup-shaped graphs.) State is cut per round
+    with localCheckpoint, convergence is one count per round.
+    """
+    sym = edges.select(F.col("src").alias("id"), F.col("dst").alias("nbr")).unionByName(
+        edges.select(F.col("dst").alias("id"), F.col("src").alias("nbr"))
+    )
+    lab = nodes.select(F.col("id"), F.col("id").alias("comp")).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        prop = (
+            lab.join(sym, "id")
+            .select(F.col("nbr").alias("id"), "comp")
+            .unionByName(lab.select("id", "comp"))
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        new = prop.localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            break
+    return lab
+
+
+def dedup_groups(
+    docs: DataFrame, threshold: float = 0.9, n: int = 1
+) -> DataFrame:
+    """End-to-end text dedup grouping: n-gram Jaccard pairs >= threshold
+    -> connected components. Returns (doc_id, component) with component =
+    min doc_id of the group (the canonical survivor)."""
+    pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return connected_components(edges, nodes).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

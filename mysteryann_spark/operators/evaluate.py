@@ -42,8 +42,15 @@ def relative_distance_error(results: DataFrame, ground_truth: DataFrame, k: int)
     """
     res = results.select("qid", F.slice("dists", 1, k).alias("res_d"))
     gt = ground_truth.select("qid", F.slice("dists", 1, k).alias("gt_d"))
+    # |res - gt| below 1e-9 is float noise (inputs are float32; a GEMM-
+    # identity distance can render an exact 0 as ~2e-16, which the 1e-12
+    # denominator floor would inflate to 2e-4) — clamp it to a true zero.
     err = F.zip_with(
-        "res_d", "gt_d", lambda a, b: F.abs(a - b) / F.greatest(F.abs(b), F.lit(1e-12))
+        "res_d",
+        "gt_d",
+        lambda a, b: F.when(F.abs(a - b) < 1e-9, F.lit(0.0)).otherwise(
+            F.abs(a - b) / F.greatest(F.abs(b), F.lit(1e-12))
+        ),
     )
     return res.join(gt, "qid").select(
         "qid",

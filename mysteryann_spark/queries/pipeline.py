@@ -175,6 +175,33 @@ WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: unigram-Jaccard >= 0.9 pair graph (doc_id < 300)
+    -> min-label-propagation connected components; component id = min
+    doc_id of the group. Oracle: DuckDB recursive CTE reachability."""
+    from mysteryann_spark.operators.dedup import dedup_groups
+
+    return dedup_groups(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 300), threshold=0.9, n=1
+    )
+
+
+_COMPONENTS_SQL = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS w
+  FROM documents WHERE doc_id < 300),
+e AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib FROM t a JOIN t b ON a.doc_id <> b.doc_id
+  WHERE len(list_intersect(a.w, b.w)) * 1.0 /
+        len(list_distinct(list_concat(a.w, b.w))) >= 0.9),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM t
+  UNION
+  SELECT e.ib, reach.r FROM reach JOIN e ON e.ia = reach.id)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (unigram shingles, 32 perms, 8 bands,
     exact-Jaccard-verified >= 0.5). Rows-only: xxhash64 signatures are not
@@ -301,6 +328,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_fingerprint": QuerySpec(dedup_fingerprint, _DEDUP_FP_SQL),
     "dedup_jaccard_bigram": QuerySpec(dedup_jaccard_bigram, _JACCARD_SQL),
+    "dedup_components": QuerySpec(dedup_components, _COMPONENTS_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
     "dedup_simhash": QuerySpec(dedup_simhash, None),
     "dedup_embedding": QuerySpec(dedup_embedding, _EMB_NEARDUP_SQL),

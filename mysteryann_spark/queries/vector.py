@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from mysteryann_spark.functions.vector import (
     cosine_distance,
+    distance_col,
     inner_product,
     l2_norm,
     l2_sq,
@@ -194,6 +195,55 @@ GROUP BY rl.qid
 """
 
 
+def knn_rderr_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (ComputeRderr, tests/test_search_roargraph.cpp:38-62): relative
+    distance error of an approximate kNN vs exact ground truth. The
+    approximate method is dimension truncation (rank by the first 32 of
+    64 dims, re-score survivors with the full metric) — a real pre-ranking
+    technique, and SQL-expressible so the evaluator gets a full oracle."""
+    from mysteryann_spark.operators.evaluate import relative_distance_error
+
+    q, e = _queries(spark, sf_dir), _emb(spark, sf_dir)
+    half = lambda df, c: df.withColumn(c, F.slice(c, 1, 32))  # noqa: E731
+    approx_ids = knn_join(
+        half(q, "embedding"), half(e.select("vec_id", "embedding"), "embedding"), _K, "l2"
+    ).select("qid", "nn_id", "rank")
+    # re-score the truncated-ranked candidates with the FULL distance
+    rescored = (
+        approx_ids.join(q.select("qid", F.col("embedding").alias("qe")), "qid")
+        .join(e.select(F.col("vec_id").alias("nn_id"), F.col("embedding").alias("be")), "nn_id")
+        .select("qid", "rank", distance_col("l2", "qe", "be").alias("dist"))
+        .groupBy("qid")
+        .agg(F.array_sort(F.collect_list(F.struct("rank", "dist"))).alias("t"))
+        .select("qid", F.transform("t", lambda x: x["dist"]).alias("dists"))
+    )
+    gt = knn_join_arrays(q, e, _K, "l2")
+    return relative_distance_error(rescored, gt, _K).select(
+        "qid", F.round("rderr", 6).alias("rderr")
+    )
+
+
+_RDERR_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}),
+u AS (SELECT q.qid, b.vec_id AS nn_id, s.i AS i,
+             CAST(q.qe[s.i] AS DOUBLE) AS xa, CAST(b.embedding[s.i] AS DOUBLE) AS xb
+      FROM q CROSS JOIN embeddings b CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s),
+d AS (SELECT qid, nn_id,
+             sum((xa - xb) * (xa - xb)) AS fulld,
+             sum(CASE WHEN i <= 32 THEN (xa - xb) * (xa - xb) ELSE 0 END) AS halfd
+      FROM u GROUP BY qid, nn_id),
+ap AS (SELECT qid, nn_id, fulld, row_number() OVER (PARTITION BY qid ORDER BY halfd, nn_id) AS r FROM d),
+ad AS (SELECT qid, list(fulld ORDER BY r) AS res_d FROM ap WHERE r <= {_K} GROUP BY qid),
+gt AS (SELECT qid, nn_id, fulld, row_number() OVER (PARTITION BY qid ORDER BY fulld, nn_id) AS r FROM d),
+gd AS (SELECT qid, list(fulld ORDER BY r) AS gt_d FROM gt WHERE r <= {_K} GROUP BY qid)
+SELECT ad.qid,
+       round(list_sum(list_transform(generate_series(1, {_K}),
+             j -> CASE WHEN abs(ad.res_d[j] - gd.gt_d[j]) < 1e-9 THEN 0
+                       ELSE abs(ad.res_d[j] - gd.gt_d[j]) / greatest(abs(gd.gt_d[j]), 1e-12) END)) / {_K}.0, 6) AS rderr
+FROM ad JOIN gd ON ad.qid = gd.qid
+"""
+
+
 # --- bipartite graph edges (G5) --------------------------------------------
 
 
@@ -232,5 +282,6 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_exact": QuerySpec(knn_exact, _KNN_SQL),
     "knn_medoid": QuerySpec(knn_medoid, _MEDOID_SQL),
     "knn_recall_l2_vs_cosine": QuerySpec(knn_recall_l2_vs_cosine, _RECALL_SQL),
+    "knn_rderr_truncated": QuerySpec(knn_rderr_truncated, _RDERR_SQL),
     "bipartite_edges": QuerySpec(bipartite_edges, _BIPARTITE_SQL),
 }

@@ -116,3 +116,23 @@ def test_bipartite_two_hop_search_recall(spark, emb):
         q, emb, adj, base_count=500, k=10, l_search=40, metric="l2"
     ).collect()))
     assert a == b
+
+
+def test_index_save_load_roundtrip(spark, emb, index, tmp_path):
+    """S7/S8: projection graph + header survive the Parquet sink/source,
+    and a search on the reloaded index equals one on the original."""
+    from mysteryann_spark.sources.graph_io import load_index, save_index
+
+    adj, ep = index
+    path = str(tmp_path / "roargraph_index")
+    save_index(adj, path, entry_point=ep, dim=64, params=PARAMS)
+    adj2, meta = load_index(spark, path)
+    assert meta["entry_point"] == ep
+    assert meta["metric"] == PARAMS.metric and meta["dim"] == 64
+    a = {r["node"]: list(r["nbrs"]) for r in adj.collect()}
+    b = {r["node"]: list(r["nbrs"]) for r in adj2.collect()}
+    assert a == b
+    q = emb.where("vec_id < 10").select(F.col("vec_id").alias("qid"), "embedding")
+    r1 = sorted(map(tuple, search_graph(q, emb, adj, ep, 5, 20, "l2").collect()))
+    r2 = sorted(map(tuple, search_graph(q, emb, adj2, meta["entry_point"], 5, 20, "l2").collect()))
+    assert r1 == r2

@@ -116,3 +116,17 @@ def test_ivf_ann_recall_and_determinism(spark, emb):
     again = {(r["qid"], r["nn_id"]) for r in ivf_cosine_topk(
         q, emb, 5, n_centroids=16, n_probe=6).collect()}
     assert a == again
+
+
+def test_connected_components_known_graph(spark):
+    """Hand-checked fixture: two triangles bridged to nothing + a chain +
+    isolated nodes."""
+    from mysteryann_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (20, 21)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 12, 20, 21, 99)], "id long")
+    got = {r["id"]: r["comp"] for r in connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 99: 99}
