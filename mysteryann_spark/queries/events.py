@@ -174,8 +174,41 @@ FROM events GROUP BY user_id
 """
 
 
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-shaped interval join: every (view, purchase) pair of
+    the same user with the purchase at most 30 minutes after the view.
+    Batch twin of the stream-stream join in streaming/windows.py (which
+    adds watermarks to bound state); equi-key on user_id so the range
+    predicate only post-filters the co-partitioned join."""
+    e = _events(spark, sf_dir)
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    return (
+        v.join(p, "user_id")
+        .where(
+            (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .select("user_id", "view_id", "purchase_id")
+    )
+
+
+_INTERVAL_SQL = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec(events_tumbling, _TUMBLING_SQL),
+    "events_interval_join": QuerySpec(events_interval_join, _INTERVAL_SQL),
     "events_sliding": QuerySpec(events_sliding, _SLIDING_SQL),
     "events_sessionize": QuerySpec(events_sessionize, _SESSION_SQL),
     "events_asof_click": QuerySpec(events_asof_click, _ASOF_SQL),

@@ -162,6 +162,39 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_view_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join: views ⋈ purchases of the same user with
+    the purchase within 30 minutes after the view — the streaming twin of
+    queries/events.events_interval_join.
+
+    Watermarks on BOTH sides plus the time-range join condition are what
+    let Spark bound the join state: a buffered view can be dropped once
+    the purchase-side watermark passes view_ts + 30min, so state stays
+    O(window), not O(stream). Both inputs here are filters of one source
+    stream (a self-join), which Spark supports natively.
+    """
+    v = (
+        events.where(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return v.join(
+        p,
+        (v["user_id"] == p["user_id"])
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(v["user_id"], "view_id", "purchase_id")
+
+
 def run_stream_to_memory(
     streaming_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

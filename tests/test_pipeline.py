@@ -130,3 +130,19 @@ def test_connected_components_known_graph(spark):
     nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 12, 20, 21, 99)], "id long")
     got = {r["id"]: r["comp"] for r in connected_components(edges, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 99: 99}
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be result-invariant: same rows as the plain join on a
+    skewed key distribution (one key owns 90% of the left side)."""
+    from mysteryann_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1 if i < 900 else i % 50, i) for i in range(1000)], "k long, lv long"
+    )
+    right = spark.createDataFrame([(i, i * 10) for i in range(50)], "k long, rv long")
+    plain = sorted(map(tuple, left.join(right, "k").collect()))
+    salted = sorted(map(tuple, salted_join(left, right, "k", n_salts=8).collect()))
+    assert salted == plain
+    hot = sorted(map(tuple, salted_join(left, right, "k", n_salts=8, hot_keys=[1]).collect()))
+    assert hot == plain

@@ -46,3 +46,14 @@ def test_stream_sessionize_closed_sessions(spark):
     assert set(non_tail) <= set(got_map)
     for k, v in got_map.items():
         assert batch_map[k] == v, (k, v, batch_map[k])
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from mysteryann_spark.queries.events import events_interval_join
+    from mysteryann_spark.streaming.windows import stream_view_purchase_join
+
+    stream = stream_view_purchase_join(read_events_stream(spark, SF_DIR))
+    got = run_stream_to_memory(stream, "vp_join_out", "append").collect()
+    want = events_interval_join(spark, SF_DIR).collect()
+    key = lambda r: (r["user_id"], r["view_id"], r["purchase_id"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
