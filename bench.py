@@ -49,6 +49,11 @@ def main() -> None:
         "brand_sales",
         "knn_exact",
         "bipartite_edges",
+        "dedup_minhash_lsh",
+        "dedup_exact",
+        "doc_quality",
+        "ann_ivf_topk",
+        "events_interval_join",
     ):
         fn = registry[qname].fn
         run(qname, lambda fn=fn: fn(spark, SF_DIR).count())

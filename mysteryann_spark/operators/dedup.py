@@ -95,9 +95,13 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, seed)
+    # Band the signatures but shuffle ONLY (band, bucket, doc_id) triples —
+    # carrying the sig arrays through the bucket self-join and the pair
+    # dedup multiplies shuffle volume by num_perm; the sigs re-attach with
+    # two id-equi joins after the pair set is deduplicated (and therefore
+    # minimal).
     banded = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -114,19 +118,17 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = banded.select(
-        "band", "bucket", F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")
-    )
-    b = banded.select(
-        "band", "bucket", F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")
-    )
+    a = banded.select("band", "bucket", F.col("doc_id").alias("id_a"))
+    b = banded.select("band", "bucket", F.col("doc_id").alias("id_b"))
     cand = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .join(sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     )
     est = (
         F.size(

@@ -12,8 +12,11 @@ no-index-build alternative, mirroring how a pipeline would backfill.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from pyspark.sql.types import ArrayType, IntegerType
 
 from mysteryann_spark.functions.vector import distance_col
 from mysteryann_spark.operators.knn import knn_join
@@ -53,7 +56,7 @@ def ivf_cosine_topk(
     k: int,
     n_centroids: int = 16,
     n_probe: int = 4,
-    max_iter: int = 10,
+    max_iter: int = 5,
     seed: int = 42,
     query_id: str = "qid",
     base_id: str = "vec_id",
@@ -85,29 +88,36 @@ def ivf_cosine_topk(
     b = base_df.select(F.col(base_id).alias("nn_id"), norm(F.col(vec_col)).alias("nvec"))
     q = queries_df.select(F.col(query_id).alias("qid"), norm(F.col(vec_col)).alias("qvec"))
 
-    km = KMeans(k=n_centroids, maxIter=max_iter, seed=seed, featuresCol="features")
+    # random init (seeded): k-means|| spends several extra jobs picking
+    # seeds, which IVF bucketing doesn't need — probe-N absorbs mediocre
+    # centroids, and the recall gate (tests) holds either way.
+    km = KMeans(
+        k=n_centroids, maxIter=max_iter, seed=seed,
+        initMode="random", featuresCol="features",
+    )
     model = km.fit(b.select(array_to_vector("nvec").alias("features")))
-    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
+    cmat = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+    bc = b.sparkSession.sparkContext.broadcast(cmat)
 
-    def nearest_centroids(vec, n: int):
-        """Array of the n nearest centroid ids, by L2 on unit vectors."""
-        scored = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]), lambda a, bb: (a - bb) * (a - bb)),
-                        F.lit(0.0),
-                        lambda s, v: s + v,
-                    ).alias("d"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-        return F.slice(F.transform(F.array_sort(scored), lambda s: s["cid"]), 1, n)
+    # centroid scoring as an Arrow-batched UDF over the broadcast
+    # (n_centroids x dim) matrix — a literal-array Catalyst expression at
+    # dim 64 x 16 centroids codegens thousands of constants and dominates
+    # runtime; one GEMM per batch is the right kernel shape.
+    from pyspark.sql.functions import pandas_udf
 
-    assigned = b.withColumn("cid", F.element_at(nearest_centroids(F.col("nvec"), 1), 1))
-    probes = q.select("qid", "qvec", F.explode(nearest_centroids(F.col("qvec"), n_probe)).alias("cid"))
+    def _nearest(n: int):
+        @pandas_udf(ArrayType(IntegerType()))
+        def nearest(vecs: pd.Series) -> pd.Series:
+            c = bc.value
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d, axis=1)[:, :n]
+            return pd.Series(list(order.astype(np.int32)))
+
+        return nearest
+
+    assigned = b.withColumn("cid", F.element_at(_nearest(1)(F.col("nvec")), 1))
+    probes = q.select("qid", "qvec", F.explode(_nearest(n_probe)(F.col("qvec"))).alias("cid"))
 
     cand = probes.join(assigned, "cid").select("qid", "nn_id", "qvec", "nvec")
     if exclude_self:

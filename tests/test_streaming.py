@@ -57,3 +57,31 @@ def test_stream_stream_join_matches_batch(spark):
     want = events_interval_join(spark, SF_DIR).collect()
     key = lambda r: (r["user_id"], r["view_id"], r["purchase_id"])  # noqa: E731
     assert sorted(map(key, got)) == sorted(map(key, want))
+
+
+def test_stream_search_matches_batch(spark):
+    """Batch-built index, streaming queries: the micro-batched search must
+    emit exactly the batch search's rows."""
+    from pyspark.sql import functions as F
+
+    from mysteryann_spark.operators.projection import build_roargraph_from_table
+    from mysteryann_spark.operators.search import search_graph
+    from mysteryann_spark.params import IndexParams
+    from mysteryann_spark.sources.tables import load_table
+    from mysteryann_spark.streaming.search import read_embeddings_stream, stream_search_topk
+
+    emb = load_table(spark, "embeddings", SF_DIR).cache()
+    params = IndexParams(M_sq=20, M_pjbp=8, L_pjpq=40, k=10, L_pq=40, metric="l2")
+    adj, ep = build_roargraph_from_table(spark, emb, params)
+    adj = adj.localCheckpoint()
+
+    stream = stream_search_topk(
+        read_embeddings_stream(spark, SF_DIR), emb, adj, ep, k=5, l_search=20
+    )
+    got = run_stream_to_memory(stream, "stream_search_out", "append").collect()
+    q = emb.select(F.col("vec_id").alias("qid"), "embedding")
+    want = search_graph(q, emb, adj, ep, k=5, l_search=20, metric="l2").collect()
+    key = lambda r: (r["qid"], r["rank"])  # noqa: E731
+    got_map = {key(r): (r["nn_id"], round(r["dist"], 9)) for r in got}
+    want_map = {key(r): (r["nn_id"], round(r["dist"], 9)) for r in want}
+    assert got_map == want_map
