@@ -56,44 +56,72 @@ def knn_join(
     base_id: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = False,
+    query_block_rows: int | None = None,
 ) -> DataFrame:
     """Exact top-k join: for each query row, the k nearest base rows.
 
     Returns ``(qid, nn_id, dist, rank)`` with rank 1..k ordered by
     (dist, nn_id) — the reference's deterministic tiebreak
     (neighbor.h:29-31).
+
+    Default mode broadcasts the whole query side at once (the reference's
+    own regime — it holds every training query in RAM, index.h:61,64).
+    ``query_block_rows`` switches to blocked mode: query blocks stream
+    through ``toLocalIterator`` (driver holds ONE block), each block is
+    broadcast and GEMMed against the (cached) base in its own pass, and
+    the per-block candidates union before the global top-k window. Block
+    count trades base rescans for unbounded query cardinality.
     """
     spark = base_df.sparkSession
-    q_rows = queries_df.select(query_id, vec_col).collect()
-    if not q_rows:
+
+    def block_candidates(q_rows: list) -> DataFrame:
+        qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+        bc = spark.sparkContext.broadcast((qids, qmat))
+
+        def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            b_qids, b_qmat = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                bids = pdf[base_id].to_numpy(dtype=np.int64)
+                bmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                dmat = np_distances(metric, b_qmat, bmat)  # (n_q, n_batch)
+                if exclude_self:
+                    # mask before the local top-k, or a batch owning the
+                    # query's own row would surrender a candidate slot
+                    dmat[b_qids[:, None] == bids[None, :]] = np.inf
+                m = min(k, dmat.shape[1])
+                # local top-m per query: argpartition, exact sort later
+                part = np.argpartition(dmat, m - 1, axis=1)[:, :m]
+                rows_q = np.repeat(np.arange(dmat.shape[0]), m)
+                cand_ids = bids[part.ravel()]
+                cand_d = dmat[rows_q, part.ravel()]
+                yield pd.DataFrame(
+                    {"qid": b_qids[rows_q], "nn_id": cand_ids, "dist": cand_d}
+                )
+
+        return base_df.select(base_id, vec_col).mapInPandas(local_topk, _CAND_SCHEMA)
+
+    if query_block_rows is None:
+        q_rows = queries_df.select(query_id, vec_col).collect()
+        blocks = [q_rows] if q_rows else []
+    else:
+        blocks = []
+        buf: list = []
+        for row in queries_df.select(query_id, vec_col).toLocalIterator():
+            buf.append(row)
+            if len(buf) >= query_block_rows:
+                blocks.append(buf)
+                buf = []
+        if buf:
+            blocks.append(buf)
+    if not blocks:
         return spark.createDataFrame([], _CAND_SCHEMA.add(StructField("rank", IntegerType())))
-    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    bc = spark.sparkContext.broadcast((qids, qmat))
 
-    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_qids, b_qmat = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            bids = pdf[base_id].to_numpy(dtype=np.int64)
-            bmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            dmat = np_distances(metric, b_qmat, bmat)  # (n_q, n_batch)
-            if exclude_self:
-                # mask before the local top-k, or a batch owning the query's
-                # own row would surrender one of its k candidate slots
-                dmat[b_qids[:, None] == bids[None, :]] = np.inf
-            m = min(k, dmat.shape[1])
-            # local top-m per query: argpartition then exact (dist, id) sort
-            part = np.argpartition(dmat, m - 1, axis=1)[:, :m]
-            rows_q = np.repeat(np.arange(dmat.shape[0]), m)
-            cand_ids = bids[part.ravel()]
-            cand_d = dmat[rows_q, part.ravel()]
-            yield pd.DataFrame(
-                {"qid": b_qids[rows_q], "nn_id": cand_ids, "dist": cand_d}
-            )
-
-    candidates = base_df.select(base_id, vec_col).mapInPandas(local_topk, _CAND_SCHEMA)
+    candidates = block_candidates(blocks[0])
+    for blk in blocks[1:]:
+        candidates = candidates.unionByName(block_candidates(blk))
     if exclude_self:
         candidates = candidates.where(F.col("dist") != float("inf"))
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nn_id").asc())

@@ -54,3 +54,21 @@ def test_medoid_matches_numpy(spark, emb):
     mid, dist = medoid(emb)
     assert mid == want
     assert abs(dist - d.min()) < 1e-9
+
+
+def test_knn_join_blocked_equals_single_broadcast(spark, emb):
+    """Blocked query streaming (the unbounded-Q scale path) must be
+    result-identical to the one-shot broadcast."""
+    q = emb.where("vec_id < 37").select(F.col("vec_id").alias("qid"), "embedding")
+    # GEMM float noise differs by block shape (an exact 0 can render as
+    # ~2e-16) — ids/ranks must match exactly, dists to 9 decimals
+    r9 = lambda rows: sorted(  # noqa: E731
+        (r["qid"], r["nn_id"], round(r["dist"], 9), r["rank"]) for r in rows
+    )
+    one = r9(knn_join(q, emb, 5, "l2").collect())
+    blk = r9(knn_join(q, emb, 5, "l2", query_block_rows=7).collect())
+    assert one == blk
+    # exclude_self must also hold per block
+    one_x = r9(knn_join(q, emb, 5, "l2", exclude_self=True).collect())
+    blk_x = r9(knn_join(q, emb, 5, "l2", exclude_self=True, query_block_rows=10).collect())
+    assert one_x == blk_x

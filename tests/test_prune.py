@@ -62,3 +62,42 @@ def test_prune_empty():
     assert occlusion_prune_np(
         np.array([], dtype=np.int64), np.array([]), np.zeros((0, 4)), 5
     ) == []
+
+
+# --- hypothesis property tests ---------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def pools(draw):
+    n = draw(st.integers(1, 40))
+    dim = draw(st.integers(2, 12))
+    flat = draw(
+        st.lists(
+            st.floats(-8, 8, allow_nan=False, width=32),
+            min_size=n * dim, max_size=n * dim,
+        )
+    )
+    vecs = np.array(flat, dtype=np.float64).reshape(n, dim)
+    ids = np.array(draw(st.permutations(range(n))), dtype=np.int64)
+    m = draw(st.integers(1, 16))
+    return ids, vecs, m
+
+
+@given(pools())
+@settings(max_examples=60, deadline=None)
+def test_prune_properties(pool):
+    """Invariants for ANY pool: kept ⊆ input, deduped, |kept| = min(m,
+    distinct), metric-equal to the naive restatement, and the closest
+    candidate always survives."""
+    ids, vecs, m = pool
+    tgt = np.zeros((1, vecs.shape[1]))
+    dists = np_distances("l2", tgt, vecs)[0]
+    got = occlusion_prune_np(ids, dists, vecs, m, "l2")
+    assert set(got) <= set(ids.tolist())
+    assert len(got) == len(set(got)) == min(m, len(set(ids.tolist())))
+    assert got == naive_prune(ids, dists, vecs, m)
+    first = min(zip(dists, ids))[1]
+    assert int(first) in got
