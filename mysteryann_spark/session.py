@@ -37,6 +37,27 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def spread(df, min_partitions: int | None = None):
+    """Repartition a frame UP to the cluster's parallelism if it arrives
+    under-partitioned — a small parquet file reads as one partition, which
+    would serialize every downstream mapInPandas kernel onto one core. At
+    real scale inputs already have >= cores partitions and this is a
+    no-op; the check costs plan analysis only, no job.
+
+    Measured note (sf0.1, local[32]): applying this inside the vector
+    operators REGRESSED the bench ~20% — the repartition shuffle plus
+    extra Python workers cost more than the single-task GEMM it
+    parallelized. Callers should invoke it only when per-partition kernel
+    work is large enough to amortize a shuffle (rule of thumb: >= seconds
+    of compute per partition), which is the 100 TB regime, not the test
+    rig's.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def ensure_utc(spark: SparkSession) -> SparkSession:
     """Pin session timezone to UTC on an externally-created session.
 
