@@ -289,6 +289,52 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (doc_id < 200): tf = in-doc count,
+    idf = ln(N / doc-frequency), (score desc, token asc) tiebreak. One
+    explode + two aggregations + a window — the whole-corpus statistics
+    (df, N) are map-side-combined aggregates, never a cross join."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    n_docs = d.count()
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = toks.dropDuplicates(["doc_id", "token"]).groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(dfreq, "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) + 1e-9, 6).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "token", "score", "rk")
+    )
+
+
+_TFIDF_SQL = """
+WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+           FROM documents WHERE doc_id < 200),
+n AS (SELECT count(*) AS n_docs FROM d),
+t AS (SELECT doc_id, unnest(w) AS token FROM d),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token),
+scored AS (SELECT tf.doc_id, tf.token,
+                  round(tf.tf * ln(n.n_docs * 1.0 / dfreq.df) + 1e-9, 6) AS score
+           FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n),
+rk AS (SELECT doc_id, token, score,
+              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk
+       FROM scored)
+SELECT doc_id, token, score, rk FROM rk WHERE rk <= 3
+"""
+
+
 # --- multimodal -------------------------------------------------------------
 
 
@@ -325,6 +371,7 @@ GROUP BY c.label, c.n, nrm.nrm
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "doc_tfidf_topterms": QuerySpec(doc_tfidf_topterms, _TFIDF_SQL),
     "doc_token_stats": QuerySpec(doc_token_stats, _TOKEN_STATS_SQL),
     "doc_lang_id": QuerySpec(doc_lang_id, _LANG_SQL),
     "doc_quality": QuerySpec(doc_quality, _QUALITY_SQL),

@@ -474,6 +474,80 @@ FROM lineitem WHERE l_orderkey < 500
 """
 
 
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over orders: totals by (priority), by (status), and
+    grand total in one pass — the §2.4 grouping-sets surface, expressed
+    through the SQL API (also part of the engine's query surface)."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per user: signup -> first view after signup ->
+    first purchase after that view; counts users reaching each step.
+    Conditional ordered aggregation — the retention/funnel shape every
+    event pipeline needs."""
+    e = load_table(spark, "events", sf_dir)
+    firsts = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        )
+    )
+    views = (
+        e.where(F.col("event_type") == "view")
+        .join(firsts, "user_id")
+        .where(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    signed = firsts.where(F.col("t_signup").isNotNull())
+    return spark.createDataFrame(
+        [], "step string, users bigint"
+    ).unionByName(
+        signed.agg(F.lit("1_signup").alias("step"), F.count("*").alias("users"))
+    ).unionByName(
+        views.agg(F.lit("2_view").alias("step"), F.count("*").alias("users"))
+    ).unionByName(
+        purchases.agg(F.lit("3_purchase").alias("step"), F.count("*").alias("users"))
+    )
+
+
+_FUNNEL_SQL = """
+WITH s AS (SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS t_signup
+           FROM events GROUP BY user_id),
+v AS (SELECT e.user_id, min(e.ts) AS t_view
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'view' AND e.ts >= s.t_signup GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.t_view GROUP BY e.user_id)
+SELECT '1_signup' AS step, count(*) AS users FROM s WHERE t_signup IS NOT NULL
+UNION ALL SELECT '2_view', count(*) FROM v
+UNION ALL SELECT '3_purchase', count(*) FROM p
+"""
+
+
 # --- correlated-style subquery (per-nation above-average balance) ----------
 
 
@@ -516,5 +590,7 @@ QUERIES: dict[str, QuerySpec] = {
     "case_buckets": QuerySpec(case_buckets, _CASE_SQL),
     "brand_sales": QuerySpec(brand_sales, _BRAND_SQL),
     "math_functions": QuerySpec(math_functions, _MATH_SQL),
+    "grouping_sets_sales": QuerySpec(grouping_sets_sales, _GROUPING_SETS_SQL),
+    "funnel_steps": QuerySpec(funnel_steps, _FUNNEL_SQL),
     "above_avg_balance": QuerySpec(above_avg_balance, _ABOVE_AVG_SQL),
 }

@@ -244,6 +244,37 @@ FROM ad JOIN gd ON ad.qid = gd.qid
 """
 
 
+def udf_registry_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12: the metric registry exercised through plain SQL — pairwise
+    distances between consecutive embeddings via the registered
+    ``dist_l2``/``dist_ip``/``dist_cosine`` pandas UDFs."""
+    from mysteryann_spark.functions.registry import register_metric_udfs
+
+    register_metric_udfs(spark)
+    _emb(spark, sf_dir).createOrReplaceTempView("emb_udf")
+    return spark.sql(f"""
+        SELECT a.vec_id,
+               round(dist_l2(a.embedding, b.embedding), 6) AS d_l2,
+               round(dist_ip(a.embedding, b.embedding), 6) AS d_ip,
+               round(dist_cosine(a.embedding, b.embedding), 6) AS d_cos
+        FROM emb_udf a JOIN emb_udf b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id < {_N_QUERIES}
+    """)
+
+
+_UDF_REG_SQL = f"""
+WITH u AS (SELECT a.vec_id, CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+                  CAST(unnest(b.embedding) AS DOUBLE) AS xb
+           FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+           WHERE a.vec_id < {_N_QUERIES})
+SELECT vec_id,
+       round(sum((xa - xb) * (xa - xb)), 6) AS d_l2,
+       round(-sum(xa * xb), 6) AS d_ip,
+       round(-(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb)))), 6) AS d_cos
+FROM u GROUP BY vec_id
+"""
+
+
 # --- bipartite graph edges (G5) --------------------------------------------
 
 
@@ -283,5 +314,6 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_medoid": QuerySpec(knn_medoid, _MEDOID_SQL),
     "knn_recall_l2_vs_cosine": QuerySpec(knn_recall_l2_vs_cosine, _RECALL_SQL),
     "knn_rderr_truncated": QuerySpec(knn_rderr_truncated, _RDERR_SQL),
+    "udf_registry_distances": QuerySpec(udf_registry_distances, _UDF_REG_SQL),
     "bipartite_edges": QuerySpec(bipartite_edges, _BIPARTITE_SQL),
 }
