@@ -25,10 +25,20 @@ PARAMS = IndexParams(M_sq=20, M_pjbp=8, L_pjpq=40, k=10, L_pq=40, metric="l2")
 _N_SEARCH_QUERIES = 50
 
 
+_BUILD_CACHE: dict = {}
+
+
 def _build(spark: SparkSession, sf_dir: str):
-    emb = load_table(spark, "embeddings", sf_dir)
-    adj, ep = build_roargraph_from_table(spark, emb, PARAMS)
-    return emb, adj, ep
+    """Build once per (session, sf_dir): four registry entries share the
+    same index, and the driver's correctness gate runs them all in one
+    session — rebuilding an identical (deterministic, tested) graph per
+    query would quadruple gate time for no information."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _BUILD_CACHE:
+        emb = load_table(spark, "embeddings", sf_dir).cache()
+        adj, ep = build_roargraph_from_table(spark, emb, PARAMS)
+        _BUILD_CACHE[key] = (emb, adj.localCheckpoint(), ep)
+    return _BUILD_CACHE[key]
 
 
 def roargraph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,9 +69,12 @@ def roargraph_search_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysteryann_spark.operators.search_distributed import search_graph_distributed
 
     emb, adj, ep = _build(spark, sf_dir)
-    q = emb.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
+    # small slice + beam: every best-first hop is a driver-synchronized
+    # join round, so this entry demonstrates the operator; the bit-parity
+    # vs the broadcast path is gated in tests/test_graph.py
+    q = emb.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
     res = search_graph_distributed(
-        q, emb, adj.localCheckpoint(), ep, k=5, l_search=8, metric=PARAMS.metric
+        q, emb, adj.localCheckpoint(), ep, k=5, l_search=6, metric=PARAMS.metric
     )
     return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank", "cmps", "hops")
 
