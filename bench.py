@@ -73,7 +73,9 @@ def main() -> None:
     run("roargraph_build", build)
 
     def search() -> None:
-        q = emb.select(F.col("vec_id").alias("qid"), "embedding")
+        from mysteryann_spark.session import spread
+
+        q = spread(emb.select(F.col("vec_id").alias("qid"), "embedding"))
         search_graph(
             q, emb, state["adj"], state["ep"], k=10, l_search=40, metric="l2"
         ).count()

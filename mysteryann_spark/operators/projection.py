@@ -91,9 +91,13 @@ def build_roargraph(
     # --- phase 4: connectivity enhancement — beam-search the projection
     # graph from the medoid for every base node, prune visited set
     from mysteryann_spark.operators.search import search_graph
+    from mysteryann_spark.session import spread
 
+    # every base node is a "query" here and the beam loop is pure compute:
+    # seconds-per-partition, so spreading an under-partitioned input wins
+    # (measured 2x at sf0.1) — unlike the GEMM paths, see session.spread
     visited = search_graph(
-        base_df.select(F.col(base_id).alias("qid"), vec_col),
+        spread(base_df.select(F.col(base_id).alias("qid"), vec_col)),
         base_df,
         adj3,
         ep,
