@@ -235,6 +235,52 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 2, threshold: float = 0.1) -> 
     )
 
 
+def ann_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    params=None,
+    k: int = 10,
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via the RoarGraph ANN index instead of the
+    O(N^2) GEMM sweep — the path that survives 100 TB: build once, then
+    each vector's near-dups come from a top-k graph search (cost ~
+    N * k * degree distance evaluations, not N^2).
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, cos_sim >= threshold.
+    Approximate: pair recall vs the exact sweep is gated in tests (the
+    same contract the reference accepts for its own search, SURVEY §5).
+    """
+    from mysteryann_spark.operators.projection import build_roargraph_from_table
+    from mysteryann_spark.operators.search import search_graph
+    from mysteryann_spark.params import IndexParams
+    from mysteryann_spark.session import spread
+
+    params = params or IndexParams(
+        M_sq=20, M_pjbp=8, L_pjpq=40, k=k, L_pq=40, metric="cosine"
+    )
+    adj, ep = build_roargraph_from_table(emb.sparkSession, emb, params)
+    q = spread(emb.select(F.col(base_id).alias("qid"), vec_col))
+    res = search_graph(
+        q, emb, adj.localCheckpoint(), ep,
+        k=k, l_search=params.L_pq, metric="cosine",
+        base_id=base_id, vec_col=vec_col, exclude_self=True,
+    )
+    # cosine distance is the negated normalized IP (reference convention)
+    sim = -F.col("dist")
+    return (
+        res.where(sim >= threshold)
+        .select(
+            F.least("qid", "nn_id").alias("id_a"),
+            F.greatest("qid", "nn_id").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # connected components (near-dup pair graph -> dedup groups)
 # ---------------------------------------------------------------------------

@@ -258,6 +258,10 @@ def search_graph(
                 pool, cmps, hops = _beam_search_one(
                     qvec, b_ep, b_indptr, b_indices, b_mat, l_search, metric, excl
                 )
+                if excl >= 0:
+                    # the entry point always seeds the pool — when the query
+                    # IS the medoid, its own row must still be dropped here
+                    pool = [(d, r) for d, r in pool if r != excl]
                 for rank, (d, row) in enumerate(pool[:k], start=1):
                     out["qid"].append(qid)
                     out["nn_id"].append(int(b_ids[row]))

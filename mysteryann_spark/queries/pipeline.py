@@ -175,6 +175,17 @@ WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
 """
 
 
+def dedup_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the RoarGraph index (the 100 TB path:
+    N*k graph searches, not an N^2 sweep). Rows-only; pair recall >= 0.9
+    vs the exact sweep is gated in tests."""
+    from mysteryann_spark.operators.dedup import ann_neardup_pairs
+
+    return ann_neardup_pairs(_emb(spark, sf_dir), threshold=0.35, k=10).select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS: unigram-Jaccard >= 0.9 pair graph (doc_id < 300)
     -> min-label-propagation connected components; component id = min
@@ -378,6 +389,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_fingerprint": QuerySpec(dedup_fingerprint, _DEDUP_FP_SQL),
     "dedup_jaccard_bigram": QuerySpec(dedup_jaccard_bigram, _JACCARD_SQL),
+    "dedup_ann_pairs": QuerySpec(dedup_ann_pairs, None),
     "dedup_components": QuerySpec(dedup_components, _COMPONENTS_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
     "dedup_simhash": QuerySpec(dedup_simhash, None),

@@ -146,3 +146,23 @@ def test_salted_join_equals_plain_join(spark):
     assert salted == plain
     hot = sorted(map(tuple, salted_join(left, right, "k", n_salts=8, hot_keys=[1]).collect()))
     assert hot == plain
+
+
+def test_ann_neardup_covers_exact_pairs(spark, emb):
+    """Graph-ANN near-dup pairs (the 100 TB path) must recover nearly all
+    pairs the exact O(N^2) sweep finds at the same threshold."""
+    from mysteryann_spark.operators.dedup import ann_neardup_pairs, embedding_neardup_pairs
+
+    th = 0.35  # this corpus has no high-cosine pairs; 0.35 yields a real pair set
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(emb, th).collect()}
+    assert len(exact) > 20
+    approx = {(r["id_a"], r["id_b"]) for r in ann_neardup_pairs(emb, th, k=10).collect()}
+    covered = len(exact & approx) / len(exact)
+    assert covered >= 0.9, f"ann near-dup pair recall {covered} ({len(exact)} exact)"
+    # no false positives: every reported pair really clears the threshold
+    assert approx <= exact or all(
+        p in exact for p in list(approx - exact)[:0]
+    )  # sim values checked below
+    sims = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in embedding_neardup_pairs(emb, 0.0).collect()}
+    for p in approx:
+        assert sims.get(p, 0.0) >= th - 1e-9, p
