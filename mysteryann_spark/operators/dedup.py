@@ -307,8 +307,13 @@ def connected_components(
     per round; not needed for dedup-shaped graphs.) State is cut per round
     with localCheckpoint, convergence is one count per round.
     """
-    sym = edges.select(F.col("src").alias("id"), F.col("dst").alias("nbr")).unionByName(
-        edges.select(F.col("dst").alias("id"), F.col("src").alias("nbr"))
+    # materialize the symmetric edge set once — it's referenced by every
+    # propagation round, and recomputing an expensive upstream pair
+    # generator (all-pairs jaccard, LSH verify) per round would dominate
+    sym = (
+        edges.select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
+        .unionByName(edges.select(F.col("dst").alias("id"), F.col("src").alias("nbr")))
+        .localCheckpoint(eager=True)
     )
     lab = nodes.select(F.col("id"), F.col("id").alias("comp")).localCheckpoint(eager=True)
     for _ in range(max_iters):

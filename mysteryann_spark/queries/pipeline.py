@@ -175,6 +175,52 @@ WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
 """
 
 
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation flagship: quality-filter (>= 10 tokens) ->
+    near-dup grouping (unigram Jaccard >= 0.9 -> connected components) ->
+    one canonical survivor per group with group size and survivor token
+    count. The whole training-data curation loop as ONE composed query,
+    oracle-checked end to end (components via recursive CTE)."""
+    from mysteryann_spark.functions.text import token_count
+    from mysteryann_spark.operators.dedup import dedup_groups
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
+    kept = d.where(token_count("text") >= 10)
+    groups = dedup_groups(kept, threshold=0.9, n=1)
+    sizes = groups.groupBy("component").agg(F.count("*").alias("n_members"))
+    survivors = (
+        groups.where(F.col("doc_id") == F.col("component"))
+        .join(sizes, "component")
+        .join(kept.select("doc_id", token_count("text").alias("survivor_tokens")), "doc_id")
+    )
+    return survivors.select(
+        F.col("component").alias("group_id"), "n_members", "survivor_tokens"
+    )
+
+
+_CURATE_SQL = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS w,
+         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
+  FROM documents WHERE doc_id < 300),
+kept AS (SELECT * FROM t WHERE n_tokens >= 10),
+e AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib FROM kept a JOIN kept b ON a.doc_id <> b.doc_id
+  WHERE len(list_intersect(a.w, b.w)) * 1.0 /
+        len(list_distinct(list_concat(a.w, b.w))) >= 0.9),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM kept
+  UNION
+  SELECT e.ib, reach.r FROM reach JOIN e ON e.ia = reach.id),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+sizes AS (SELECT component, count(*) AS n_members FROM comp GROUP BY component)
+SELECT c.component AS group_id, s.n_members, k.n_tokens AS survivor_tokens
+FROM comp c JOIN sizes s ON c.component = s.component
+JOIN kept k ON k.doc_id = c.id
+WHERE c.id = c.component
+"""
+
+
 def dedup_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via the RoarGraph index (the 100 TB path:
     N*k graph searches, not an N^2 sweep). Rows-only; pair recall >= 0.9
@@ -389,6 +435,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_fingerprint": QuerySpec(dedup_fingerprint, _DEDUP_FP_SQL),
     "dedup_jaccard_bigram": QuerySpec(dedup_jaccard_bigram, _JACCARD_SQL),
+    "pipeline_curate": QuerySpec(pipeline_curate, _CURATE_SQL),
     "dedup_ann_pairs": QuerySpec(dedup_ann_pairs, None),
     "dedup_components": QuerySpec(dedup_components, _COMPONENTS_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
