@@ -103,7 +103,23 @@ def bipartite_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank", "cmps", "hops")
 
 
+def roargraph_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline evaluation (run_roargraph_search_test.sh):
+    recall@k / QPS / latency / avg cmps / avg hops per L_pq sweep point.
+    Rows-only (timings aren't SQL); recall monotonicity + floor gated in
+    tests."""
+    from mysteryann_spark.operators.sweep import search_sweep
+
+    emb, adj, ep = _build(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < _N_SEARCH_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return search_sweep(q, emb, adj, ep, k=PARAMS.k,
+                        l_values=[10, 20, 40], metric=PARAMS.metric)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "roargraph_sweep": QuerySpec(roargraph_sweep, None),
     "roargraph_degrees": QuerySpec(roargraph_degrees, None),
     "roargraph_search_topk": QuerySpec(roargraph_search_topk, None),
     "roargraph_search_distributed": QuerySpec(roargraph_search_distributed, None),

@@ -155,3 +155,21 @@ def test_build_and_search_cosine_metric(spark, emb):
     gt = knn_join_arrays(q, emb, 10, "cosine")
     recall = mean_recall(res_arr, gt, 10)
     assert recall >= 0.95, f"cosine recall@10={recall}"
+
+
+def test_search_sweep_recall_monotone(spark, emb, index):
+    """The reference's sweep protocol: recall must not degrade as L_pq
+    grows, and the largest beam must clear the quality gate."""
+    from mysteryann_spark.operators.sweep import search_sweep
+
+    adj, ep = index
+    q = emb.where("vec_id < 50").select(F.col("vec_id").alias("qid"), "embedding")
+    rows = {r["l_pq"]: r for r in search_sweep(
+        q, emb, adj, ep, k=10, l_values=[10, 20, 40]).collect()}
+    assert rows[10]["recall"] <= rows[20]["recall"] + 1e-9
+    assert rows[20]["recall"] <= rows[40]["recall"] + 1e-9
+    assert rows[40]["recall"] >= 0.95
+    for r in rows.values():
+        assert r["avg_cmps"] > 0 and r["avg_hops"] > 0 and r["qps"] > 0
+    # bigger beams do strictly more work
+    assert rows[10]["avg_cmps"] < rows[40]["avg_cmps"]
