@@ -97,9 +97,9 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(docs, num_perm, seed)
     # Band the signatures but shuffle ONLY (band, bucket, doc_id) triples —
     # carrying the sig arrays through the bucket self-join and the pair
-    # dedup multiplies shuffle volume by num_perm; the sigs re-attach with
-    # two id-equi joins after the pair set is deduplicated (and therefore
-    # minimal).
+    # dedup multiplies shuffle volume by num_perm; the per-doc payload
+    # (signature + token-hash set) re-attaches with ONE id-equi join per
+    # side after the pair set is deduplicated (and therefore minimal).
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -127,9 +127,19 @@ def minhash_lsh_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-        .join(sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
-        .join(sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     )
+    # Exact-Jaccard verification runs over xxhash64-hashed token sets
+    # (sorted long arrays), not string arrays: identical Jaccard values
+    # (a 64-bit collision would need ~2^32 distinct tokens in ONE doc)
+    # at ~2x the throughput — long equality beats string hashing inside
+    # array_intersect, and the per-pair payload shrinks from ~2x300 B of
+    # strings to 8 B/token. With self-similar corpora the verified-pair
+    # set is quadratic in cluster size, so per-pair cost dominates the
+    # whole operator.
+    htok = F.array_sort(
+        F.array_distinct(F.transform(tokens_col("text"), lambda t: F.xxhash64(t)))
+    )
+    side = docs.select("doc_id", htok.alias("htok")).join(sigs, "doc_id")
     est = (
         F.size(
             F.filter(
@@ -139,16 +149,27 @@ def minhash_lsh_pairs(
         ).cast("double")
         / F.lit(float(num_perm))
     )
-    toks = lambda c: F.array_distinct(tokens_col(c))  # noqa: E731
-    docs_a = docs.select(F.col("doc_id").alias("id_a"), toks("text").alias("tok_a"))
-    docs_b = docs.select(F.col("doc_id").alias("id_b"), toks("text").alias("tok_b"))
     jac = F.size(F.array_intersect("tok_a", "tok_b")).cast("double") / F.size(
         F.array_union("tok_a", "tok_b")
     ).cast("double")
     return (
-        cand.withColumn("est_jaccard", est)
-        .join(docs_a, "id_a")
-        .join(docs_b, "id_b")
+        cand.join(
+            side.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("htok").alias("tok_a"),
+                F.col("sig").alias("sig_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            side.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("htok").alias("tok_b"),
+                F.col("sig").alias("sig_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("est_jaccard", est)
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"), F.round("jaccard", 6).alias("jaccard"))
