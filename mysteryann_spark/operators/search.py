@@ -17,9 +17,10 @@ allocation across OS threads.
 Scale: this path assumes the index fits in executor memory — the same
 assumption the single-node reference makes for its whole lifetime. The
 query side is unbounded: 10^9 queries shard into partitions with zero
-shuffle (output is already per-query). For indexes beyond executor RAM a
-Pregel-style frontier-join rendering is the fallback (SURVEY §3.2);
-planned, not yet built.
+shuffle (output is already per-query). For indexes beyond executor RAM
+the Pregel-style frontier-join rendering in
+``operators/search_distributed.py`` is the fallback (SURVEY §3.2),
+bit-parity-tested against this path in tests/test_graph.py.
 """
 
 from __future__ import annotations
@@ -87,7 +88,10 @@ def _beam_search_one(
     pool: list[tuple[float, int]] = [(d0, ep_row)]
     expanded: set[int] = set()
     visited: set[int] = {ep_row}
-    cmps, hops = 1, 0
+    # cmps counts post-seed distance evaluations only — the reference
+    # zeroes its comparison counter after scoring the entry point
+    # (SearchRoarGraph, src/index_bipartite.cpp:2311-2420)
+    cmps, hops = 0, 0
     while True:
         cur = next(((d, r) for d, r in pool if r not in expanded), None)
         if cur is None:
@@ -130,7 +134,9 @@ def _beam_search_bipartite_one(
     pool = sorted((float(d), r) for d, r in zip(dists0, uniq))[:l_search]
     visited: set[int] = set(uniq)
     expanded: set[int] = set()
-    cmps, hops = len(uniq), 0
+    # seed scoring excluded from cmps — reference counter convention
+    # (SearchBipartiteGraph, src/index_bipartite.cpp:282-356)
+    cmps, hops = 0, 0
     while True:
         cur = next(((d, r) for d, r in pool if r not in expanded), None)
         if cur is None:

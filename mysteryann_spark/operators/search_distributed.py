@@ -80,8 +80,10 @@ def search_graph_distributed(
             F.lit(False).alias("expanded"),
         )
     )
-    if exclude_self:
-        visited = visited.where(F.col("nn_id") != F.col("qid"))
+    # exclude_self must NOT drop the seed row: a query whose qid equals the
+    # entry point still needs the medoid in its pool to have anything to
+    # expand (the broadcast path keeps the seed and filters the self row
+    # from the final pool only — mirrored below).
     visited = visited.localCheckpoint(eager=True)
 
     pool_w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nn_id").asc())
@@ -138,12 +140,18 @@ def search_graph_distributed(
         )
         visited = marked.unionByName(scored).localCheckpoint(eager=True)
 
+    # every visited row was scored exactly once; the single seed row is
+    # excluded from cmps per the reference's counter convention (matches
+    # the broadcast path, which zeroes cmps after scoring the entry point)
     counters = visited.groupBy("qid").agg(
-        F.count("*").cast("int").alias("cmps"),
+        (F.count("*") - F.lit(1)).cast("int").alias("cmps"),
         F.sum(F.col("expanded").cast("int")).cast("int").alias("hops"),
     )
+    final = visited
+    if exclude_self:
+        final = final.where(F.col("nn_id") != F.col("qid"))
     return (
-        visited.withColumn("rank", F.row_number().over(pool_w))
+        final.withColumn("rank", F.row_number().over(pool_w))
         .where(F.col("rank") <= k)
         .join(counters, "qid")
         .select("qid", "nn_id", "dist", F.col("rank").cast("int"), "cmps", "hops")

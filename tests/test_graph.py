@@ -89,6 +89,28 @@ def test_distributed_search_matches_broadcast(spark, emb, index):
         assert (cmps, hops) == (cmps2, hops2), (kk, cmps, hops, cmps2, hops2)
 
 
+def test_distributed_search_excludes_self_at_entry_point(spark, emb, index):
+    """exclude_self with a query whose id IS the medoid entry point: the
+    seed must still be expanded (not silently dropped), and both paths
+    must agree — including the self row's absence from the final top-k."""
+    from mysteryann_spark.operators.search_distributed import search_graph_distributed
+
+    adj, ep = index
+    q = emb.where(F.col("vec_id").isin([int(ep), 0, 7])).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    bc = search_graph(q, emb, adj, ep, k=5, l_search=8, metric="l2",
+                      exclude_self=True).collect()
+    di = search_graph_distributed(q, emb, adj, ep, k=5, l_search=8, metric="l2",
+                                  exclude_self=True).collect()
+    assert {r["qid"] for r in bc} == {int(ep), 0, 7}  # medoid query returns rows
+    key = lambda r: (r["qid"], r["rank"])  # noqa: E731
+    bc_map = {key(r): (r["nn_id"], round(r["dist"], 9), r["cmps"], r["hops"]) for r in bc}
+    di_map = {key(r): (r["nn_id"], round(r["dist"], 9), r["cmps"], r["hops"]) for r in di}
+    assert bc_map == di_map
+    assert all(r["nn_id"] != r["qid"] for r in bc)
+
+
 def test_bipartite_two_hop_search_recall(spark, emb):
     """Q2: 2-hop beam search over the bipartite graph (10 seeded random
     entry points) must recover most exact neighbors on the self-query
