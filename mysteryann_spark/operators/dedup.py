@@ -66,14 +66,13 @@ def minhash_signatures(
     docs: DataFrame, num_perm: int = 16, seed: int = 42
 ) -> DataFrame:
     """Per-doc MinHash signature over the distinct-token (unigram shingle)
-    set. Each permutation is xxhash64(perm_seed, token) minimized over the
-    shingle set — a pure Catalyst expression, zero shuffle."""
-    shingles = F.array_distinct(tokens_col("text"))
+    set. Each permutation is xxhash64(perm_seed, xxhash64(token)) minimized
+    over the shingle set — a pure Catalyst expression, zero shuffle, and
+    the same signature family ``minhash_lsh_pairs`` bands over."""
+    htok = F.array_distinct(F.transform(tokens_col("text"), lambda t: F.xxhash64(t)))
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(F.lit(seed + i), s))
-            )
+            F.array_min(F.transform(htok, lambda h: F.xxhash64(F.lit(seed + i), h)))
             for i in range(num_perm)
         ]
     )
@@ -86,22 +85,67 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     seed: int = 42,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, with both the signature
     estimate and the exact token-set Jaccard for verification.
 
     Returns (id_a, id_b, est_jaccard, jaccard) for same-bucket pairs with
     exact jaccard >= threshold, id_a < id_b.
+
+    Both the unigram Jaccard and the MinHash signature are functions of
+    the DISTINCT-TOKEN SET alone, so documents with identical token sets
+    are collapsed to one representative before signatures are computed:
+    LSH banding, candidate dedup, and exact verification all run over
+    distinct sets only, then verified rep pairs expand back to doc pairs
+    with an id-equi join (members_a x members_b carries the rep pair's
+    jaccard; intra-group pairs are exactly 1.0). On boilerplate-heavy
+    corpora this cuts per-pair verification work by the mean squared
+    duplicate-group size while producing the IDENTICAL pair set — same
+    buckets, same candidates, same verdicts (tests/test_pipeline.py).
+
+    ``bucket_cap`` (optional) drops band buckets holding more than that
+    many DISTINCT sets — the standard guard against adversarially hot
+    buckets (a boilerplate shingle-set shared by millions of docs). It
+    trades completeness for a hard bound on candidate fan-out, so it is
+    off by default and the registry entry runs exact.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, num_perm, seed)
-    # Band the signatures but shuffle ONLY (band, bucket, doc_id) triples —
+    htok = F.array_sort(
+        F.array_distinct(F.transform(tokens_col("text"), lambda t: F.xxhash64(t)))
+    )
+    # Exact-Jaccard verification runs over xxhash64-hashed token sets
+    # (sorted long arrays), not string arrays: identical Jaccard values
+    # (a 64-bit collision would need ~2^32 distinct tokens in ONE doc)
+    # at ~2x the throughput, and the per-pair payload shrinks from
+    # ~2x300 B of strings to 8 B/token.
+    groups = (
+        docs.select("doc_id", htok.alias("htok"))
+        .groupBy("htok")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .localCheckpoint(eager=True)  # reused by banding + both expansion joins
+    )
+    # MinHash over the hashed token set: permutation i is
+    # min(xxhash64(seed + i, token_hash)) — a pure Catalyst expression.
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("htok", lambda h: F.xxhash64(F.lit(seed + i), h))
+            )
+            for i in range(num_perm)
+        ]
+    )
+    sigs = groups.select("rep", "htok", F.size("htok").alias("ntok"), sig.alias("sig"))
+    # Band the signatures but shuffle ONLY (band, bucket, rep) triples —
     # carrying the sig arrays through the bucket self-join and the pair
-    # dedup multiplies shuffle volume by num_perm; the per-doc payload
+    # dedup would multiply shuffle volume by num_perm; the per-rep payload
     # (signature + token-hash set) re-attaches with ONE id-equi join per
-    # side after the pair set is deduplicated (and therefore minimal).
+    # side after the candidate pair set is deduplicated (and so minimal).
     banded = sigs.select(
-        "doc_id",
+        "rep",
         F.explode(
             F.array(
                 *[
@@ -118,28 +162,38 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("rep", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if bucket_cap is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("bsz", F.count("*").over(w))
+            .where(F.col("bsz") <= bucket_cap)
+            .drop("bsz")
+        )
 
-    a = banded.select("band", "bucket", F.col("doc_id").alias("id_a"))
-    b = banded.select("band", "bucket", F.col("doc_id").alias("id_b"))
+    # The bucket self-join fans out quadratically inside hot buckets while
+    # its INPUT is tiny (one row per rep per band) — AQE sizes partitions
+    # by input bytes and would run the explosion nearly serial. Spread the
+    # probe side across the cluster first; the pair dedup below re-hashes.
+    from mysteryann_spark.session import spread
+
+    banded = spread(banded)
+    a = banded.select("band", "bucket", F.col("rep").alias("rep_a"))
+    b = banded.select("band", "bucket", F.col("rep").alias("rep_b"))
+    # Broadcasting the build side keeps the probe side's spread
+    # partitioning, so a hot bucket's pair explosion parallelizes over
+    # every core instead of landing on the one task that owns its join
+    # key (AQE's skew split keys on shuffle BYTES and never fires here —
+    # the input is KBs, the blowup is in the output). The build side is
+    # one (band, bucket) row per distinct token set; beyond broadcast
+    # range (~10^7 sets) drop the hint and the same plan runs as a
+    # shuffled equi-join.
     cand = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+        a.join(F.broadcast(b), ["band", "bucket"])
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b")
+        .dropDuplicates(["rep_a", "rep_b"])
     )
-    # Exact-Jaccard verification runs over xxhash64-hashed token sets
-    # (sorted long arrays), not string arrays: identical Jaccard values
-    # (a 64-bit collision would need ~2^32 distinct tokens in ONE doc)
-    # at ~2x the throughput — long equality beats string hashing inside
-    # array_intersect, and the per-pair payload shrinks from ~2x300 B of
-    # strings to 8 B/token. With self-similar corpora the verified-pair
-    # set is quadratic in cluster size, so per-pair cost dominates the
-    # whole operator.
-    htok = F.array_sort(
-        F.array_distinct(F.transform(tokens_col("text"), lambda t: F.xxhash64(t)))
-    )
-    side = docs.select("doc_id", htok.alias("htok")).join(sigs, "doc_id")
     est = (
         F.size(
             F.filter(
@@ -149,30 +203,84 @@ def minhash_lsh_pairs(
         ).cast("double")
         / F.lit(float(num_perm))
     )
-    jac = F.size(F.array_intersect("tok_a", "tok_b")).cast("double") / F.size(
-        F.array_union("tok_a", "tok_b")
-    ).cast("double")
-    return (
+    # |A ∪ B| = |A| + |B| - |A ∩ B| — one array_intersect per pair, no
+    # materialized union array (the per-pair verify is the cost center)
+    inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    # Side payloads attach via broadcast for the same reason as above: the
+    # verify expression is CPU-bound per pair, and a shuffled join would
+    # let AQE coalesce the (16 B/row) pair set onto a couple of cores.
+    verified = (
         cand.join(
-            side.select(
-                F.col("doc_id").alias("id_a"),
-                F.col("htok").alias("tok_a"),
-                F.col("sig").alias("sig_a"),
+            F.broadcast(
+                sigs.select(
+                    F.col("rep").alias("rep_a"),
+                    F.col("htok").alias("tok_a"),
+                    F.col("ntok").cast("double").alias("na"),
+                    F.col("sig").alias("sig_a"),
+                )
             ),
-            "id_a",
+            "rep_a",
         )
         .join(
-            side.select(
-                F.col("doc_id").alias("id_b"),
-                F.col("htok").alias("tok_b"),
-                F.col("sig").alias("sig_b"),
+            F.broadcast(
+                sigs.select(
+                    F.col("rep").alias("rep_b"),
+                    F.col("htok").alias("tok_b"),
+                    F.col("ntok").cast("double").alias("nb"),
+                    F.col("sig").alias("sig_b"),
+                )
             ),
-            "id_b",
+            "rep_b",
         )
         .withColumn("est_jaccard", est)
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"), F.round("jaccard", 6).alias("jaccard"))
+        .select("rep_a", "rep_b", "est_jaccard", "jaccard")
+    )
+    # Expand verified rep pairs to doc pairs. est/jaccard are constant
+    # across a group pair (identical token sets => identical signatures).
+    members = groups.select("rep", "members")
+    cross = (
+        verified.join(
+            F.broadcast(
+                members.select(F.col("rep").alias("rep_a"), F.col("members").alias("ma"))
+            ),
+            "rep_a",
+        )
+        .join(
+            F.broadcast(
+                members.select(F.col("rep").alias("rep_b"), F.col("members").alias("mb"))
+            ),
+            "rep_b",
+        )
+        .select(F.explode("ma").alias("x"), "mb", "est_jaccard", "jaccard")
+        .select("x", F.explode("mb").alias("y"), "est_jaccard", "jaccard")
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "est_jaccard",
+            "jaccard",
+        )
+    )
+    intra = (
+        members.where(F.size("members") >= 2)
+        .select(F.explode("members").alias("id_a"), "members")
+        .select("id_a", F.explode("members").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.lit(1.0).alias("est_jaccard"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    out = cross.unionByName(intra)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round("jaccard", 6).alias("jaccard"),
     )
 
 
