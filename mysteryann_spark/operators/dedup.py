@@ -436,33 +436,49 @@ def connected_components(
     per round; not needed for dedup-shaped graphs.) State is cut per round
     with localCheckpoint, convergence is one count per round.
     """
-    # materialize the symmetric edge set once — it's referenced by every
-    # propagation round, and recomputing an expensive upstream pair
-    # generator (all-pairs jaccard, LSH verify) per round would dominate
-    sym = (
-        edges.select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
-        .unionByName(edges.select(F.col("dst").alias("id"), F.col("src").alias("nbr")))
-        .localCheckpoint(eager=True)
-    )
-    lab = nodes.select(F.col("id"), F.col("id").alias("comp")).localCheckpoint(eager=True)
-    for _ in range(max_iters):
-        prop = (
-            lab.join(sym, "id")
-            .select(F.col("nbr").alias("id"), "comp")
-            .unionByName(lab.select("id", "comp"))
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+    # Catalyst's Union constraint propagation can throw
+    # `NoSuchElementException: key not found: <attr>` when a child's
+    # lineage carries equality constraints (e.g. least/greatest aliases
+    # from an upstream pair generator) through a localCheckpoint whose
+    # LogicalRDD preserves origin constraints with stale expression ids
+    # (UnionBase.rewriteConstraints maps child constraints through child
+    # outputs and misses). Constraints buy nothing in this loop — every
+    # round is join + union + agg with no inferable filters — so switch
+    # propagation off for the duration and restore the caller's setting.
+    spark = edges.sparkSession
+    _CONSTRAINT_CONF = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(_CONSTRAINT_CONF, "true")
+    spark.conf.set(_CONSTRAINT_CONF, "false")
+    try:
+        # materialize the symmetric edge set once — it's referenced by every
+        # propagation round, and recomputing an expensive upstream pair
+        # generator (all-pairs jaccard, LSH verify) per round would dominate
+        sym = (
+            edges.select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
+            .unionByName(edges.select(F.col("dst").alias("id"), F.col("src").alias("nbr")))
+            .localCheckpoint(eager=True)
         )
-        new = prop.localCheckpoint(eager=True)
-        changed = (
-            new.alias("n")
-            .join(lab.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        lab = new
-        if changed == 0:
-            break
+        lab = nodes.select(F.col("id"), F.col("id").alias("comp")).localCheckpoint(eager=True)
+        for _ in range(max_iters):
+            prop = (
+                lab.join(sym, "id")
+                .select(F.col("nbr").alias("id"), "comp")
+                .unionByName(lab.select("id", "comp"))
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp"))
+            )
+            new = prop.localCheckpoint(eager=True)
+            changed = (
+                new.alias("n")
+                .join(lab.alias("o"), "id")
+                .where(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            lab = new
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set(_CONSTRAINT_CONF, prev)
     return lab
 
 
@@ -471,8 +487,21 @@ def dedup_groups(
 ) -> DataFrame:
     """End-to-end text dedup grouping: n-gram Jaccard pairs >= threshold
     -> connected components. Returns (doc_id, component) with component =
-    min doc_id of the group (the canonical survivor)."""
-    pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
+    min doc_id of the group (the canonical survivor).
+
+    For unigram grouping (n=1, the standard near-dup configuration) the
+    pair candidates come from MinHash-LSH banding with exact-Jaccard
+    verification — no all-pairs join anywhere in the plan. The banding is
+    sized so candidate recall at the threshold is effectively exact: with
+    32 bands of 2 rows a pair at jaccard 0.9 is missed with probability
+    (1 - 0.9^2)^32 < 1e-22, so the verified pair set equals the all-pairs
+    set (the recursive-CTE oracle hash-checks exactly that). n > 1 keeps
+    the exact generator, which is quadratic — slice first.
+    """
+    if n == 1:
+        pairs = minhash_lsh_pairs(docs, num_perm=64, bands=32, threshold=threshold)
+    else:
+        pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     nodes = docs.select(F.col("doc_id").alias("id"))
     return connected_components(edges, nodes).select(

@@ -177,10 +177,13 @@ WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
 
 def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation flagship: quality-filter (>= 10 tokens) ->
-    near-dup grouping (unigram Jaccard >= 0.9 -> connected components) ->
-    one canonical survivor per group with group size and survivor token
-    count. The whole training-data curation loop as ONE composed query,
-    oracle-checked end to end (components via recursive CTE)."""
+    near-dup grouping (MinHash-LSH candidates -> exact unigram Jaccard
+    >= 0.9 -> connected components) -> one canonical survivor per group
+    with group size and survivor token count. The whole training-data
+    curation loop as ONE composed query with no all-pairs join anywhere
+    in the plan, oracle-checked end to end (components via recursive
+    CTE — the LSH banding is sized so the verified pair set equals the
+    oracle's all-pairs set; see dedup_groups)."""
     from mysteryann_spark.functions.text import token_count
     from mysteryann_spark.operators.dedup import dedup_groups
 
@@ -233,9 +236,11 @@ def dedup_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup GROUPS: unigram-Jaccard >= 0.9 pair graph (doc_id < 300)
-    -> min-label-propagation connected components; component id = min
-    doc_id of the group. Oracle: DuckDB recursive CTE reachability."""
+    """Near-dup GROUPS: MinHash-LSH candidates -> exact unigram Jaccard
+    >= 0.9 pair graph (doc_id < 300) -> min-label-propagation connected
+    components; component id = min doc_id of the group. Oracle: DuckDB
+    recursive CTE reachability over the all-pairs graph (the LSH banding
+    provably recovers it; see dedup_groups)."""
     from mysteryann_spark.operators.dedup import dedup_groups
 
     return dedup_groups(
@@ -260,10 +265,10 @@ SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (unigram shingles, 32 perms, 8 bands,
-    exact-Jaccard-verified >= 0.5). Rows-only: xxhash64 signatures are not
-    reproducible in DuckDB; completeness vs exact Jaccard is gated in
-    tests/test_pipeline.py."""
+    """MinHash-LSH near-dup pairs (unigram shingles, 35 perms, 5 bands of
+    7 rows, exact-Jaccard-verified >= 0.8). Rows-only: xxhash64 signatures
+    are not reproducible in DuckDB; completeness vs exact Jaccard is gated
+    in tests/test_pipeline.py."""
     # 5 bands x 7 rows: collision prob at j=0.9 is ~0.96 (completeness
     # holds) but ~0.04 at j=0.5 — on this highly self-similar corpus the
     # wider 8x4 banding floods the verifier with nearly every pair.

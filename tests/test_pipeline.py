@@ -41,6 +41,28 @@ def test_minhash_finds_high_jaccard_pairs(spark, docs):
     assert len(missed) <= max(1, len(exact) // 20), f"missed {len(missed)}/{len(exact)}"
 
 
+def test_lsh_grouping_pairs_equal_all_pairs_and_no_cartesian(spark, docs):
+    """dedup_groups' LSH candidate generator (64 perms / 32 bands of 2)
+    must produce the IDENTICAL verified pair set as the exact all-pairs
+    generator at threshold 0.9 — that equality is what lets the curate /
+    components recursive-CTE oracles hash-match — and its plan must be
+    equi-join only (no cartesian, no BroadcastNestedLoopJoin)."""
+    from mysteryann_spark.plans.inspect import formatted_plan
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=1, threshold=0.9).collect()
+    }
+    lsh_df = minhash_lsh_pairs(docs, num_perm=64, bands=32, threshold=0.9)
+    lsh = {(r["id_a"], r["id_b"]): r["jaccard"] for r in lsh_df.collect()}
+    assert set(lsh) == set(exact)
+    for p, j in lsh.items():
+        assert abs(j - exact[p]) < 1e-9, p
+    plan = formatted_plan(lsh_df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_minhash_estimates_track_jaccard(spark, docs):
     rows = minhash_lsh_pairs(docs, num_perm=32, bands=8, threshold=0.5).collect()
     assert rows
