@@ -13,7 +13,9 @@ Scale notes per operator:
   shuffles (band_id, band_hash, doc_id) tuples; only same-bucket pairs are
   verified. Hot buckets (boilerplate docs) would skew — cap bucket size /
   salt in a production run; here bucket sizes are logged by the caller.
-- SimHash: fully per-row (one 64-bit signature per doc, no shuffle).
+- SimHash: signatures fully per-row (one 64-bit signature per doc, no
+  shuffle); pair generation is exact pigeonhole banding — equi-join on
+  (band, chunk), XOR-popcount verify, never a cartesian.
 - embedding near-dup: blocked GEMM against a broadcast normalized matrix —
   one pass, no pair shuffle; for bases beyond broadcast size this becomes
   an LSH/IVF-bucketed pair generation (similarity.py).
@@ -289,9 +291,9 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_bits(docs: DataFrame, num_bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc as a bit string (sign of per-bit weighted
-    sums of token hashes). Entirely per-row Catalyst expressions: the
+def _simhash_counts(num_bits: int = 64):
+    """Per-bit signed counters over the token-hash bag — the shared core
+    of every SimHash rendering. Entirely per-row Catalyst expressions: the
     token loop is ``aggregate`` over the token array, the bit loop a
     ``zip_with`` over 64 counters — no shuffle, no UDF."""
     # hash once per token, then unpack bits with a Python-level loop
@@ -303,18 +305,44 @@ def simhash_bits(docs: DataFrame, num_bits: int = 64) -> DataFrame:
             for j in range(num_bits)
         ]
     )
-    counts = F.aggregate(
+    return F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), num_bits),
         lambda acc, h: F.zip_with(acc, bit_vec(h), lambda a, b: a + b),
     )
+
+
+def simhash_bits(docs: DataFrame, num_bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc as a bit string (sign of per-bit weighted
+    sums of token hashes)."""
+    counts = _simhash_counts(num_bits)
     bits = F.transform(counts, lambda c: F.when(c > 0, F.lit("1")).otherwise(F.lit("0")))
     return docs.select("doc_id", F.array_join(bits, "").alias("simhash"))
 
 
+def simhash_chunks(docs: DataFrame, bands: int = 4, num_bits: int = 64) -> DataFrame:
+    """SimHash as ``bands`` integer chunks of ``num_bits/bands`` bits each
+    (chunk b holds bits [b*w, (b+1)*w)) — the banding-friendly rendering:
+    chunk equality is the pigeonhole bucket key, and Hamming distance is
+    the summed popcount of per-chunk XORs."""
+    w = num_bits // bands
+    counts = _simhash_counts(num_bits)
+    chunk = lambda b: sum(  # noqa: E731
+        [
+            F.when(F.element_at(counts, b * w + j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(w)
+        ],
+        F.lit(0),
+    ).cast("int")
+    chunks = F.array(*[chunk(b) for b in range(bands)])
+    return docs.select("doc_id", chunks.alias("chunks"))
+
+
 def simhash_hamming_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """All pairs within the given Hamming distance (for slices; production
-    path buckets on bit-chunks first, pigeonhole-style)."""
+    """All pairs within the given Hamming distance via an ALL-PAIRS join —
+    the exact slice-sized baseline the pigeonhole path is gated against in
+    tests (tests/test_pipeline.py). The scale path is
+    ``simhash_pigeonhole_pairs``."""
     s = simhash_bits(docs)
     a = s.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
     b = s.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
@@ -331,6 +359,111 @@ def simhash_hamming_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_pigeonhole_pairs(
+    docs: DataFrame, max_hamming: int = 3, bands: int | None = None
+) -> DataFrame:
+    """All (id_a < id_b, hamming) pairs within ``max_hamming`` via
+    pigeonhole banding — EXACT, no cartesian anywhere in the plan.
+
+    Split the 64-bit signature into ``bands`` chunks (default
+    max_hamming + 1). Two signatures within Hamming distance h < bands
+    must agree on at least one whole chunk (pigeonhole), so an equi-join
+    on (band, chunk_value) generates a candidate superset, and a cheap
+    XOR-popcount verifies. Identical signatures collapse to one
+    representative first (same trick as minhash_lsh_pairs): banding,
+    candidate dedup, and verification run per distinct signature, then
+    verified rep pairs expand back through a members join — intra-group
+    pairs are Hamming 0 by construction.
+    """
+    bands = bands if bands is not None else max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs bands > max_hamming, got {bands} <= {max_hamming}"
+        )
+    from mysteryann_spark.session import spread
+
+    groups = (
+        simhash_chunks(docs, bands=bands)
+        .groupBy("chunks")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .localCheckpoint(eager=True)  # reused by banding + expansion joins
+    )
+    banded = spread(
+        groups.select(
+            "rep",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.element_at("chunks", b + 1).alias("chunk"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("rep", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    )
+    a = banded.select("band", "chunk", F.col("rep").alias("rep_a"))
+    b = banded.select("band", "chunk", F.col("rep").alias("rep_b"))
+    # broadcast keeps the hot-chunk pair explosion on the spread probe
+    # side (see minhash_lsh_pairs for the AQE-bytes rationale)
+    cand = (
+        a.join(F.broadcast(b), ["band", "chunk"])
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b")
+        .dropDuplicates(["rep_a", "rep_b"])
+    )
+    ham = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda s, v: s + v,
+    ).cast("int")
+    sides = groups.select("rep", "chunks")
+    verified = (
+        cand.join(
+            F.broadcast(sides.select(F.col("rep").alias("rep_a"), F.col("chunks").alias("ca"))),
+            "rep_a",
+        )
+        .join(
+            F.broadcast(sides.select(F.col("rep").alias("rep_b"), F.col("chunks").alias("cb"))),
+            "rep_b",
+        )
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("rep_a", "rep_b", "hamming")
+    )
+    members = groups.select("rep", "members")
+    cross = (
+        verified.join(
+            F.broadcast(members.select(F.col("rep").alias("rep_a"), F.col("members").alias("ma"))),
+            "rep_a",
+        )
+        .join(
+            F.broadcast(members.select(F.col("rep").alias("rep_b"), F.col("members").alias("mb"))),
+            "rep_b",
+        )
+        .select(F.explode("ma").alias("x"), "mb", "hamming")
+        .select("x", F.explode("mb").alias("y"), "hamming")
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        members.where(F.size("members") >= 2)
+        .select(F.explode("members").alias("id_a"), "members")
+        .select("id_a", F.explode("members").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------

@@ -280,6 +280,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_bits(_docs(spark, sf_dir))
 
 
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance near-dup pairs (<= 3) via exact pigeonhole
+    banding: equi-join on 16-bit signature chunks + XOR-popcount verify,
+    no cartesian in the plan. Rows-only (xxhash64 signatures have no
+    DuckDB equivalent); set equality vs the all-pairs baseline is gated
+    in tests/test_pipeline.py."""
+    from mysteryann_spark.operators.dedup import simhash_pigeonhole_pairs
+
+    return simhash_pigeonhole_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     return embedding_neardup_pairs(e, 0.4).select(
@@ -445,6 +456,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_components": QuerySpec(dedup_components, _COMPONENTS_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
     "dedup_simhash": QuerySpec(dedup_simhash, None),
+    "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs, None),
     "dedup_embedding": QuerySpec(dedup_embedding, _EMB_NEARDUP_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, _ANN_COSINE_SQL),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, None),

@@ -91,6 +91,38 @@ def test_simhash_deterministic_and_discriminative(spark, docs):
         assert pairs.get((did, did + 10_000)) == 0, did
 
 
+def test_simhash_pigeonhole_equals_all_pairs(spark, docs):
+    """Pigeonhole banding is EXACT for hamming <= max_h < bands: the pair
+    set (and distances) must equal the all-pairs baseline, on a corpus
+    augmented with constructed near-dups (a word-permuted copy at hamming
+    0 and single-token-appended copies at small nonzero distances), and
+    the plan must contain no cartesian / nested-loop join."""
+    from mysteryann_spark.operators.dedup import simhash_pigeonhole_pairs
+    from mysteryann_spark.plans.inspect import formatted_plan
+
+    permuted = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.col("text"), r"\s+")), " ").alias("text"),
+    )
+    appended = docs.select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.lit("zzzuniquetoken")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(permuted).unionByName(appended)
+    exact = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(corpus, max_hamming=3).collect()
+    }
+    assert len(exact) > 100  # permuted copies guarantee hamming-0 pairs
+    assert any(h > 0 for h in exact.values())  # and some nonzero distances
+    banded_df = simhash_pigeonhole_pairs(corpus, max_hamming=3)
+    banded = {(r["id_a"], r["id_b"]): r["hamming"] for r in banded_df.collect()}
+    assert banded == exact
+    plan = formatted_plan(banded_df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark, emb):
     q = emb.where("vec_id < 50").select(F.col("vec_id").alias("qid"), "embedding")
     exact = knn_join(q, emb, 5, "cosine", exclude_self=True)
