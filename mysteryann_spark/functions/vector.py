@@ -82,6 +82,30 @@ def np_normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def np_pair_distances(metric: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise paired distances: out[i] = dist(a[i], b[i]), shape (n,).
+
+    The batched beam search scores (query, neighbor) PAIRS — a full
+    cross-product GEMM would waste batch_size x the flops — so this is
+    the O(pairs * dim) einsum form of the same FastL2 / IP / cosine
+    formulas as np_distances."""
+    a = np.ascontiguousarray(a, dtype=np.float64)
+    b = np.ascontiguousarray(b, dtype=np.float64)
+    if metric == "l2":
+        d = (
+            np.einsum("ij,ij->i", a, a)
+            + np.einsum("ij,ij->i", b, b)
+            - 2.0 * np.einsum("ij,ij->i", a, b)
+        )
+        np.maximum(d, 0.0, out=d)
+        return d
+    if metric == "ip":
+        return -np.einsum("ij,ij->i", a, b)
+    if metric == "cosine":
+        return -np.einsum("ij,ij->i", np_normalize(a), np_normalize(b))
+    raise ValueError(f"unknown metric {metric!r}")
+
+
 def np_distances(metric: str, queries: np.ndarray, base: np.ndarray) -> np.ndarray:
     """Pairwise distances, shape (n_queries, n_base); all metrics minimize.
 

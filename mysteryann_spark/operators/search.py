@@ -40,7 +40,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from mysteryann_spark.functions.vector import np_distances
+from mysteryann_spark.functions.vector import np_distances, np_pair_distances
+
+# lockstep batch width for the shared-distance-call beam search: big
+# enough that one einsum round amortizes numpy call overhead, small
+# enough that per-round Python state (pools + visited sets) stays cheap
+_BATCH_CHUNK = 256
 
 _RESULT_SCHEMA = StructType(
     [
@@ -71,49 +76,86 @@ def _build_csr(adj_rows: list, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]
     return indptr, indices
 
 
-def _beam_search_one(
-    qvec: np.ndarray,
+def _beam_search_batch(
+    qmat: np.ndarray,
     ep_row: int,
     indptr: np.ndarray,
     indices: np.ndarray,
     bmat: np.ndarray,
     l_search: int,
     metric: str,
-    exclude_row: int = -1,
-) -> tuple[list[tuple[float, int]], int, int]:
-    """One query's best-first loop. Pool entries are (dist, row) kept
-    sorted; expanded rows tracked separately — NeighborPriorityQueue
-    semantics (neighbor.h:138-223) with the (dist, id) total order."""
-    d0 = float(np_distances(metric, qvec[None, :], bmat[ep_row][None, :])[0, 0])
-    pool: list[tuple[float, int]] = [(d0, ep_row)]
-    expanded: set[int] = set()
-    visited: set[int] = {ep_row}
-    # cmps counts post-seed distance evaluations only — the reference
-    # zeroes its comparison counter after scoring the entry point
-    # (SearchRoarGraph, src/index_bipartite.cpp:2311-2420)
-    cmps, hops = 0, 0
-    while True:
-        cur = next(((d, r) for d, r in pool if r not in expanded), None)
-        if cur is None:
-            break
-        expanded.add(cur[1])
-        hops += 1
-        nbrs = indices[indptr[cur[1]] : indptr[cur[1] + 1]]
-        fresh = [n for n in nbrs if n not in visited and n != exclude_row]
-        if not fresh:
+    exclude_rows: np.ndarray,
+) -> tuple[list[list[tuple[float, int]]], np.ndarray, np.ndarray]:
+    """Best-first loop for a BATCH of queries in lockstep. Per query the
+    state evolution is identical to running the sequential loop alone —
+    pool entries are (dist, row) kept sorted, expanded rows tracked
+    separately: NeighborPriorityQueue semantics (neighbor.h:138-223) with
+    the (dist, id) total order. Lockstep exists purely to amortize the
+    distance kernel: each round gathers every live query's one frontier
+    expansion and scores all (query, neighbor) pairs with a single
+    row-wise einsum call, instead of one numpy call per (query, hop) —
+    the per-call overhead was the #1 cost of the graph build's
+    connectivity phase.
+
+    cmps counts post-seed distance evaluations only — the reference
+    zeroes its comparison counter after scoring the entry point
+    (SearchRoarGraph, src/index_bipartite.cpp:2311-2420).
+
+    Returns (pools, cmps, hops) with one entry per query row.
+    """
+    n_q = qmat.shape[0]
+    d0 = np_pair_distances(metric, qmat, np.broadcast_to(bmat[ep_row], qmat.shape))
+    pools: list[list[tuple[float, int]]] = [[(float(d0[i]), int(ep_row))] for i in range(n_q)]
+    expanded: list[set[int]] = [set() for _ in range(n_q)]
+    visited: list[set[int]] = [{int(ep_row)} for _ in range(n_q)]
+    cmps = np.zeros(n_q, dtype=np.int64)
+    hops = np.zeros(n_q, dtype=np.int64)
+    live = list(range(n_q))
+    while live:
+        nxt: list[int] = []
+        owners: list[tuple[int, int]] = []  # (query idx, n fresh)
+        fresh_all: list[int] = []
+        for i in live:
+            pool, exp = pools[i], expanded[i]
+            cur = next(((d, r) for d, r in pool if r not in exp), None)
+            if cur is None:
+                continue  # pool fully expanded -> query done
+            nxt.append(i)
+            exp.add(cur[1])
+            hops[i] += 1
+            vis, ex = visited[i], exclude_rows[i]
+            fresh = [
+                n
+                for n in indices[indptr[cur[1]] : indptr[cur[1] + 1]]
+                if n not in vis and n != ex
+            ]
+            if fresh:
+                vis.update(fresh)
+                owners.append((i, len(fresh)))
+                fresh_all.extend(fresh)
+        live = nxt
+        if not fresh_all:
             continue
-        visited.update(fresh)
-        batch = np.asarray(fresh, dtype=np.int64)
-        dists = np_distances(metric, qvec[None, :], bmat[batch])[0]
-        cmps += len(fresh)
-        worst = pool[-1][0] if len(pool) >= l_search else np.inf
-        for d, r in zip(dists, batch):
-            if d < worst or len(pool) < l_search:
-                insort(pool, (float(d), int(r)))
-                if len(pool) > l_search:
-                    dropped = pool.pop()
-                    worst = pool[-1][0]
-    return pool, cmps, hops
+        rows = np.asarray(fresh_all, dtype=np.int64)
+        qidx = np.repeat(
+            np.fromiter((i for i, _ in owners), dtype=np.int64, count=len(owners)),
+            np.fromiter((nf for _, nf in owners), dtype=np.int64, count=len(owners)),
+        )
+        dists = np_pair_distances(metric, qmat[qidx], bmat[rows])
+        off = 0
+        for i, nf in owners:
+            ds, rs = dists[off : off + nf], rows[off : off + nf]
+            off += nf
+            cmps[i] += nf
+            pool = pools[i]
+            worst = pool[-1][0] if len(pool) >= l_search else np.inf
+            for d, r in zip(ds, rs):
+                if d < worst or len(pool) < l_search:
+                    insort(pool, (float(d), int(r)))
+                    if len(pool) > l_search:
+                        pool.pop()
+                        worst = pool[-1][0]
+    return pools, cmps, hops
 
 
 def _beam_search_bipartite_one(
@@ -255,26 +297,41 @@ def search_graph(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_ids, b_mat, b_indptr, b_indices, b_ep = bc.value
         for pdf in batches:
+            if pdf.empty:
+                continue
             out = {c: [] for c in ("qid", "nn_id", "dist", "rank", "cmps", "hops")}
-            for qid, vec in zip(pdf[query_id], pdf[vec_col]):
-                qvec = np.asarray(vec, dtype=np.float64)
-                excl = int(np.searchsorted(b_ids, qid)) if exclude_self else -1
-                if excl >= 0 and (excl >= len(b_ids) or b_ids[excl] != qid):
-                    excl = -1
-                pool, cmps, hops = _beam_search_one(
-                    qvec, b_ep, b_indptr, b_indices, b_mat, l_search, metric, excl
+            # lockstep chunks bound per-round state while keeping the
+            # shared distance call large enough to amortize
+            for s in range(0, len(pdf), _BATCH_CHUNK):
+                sub = pdf.iloc[s : s + _BATCH_CHUNK]
+                qids = sub[query_id].to_numpy()
+                qmat = np.stack([np.asarray(v, dtype=np.float64) for v in sub[vec_col]])
+                if exclude_self:
+                    excl = np.searchsorted(b_ids, qids)
+                    in_range = excl < len(b_ids)
+                    excl = np.where(
+                        in_range & (b_ids[np.minimum(excl, len(b_ids) - 1)] == qids),
+                        excl,
+                        -1,
+                    )
+                else:
+                    excl = np.full(len(sub), -1, dtype=np.int64)
+                pools, cmps, hops = _beam_search_batch(
+                    qmat, b_ep, b_indptr, b_indices, b_mat, l_search, metric, excl
                 )
-                if excl >= 0:
-                    # the entry point always seeds the pool — when the query
-                    # IS the medoid, its own row must still be dropped here
-                    pool = [(d, r) for d, r in pool if r != excl]
-                for rank, (d, row) in enumerate(pool[:k], start=1):
-                    out["qid"].append(qid)
-                    out["nn_id"].append(int(b_ids[row]))
-                    out["dist"].append(d)
-                    out["rank"].append(rank)
-                    out["cmps"].append(cmps)
-                    out["hops"].append(hops)
+                for j, qid in enumerate(qids):
+                    pool = pools[j]
+                    if excl[j] >= 0:
+                        # the entry point always seeds the pool — when the
+                        # query IS the medoid, its row must still drop here
+                        pool = [(d, r) for d, r in pool if r != excl[j]]
+                    for rank, (d, row) in enumerate(pool[:k], start=1):
+                        out["qid"].append(qid)
+                        out["nn_id"].append(int(b_ids[row]))
+                        out["dist"].append(d)
+                        out["rank"].append(rank)
+                        out["cmps"].append(int(cmps[j]))
+                        out["hops"].append(int(hops[j]))
             yield pd.DataFrame(out)
 
     return queries_df.select(query_id, vec_col).mapInPandas(run, _RESULT_SCHEMA)
