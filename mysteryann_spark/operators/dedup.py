@@ -663,17 +663,23 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """All (a < b) pairs with cosine similarity >= threshold.
 
-    Blocked GEMM: the normalized matrix is broadcast; each partition
-    multiplies its block against it and emits only threshold-passing pairs
-    — O(n^2) flops but O(pairs_found) rows, never a pair shuffle."""
-    spark = emb.sparkSession
-    rows = sorted(emb.select(base_id, vec_col).collect(), key=lambda r: r[0])
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np_normalize(np.stack([np.asarray(r[1], dtype=np.float64) for r in rows]))
-    bc = spark.sparkContext.broadcast((ids, mat))
+    Blocked GEMM: the normalized matrix stages to Parquet once (a
+    distributed write — no driver collect; sources/staging.py) and each
+    worker loads it lazily; every partition multiplies its block against
+    it and emits only threshold-passing pairs — O(n^2) flops but
+    O(pairs_found) rows, never a pair shuffle. The flop count still caps
+    this operator at oracle-baseline scales; the 100 TB path is
+    ``ann_neardup_pairs``."""
+    from mysteryann_spark.sources.staging import load_staged, read_staged, stage_parquet, table_matrix
+
+    path = stage_parquet(emb.select(base_id, vec_col))
+
+    def _build():
+        ids, mat = table_matrix(read_staged(path), base_id, vec_col)
+        return ids, np_normalize(mat)
 
     def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat = bc.value
+        all_ids, all_mat = load_staged(path, _build)
         for pdf in batches:
             if pdf.empty:
                 continue

@@ -6,13 +6,15 @@ node's adjacency, tag visited, stop when the top-L queue has no unexpanded
 entry; emit top-k (ids, dists) plus (cmps, hops) cost counters.
 
 Spark shape (broadcast path): the index — CSR adjacency + the base matrix
-— is broadcast once per executor; queries stream through ``mapInPandas``
-and each runs the sequential beam loop in numpy (per-expansion distance
-computation is one vectorized kernel call over the neighbor batch — the
-Arrow/numpy stand-in for the AVX loop + prefetch). Per-query visited
-tracking is a plain set — the executor-local replacement for the epoch
-visited-array pool (visited_list_pool.h), which exists only to amortize
-allocation across OS threads.
+— is staged ONCE to Parquet by a distributed write and loaded lazily by
+each Python worker (sources/staging.py; no driver collect round-trip);
+queries stream through ``mapInPandas`` and run the lockstep beam loop in
+numpy (per-round distance computation is one vectorized kernel call over
+every live query's neighbor batch — the Arrow/numpy stand-in for the AVX
+loop + prefetch). Per-query visited tracking is a plain set — the
+executor-local replacement for the epoch visited-array pool
+(visited_list_pool.h), which exists only to amortize allocation across
+OS threads.
 
 Scale: this path assumes the index fits in executor memory — the same
 assumption the single-node reference makes for its whole lifetime. The
@@ -41,6 +43,30 @@ from pyspark.sql.types import (
 )
 
 from mysteryann_spark.functions.vector import np_distances, np_pair_distances
+from mysteryann_spark.sources.staging import (
+    load_staged,
+    read_staged,
+    stage_parquet,
+    table_adjacency,
+    table_matrix,
+)
+
+
+def stage_graph_index(
+    base_df: DataFrame,
+    adj_df: DataFrame,
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+    storage_dir: str | None = None,
+) -> tuple[str, str]:
+    """Stage the (base vectors, adjacency) index pair to Parquet once via
+    distributed writes; callers running several searches over one index
+    (sweeps, repeated queries) pass the result to ``search_graph`` so the
+    write and the per-worker load both happen once."""
+    return (
+        stage_parquet(base_df.select(base_id, vec_col), storage_dir),
+        stage_parquet(adj_df, storage_dir),
+    )
 
 # lockstep batch width for the shared-distance-call beam search: big
 # enough that one einsum round amortizes numpy call overhead, small
@@ -224,30 +250,30 @@ def search_bipartite(
     global ID space: base [0, base_count), query nodes above). The
     reference draws its 10 seeds from random_device — nondeterministic by
     design; here they're drawn from a (seed, qid)-keyed generator so runs
-    are reproducible (SURVEY.md §5 determinism stance)."""
-    spark = base_df.sparkSession
-    brows = base_df.select(base_id, vec_col).collect()
-    brows.sort(key=lambda r: r[0])
-    ids = np.array([r[0] for r in brows], dtype=np.int64)
-    if len(ids) != base_count or ids[0] != 0 or ids[-1] != base_count - 1:
-        raise ValueError("bipartite search requires dense base ids [0, base_count)")
-    bmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in brows])
+    are reproducible (SURVEY.md §5 determinism stance). The index stages
+    to Parquet and loads executor-side (sources/staging.py)."""
+    base_path = stage_parquet(base_df.select(base_id, vec_col))
+    adj_path = stage_parquet(adj_df)
 
-    adj_rows = [(int(r[0]), [int(x) for x in r[1]]) for r in adj_df.collect()]
-    total = max(base_count, max(n for n, _ in adj_rows) + 1 if adj_rows else 0)
-    nbr_lists: list[list[int]] = [[] for _ in range(total)]
-    for node, nbrs in adj_rows:
-        nbr_lists[node] = nbrs
-    indptr = np.zeros(total + 1, dtype=np.int64)
-    for i, lst in enumerate(nbr_lists):
-        indptr[i + 1] = indptr[i] + len(lst)
-    indices = np.fromiter(
-        (x for lst in nbr_lists for x in lst), dtype=np.int64, count=int(indptr[-1])
-    )
-    bc = spark.sparkContext.broadcast((bmat, indptr, indices))
+    def _build():
+        ids, bmat = table_matrix(read_staged(base_path), base_id, vec_col)
+        if len(ids) != base_count or ids[0] != 0 or ids[-1] != base_count - 1:
+            raise ValueError("bipartite search requires dense base ids [0, base_count)")
+        adj_rows = table_adjacency(read_staged(adj_path))
+        total = max(base_count, max(n for n, _ in adj_rows) + 1 if adj_rows else 0)
+        nbr_lists: list[list[int]] = [[] for _ in range(total)]
+        for node, nbrs in adj_rows:
+            nbr_lists[node] = nbrs
+        indptr = np.zeros(total + 1, dtype=np.int64)
+        for i, lst in enumerate(nbr_lists):
+            indptr[i + 1] = indptr[i] + len(lst)
+        indices = np.fromiter(
+            (x for lst in nbr_lists for x in lst), dtype=np.int64, count=int(indptr[-1])
+        )
+        return bmat, indptr, indices
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_mat, b_indptr, b_indices = bc.value
+        b_mat, b_indptr, b_indices = load_staged(base_path + "|" + adj_path, _build)
         for pdf in batches:
             out = {c: [] for c in ("qid", "nn_id", "dist", "rank", "cmps", "hops")}
             for qid, vec in zip(pdf[query_id], pdf[vec_col]):
@@ -281,21 +307,27 @@ def search_graph(
     base_id: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = False,
+    staged: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Top-k ANN for every query row; returns
-    ``(qid, nn_id, dist, rank, cmps, hops)``."""
-    spark = base_df.sparkSession
-    brows = base_df.select(base_id, vec_col).collect()
-    brows.sort(key=lambda r: r[0])
-    ids = np.array([r[0] for r in brows], dtype=np.int64)
-    bmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in brows])
-    adj_rows = [(r[0], r[1]) for r in adj_df.collect()]
-    indptr, indices = _build_csr(adj_rows, ids)
-    ep_row = int(np.searchsorted(ids, entry_point))
-    bc = spark.sparkContext.broadcast((ids, bmat, indptr, indices, ep_row))
+    ``(qid, nn_id, dist, rank, cmps, hops)``.
+
+    ``staged``: optional ``(base_path, adj_path)`` from ``stage_graph_index``
+    — repeated searches over one index (sweeps) stage once and reuse.
+    """
+    if staged is None:
+        staged = stage_graph_index(base_df, adj_df, base_id=base_id, vec_col=vec_col)
+    base_path, adj_path = staged
+
+    def _build():
+        ids, bmat = table_matrix(read_staged(base_path), base_id, vec_col)
+        adj_rows = table_adjacency(read_staged(adj_path))
+        indptr, indices = _build_csr(adj_rows, ids)
+        return ids, bmat, indptr, indices
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_ids, b_mat, b_indptr, b_indices, b_ep = bc.value
+        b_ids, b_mat, b_indptr, b_indices = load_staged(base_path + "|" + adj_path, _build)
+        b_ep = int(np.searchsorted(b_ids, entry_point))
         for pdf in batches:
             if pdf.empty:
                 continue

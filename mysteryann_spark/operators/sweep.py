@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from mysteryann_spark.operators.evaluate import recall_at_k
 from mysteryann_spark.operators.knn import knn_join_arrays
-from mysteryann_spark.operators.search import search_graph
+from mysteryann_spark.operators.search import search_graph, stage_graph_index
 from mysteryann_spark.session import spread
 
 
@@ -42,11 +42,15 @@ def search_sweep(
     gt = knn_join_arrays(queries_df, base_df, k, metric).localCheckpoint()
     n_queries = queries_df.count()
     q = spread(queries_df)
+    # stage the index once for the whole sweep — every L_pq point reuses
+    # the same Parquet artifacts and each worker's cached load
+    staged = stage_graph_index(base_df, adj_df)
     rows = []
     for l_pq in l_values:
         t0 = time.time()
         res = search_graph(
-            q, base_df, adj_df, entry_point, k=k, l_search=l_pq, metric=metric
+            q, base_df, adj_df, entry_point, k=k, l_search=l_pq, metric=metric,
+            staged=staged,
         ).localCheckpoint(eager=True)
         wall = time.time() - t0
         res_arr = (

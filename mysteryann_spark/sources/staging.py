@@ -1,0 +1,89 @@
+"""Executor-side staging of in-memory index artifacts — no driver collect.
+
+The broadcast search path needs the whole index (base matrix + CSR
+adjacency) resident next to every kernel. Round 1 built that by
+``collect()``-ing the tables at the driver and broadcasting — the
+reference's single-node regime, but the driver is the one node that
+cannot scale: a 10^8-row base would round-trip through driver memory.
+
+Staging replaces the round-trip with storage: the artifact tables are
+written ONCE as Parquet by a distributed Spark job, and each Python
+worker process lazily reads them back with pyarrow on first use and
+caches the built artifact (workers are reused across tasks, so the cost
+amortizes across the whole query stream). This is the Spark ML model
+pattern: artifacts live on shared storage, not in the driver heap.
+
+Locally the temp dir is process-shared; on a cluster callers pass
+``storage_dir`` on cluster-visible storage (HDFS/S3) — the same contract
+every Spark ML writer has.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections import OrderedDict
+from typing import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+# per-Python-worker artifact cache; bounded so repeated stagings of
+# throwaway indexes (tests, sweeps with fresh builds) can't accumulate
+_CACHE: "OrderedDict[str, object]" = OrderedDict()
+_CACHE_MAX = 8
+
+
+def stage_parquet(df: DataFrame, storage_dir: str | None = None) -> str:
+    """Write ``df`` once via a distributed job; returns the artifact path."""
+    base = storage_dir or tempfile.mkdtemp(prefix="mysteryann-stage-")
+    path = os.path.join(base, uuid.uuid4().hex)
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def load_staged(key: str, build: Callable[[], object]) -> object:
+    """Executor-side: build an artifact's in-memory form once per worker
+    process. ``build`` reads the staged Parquet itself (``read_staged``);
+    ``key`` is usually the staged path (or a composite of several)."""
+    obj = _CACHE.get(key)
+    if obj is None:
+        obj = build()
+        _CACHE[key] = obj
+        while len(_CACHE) > _CACHE_MAX:
+            _CACHE.popitem(last=False)
+    return obj
+
+
+def read_staged(path: str):
+    """Read a staged Parquet artifact as one Arrow table (executor-side;
+    pyarrow skips the _SUCCESS marker)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path)
+
+
+def table_matrix(tbl, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, float64 matrix) from an Arrow table, id-sorted. The list
+    column is flattened through its offsets — one buffer copy, no
+    per-row Python objects."""
+    ids = tbl[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    arr = tbl[vec_col].combine_chunks()
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    if len(widths) == 0:
+        raise ValueError("staged base table is empty")
+    if not np.all(widths == widths[0]):
+        raise ValueError("staged vectors are ragged; expected fixed dim")
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = flat.reshape(len(ids), int(widths[0]))
+    order = np.argsort(ids, kind="stable")
+    return ids[order].astype(np.int64), mat[order]
+
+
+def table_adjacency(tbl, node_col: str = "node", nbrs_col: str = "nbrs"):
+    """list[(node, [nbr, ...])] from an Arrow adjacency table."""
+    nodes = tbl[node_col].combine_chunks().to_numpy(zero_copy_only=False)
+    nbrs = tbl[nbrs_col].combine_chunks().to_pylist()
+    return [(int(n), lst or []) for n, lst in zip(nodes, nbrs)]
