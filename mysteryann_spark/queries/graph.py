@@ -22,21 +22,24 @@ from mysteryann_spark.sources.tables import load_table
 
 # Registered build config (scaled-down run_roargraph_test.sh:5-10 shape).
 PARAMS = IndexParams(M_sq=20, M_pjbp=8, L_pjpq=40, k=10, L_pq=40, metric="l2")
+# The reference's flagship run is dist=ip (run_roargraph_test.sh:7) — the
+# same knobs under negated inner product.
+PARAMS_IP = IndexParams(M_sq=20, M_pjbp=8, L_pjpq=40, k=10, L_pq=40, metric="ip")
 _N_SEARCH_QUERIES = 50
 
 
 _BUILD_CACHE: dict = {}
 
 
-def _build(spark: SparkSession, sf_dir: str):
-    """Build once per (session, sf_dir): four registry entries share the
-    same index, and the driver's correctness gate runs them all in one
-    session — rebuilding an identical (deterministic, tested) graph per
-    query would quadruple gate time for no information."""
-    key = (id(spark.sparkContext), sf_dir)
+def _build(spark: SparkSession, sf_dir: str, params: IndexParams = PARAMS):
+    """Build once per (session, sf_dir, metric): the registry entries
+    share the same index, and the driver's correctness gate runs them all
+    in one session — rebuilding an identical (deterministic, tested)
+    graph per query would quadruple gate time for no information."""
+    key = (id(spark.sparkContext), sf_dir, params.metric)
     if key not in _BUILD_CACHE:
         emb = load_table(spark, "embeddings", sf_dir).cache()
-        adj, ep = build_roargraph_from_table(spark, emb, PARAMS)
+        adj, ep = build_roargraph_from_table(spark, emb, params)
         _BUILD_CACHE[key] = (emb, adj.localCheckpoint(), ep)
     return _BUILD_CACHE[key]
 
@@ -57,6 +60,22 @@ def roargraph_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = search_graph(
         q, emb, adj.localCheckpoint(), ep,
         k=PARAMS.k, l_search=PARAMS.L_pq, metric=PARAMS.metric,
+    )
+    return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank", "cmps", "hops")
+
+
+def roargraph_search_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search over a graph BUILT AND SEARCHED under negated inner
+    product — the reference's flagship configuration (dist=ip,
+    run_roargraph_test.sh:7). Rows-only; the recall gate for this metric
+    lives in tests/test_graph.py (test_build_and_search_ip_metric)."""
+    emb, adj, ep = _build(spark, sf_dir, PARAMS_IP)
+    q = emb.where(F.col("vec_id") < _N_SEARCH_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    res = search_graph(
+        q, emb, adj.localCheckpoint(), ep,
+        k=PARAMS_IP.k, l_search=PARAMS_IP.L_pq, metric=PARAMS_IP.metric,
     )
     return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank", "cmps", "hops")
 
@@ -106,8 +125,10 @@ def bipartite_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def roargraph_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's headline evaluation (run_roargraph_search_test.sh):
     recall@k / QPS / latency / avg cmps / avg hops per L_pq sweep point.
-    Rows-only (timings aren't SQL); recall monotonicity + floor gated in
-    tests."""
+    The reference protocol sweeps a dense L list from k up to several
+    hundred (run_roargraph_search_test.sh:1-15); registered here are 8
+    points spanning that range at the scaled-down build. Rows-only
+    (timings aren't SQL); recall monotonicity + floor gated in tests."""
     from mysteryann_spark.operators.sweep import search_sweep
 
     emb, adj, ep = _build(spark, sf_dir)
@@ -115,13 +136,15 @@ def roargraph_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), "embedding"
     )
     return search_sweep(q, emb, adj, ep, k=PARAMS.k,
-                        l_values=[10, 20, 40], metric=PARAMS.metric)
+                        l_values=[10, 15, 20, 30, 40, 60, 80, 100],
+                        metric=PARAMS.metric)
 
 
 QUERIES: dict[str, QuerySpec] = {
     "roargraph_sweep": QuerySpec(roargraph_sweep, None),
     "roargraph_degrees": QuerySpec(roargraph_degrees, None),
     "roargraph_search_topk": QuerySpec(roargraph_search_topk, None),
+    "roargraph_search_ip": QuerySpec(roargraph_search_ip, None),
     "roargraph_search_distributed": QuerySpec(roargraph_search_distributed, None),
     "bipartite_search_topk": QuerySpec(bipartite_search_topk, None),
 }

@@ -179,6 +179,25 @@ def test_build_and_search_cosine_metric(spark, emb):
     assert recall >= 0.95, f"cosine recall@10={recall}"
 
 
+def test_build_and_search_ip_metric(spark, emb):
+    """The reference's FLAGSHIP config is dist=ip (run_roargraph_test.sh:7)
+    — negated inner product, distance.h:223. Build + search under ip must
+    hit the same recall gate as L2/cosine."""
+    p = IndexParams(M_sq=20, M_pjbp=8, L_pjpq=40, k=10, L_pq=40, metric="ip")
+    adj, ep = build_roargraph_from_table(spark, emb, p)
+    adj = adj.localCheckpoint()
+    q = emb.where("vec_id < 100").select(F.col("vec_id").alias("qid"), "embedding")
+    res = search_graph(q, emb, adj, ep, k=10, l_search=40, metric="ip")
+    res_arr = (
+        res.groupBy("qid")
+        .agg(F.array_sort(F.collect_list(F.struct("rank", "nn_id"))).alias("t"))
+        .select("qid", F.transform("t", lambda x: x["nn_id"]).alias("nn"))
+    )
+    gt = knn_join_arrays(q, emb, 10, "ip")
+    recall = mean_recall(res_arr, gt, 10)
+    assert recall >= 0.95, f"ip recall@10={recall}"
+
+
 def test_search_sweep_recall_monotone(spark, emb, index):
     """The reference's sweep protocol: recall must not degrade as L_pq
     grows, and the largest beam must clear the quality gate."""
