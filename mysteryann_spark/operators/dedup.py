@@ -592,6 +592,7 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         lab = nodes.select(F.col("id"), F.col("id").alias("comp")).localCheckpoint(eager=True)
+        changed = -1
         for _ in range(max_iters):
             prop = (
                 lab.join(sym, "id")
@@ -612,6 +613,16 @@ def connected_components(
                 break
     finally:
         spark.conf.set(_CONSTRAINT_CONF, prev)
+    if changed != 0:
+        # silently returning partial labels would hand dedup_groups
+        # multiple "canonical survivors" for one true group — refuse
+        # (dedup-shaped graphs converge in a handful of rounds; hitting
+        # this means the input is not one, or max_iters is mis-set)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters for "
+            f"long-chain graphs (diameter > max_iters)"
+        )
     return lab
 
 

@@ -37,8 +37,25 @@ def salted_join(
     task retry). With ``hot_keys`` given, only those keys are salted and
     the rest join unreplicated, keeping the replication cost proportional
     to the hot set.
+
+    Only left-preserving join types are supported (``inner``, ``left``,
+    ``left_semi``, ``left_anti``): the right side is replicated once per
+    salt, so right/full outer would null-extend every unmatched right row
+    ``n_salts`` times. Left semi/anti stay correct because each right row
+    exists in every salt bucket — a (non-)match in the left row's own
+    bucket is a global (non-)match.
     """
-    out_cols = [c for c in left.columns] + [c for c in right.columns if c != on]
+    supported = {"inner", "left", "left_outer", "left_semi", "leftsemi",
+                 "left_anti", "leftanti"}
+    if how not in supported:
+        raise ValueError(
+            f"salted_join supports {sorted(supported)} (right side is "
+            f"replicated per salt; {how!r} would duplicate unmatched right rows)"
+        )
+    left_only = how in ("left_semi", "leftsemi", "left_anti", "leftanti")
+    out_cols = [c for c in left.columns] + (
+        [] if left_only else [c for c in right.columns if c != on]
+    )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     salts_arr = F.array(*[F.lit(i) for i in range(n_salts)])
 

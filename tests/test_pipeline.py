@@ -186,6 +186,52 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 99: 99}
 
 
+def test_connected_components_raises_when_not_converged(spark):
+    """A chain longer than max_iters must refuse rather than silently
+    return split components."""
+    import pytest as _pytest
+
+    from mysteryann_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(13)], "id long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iters=3)
+    got = {r["id"]: r["comp"] for r in connected_components(edges, nodes, max_iters=15).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_salted_join_rejects_right_preserving_types(spark):
+    """Right/full outer would duplicate unmatched right rows once per
+    salt — the operator must refuse instead of silently multiplying."""
+    import pytest as _pytest
+
+    from mysteryann_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, lv long")
+    right = spark.createDataFrame([(2, 20)], "k long, rv long")
+    for how in ("right", "full", "full_outer", "cross"):
+        with _pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, "k", how=how)
+
+
+def test_salted_join_left_and_semi_types(spark):
+    """Supported non-inner types must match the plain join exactly."""
+    from mysteryann_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1 if i < 90 else i % 7, i) for i in range(100)], "k long, lv long"
+    )
+    right = spark.createDataFrame([(i, i * 10) for i in range(5)], "k long, rv long")
+    for how in ("left", "left_semi", "left_anti"):
+        plain = sorted(map(tuple, left.join(right, "k", how).collect()))
+        salted = sorted(map(tuple, salted_join(left, right, "k", n_salts=4, how=how).collect()))
+        assert salted == plain, how
+        hot = sorted(map(tuple, salted_join(
+            left, right, "k", n_salts=4, how=how, hot_keys=[1]).collect()))
+        assert hot == plain, how
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting must be result-invariant: same rows as the plain join on a
     skewed key distribution (one key owns 90% of the left side)."""
