@@ -50,6 +50,24 @@ def _bucket_expr(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def _sample_kmeans(
+    vecs: np.ndarray, k: int, max_iter: int, seed: int
+) -> np.ndarray:
+    """Seeded Lloyd iterations over an in-memory sample. Empty clusters
+    keep their previous centroid (deterministic, no resampling)."""
+    rng = np.random.default_rng(seed)
+    n = len(vecs)
+    cent = vecs[rng.choice(n, size=min(k, n), replace=False)].copy()
+    for _ in range(max_iter):
+        d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            members = vecs[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
 def ivf_cosine_topk(
     queries_df: DataFrame,
     base_df: DataFrame,
@@ -58,6 +76,7 @@ def ivf_cosine_topk(
     n_probe: int = 4,
     max_iter: int = 5,
     seed: int = 42,
+    train_sample: int = 4096,
     query_id: str = "qid",
     base_id: str = "vec_id",
     vec_col: str = "embedding",
@@ -65,21 +84,23 @@ def ivf_cosine_topk(
 ) -> DataFrame:
     """IVF (inverted-file) approximate cosine top-k.
 
-    Build: KMeans (Spark ML, seeded) over L2-normalized base vectors;
-    every base vector lands in one centroid's inverted list. Search: each
-    query probes its ``n_probe`` nearest centroids and exact-reranks only
-    those lists — per-query work drops to ~n_probe/n_centroids of the
-    base, and the candidate join is a plain equi-join on the centroid id.
+    Build: seeded k-means over a BOUNDED sample of L2-normalized base
+    vectors (the FAISS IVF training protocol — centroids are a tiny
+    model, and training on more than a few thousand points per centroid
+    buys nothing); every base vector lands in one centroid's inverted
+    list. Search: each query probes its ``n_probe`` nearest centroids
+    and exact-reranks only those lists — per-query work drops to
+    ~n_probe/n_centroids of the base, and the candidate join is a plain
+    equi-join on the centroid id.
 
     Scale shape: the base side is shuffled ONCE on centroid id (at 100 TB
     this is the partitioning you'd persist/bucket the index by); queries
     explode x n_probe and join on the same key, so Catalyst co-partitions
-    both sides. Centroid scoring broadcasts a (n_centroids x dim) literal
-    — always tiny. Returns (qid, nn_id, dist, rank) like knn_join.
+    both sides. The training sample is a deterministic hash-slice of at
+    most ``train_sample`` rows — the one collect here is bounded by the
+    model size, not the data size. Returns (qid, nn_id, dist, rank) like
+    knn_join.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
     norm = lambda c: F.transform(  # noqa: E731
         c,
         lambda x: x.cast("double")
@@ -88,15 +109,17 @@ def ivf_cosine_topk(
     b = base_df.select(F.col(base_id).alias("nn_id"), norm(F.col(vec_col)).alias("nvec"))
     q = queries_df.select(F.col(query_id).alias("qid"), norm(F.col(vec_col)).alias("qvec"))
 
-    # random init (seeded): k-means|| spends several extra jobs picking
-    # seeds, which IVF bucketing doesn't need — probe-N absorbs mediocre
-    # centroids, and the recall gate (tests) holds either way.
-    km = KMeans(
-        k=n_centroids, maxIter=max_iter, seed=seed,
-        initMode="random", featuresCol="features",
+    # deterministic hash-sample: keep ids whose xxhash64 falls in the
+    # smallest 1/rate buckets — no sort, no shuffle, stable under retry
+    n_base = base_df.count()
+    rate = max(1, int(np.ceil(n_base / float(train_sample))))
+    sample_pdf = (
+        b.where(F.pmod(F.xxhash64(F.col("nn_id")), F.lit(rate)) == 0)
+        .select("nvec")
+        .toPandas()
     )
-    model = km.fit(b.select(array_to_vector("nvec").alias("features")))
-    cmat = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+    train = np.stack([np.asarray(v, dtype=np.float64) for v in sample_pdf["nvec"]])
+    cmat = _sample_kmeans(train, n_centroids, max_iter, seed)
     bc = b.sparkSession.sparkContext.broadcast(cmat)
 
     # centroid scoring as an Arrow-batched UDF over the broadcast
