@@ -42,7 +42,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from mysteryann_spark.functions.vector import np_distances, np_pair_distances
+from mysteryann_spark.functions.vector import np_pair_distances
 from mysteryann_spark.sources.staging import (
     load_staged,
     read_staged,
@@ -184,52 +184,91 @@ def _beam_search_batch(
     return pools, cmps, hops
 
 
-def _beam_search_bipartite_one(
-    qvec: np.ndarray,
-    seed_rows: np.ndarray,
+def _beam_search_bipartite_batch(
+    qmat: np.ndarray,
+    seed_rows_list: list[list[int]],
     indptr: np.ndarray,
     indices: np.ndarray,
     bmat: np.ndarray,
     l_search: int,
     metric: str,
-) -> tuple[list[tuple[float, int]], int, int]:
-    """2-hop best-first loop over the bipartite graph
-    (SearchBipartiteGraph, src/index_bipartite.cpp:282-356): expanding a
-    base node walks base -> query-node -> base, so only base nodes are
-    ever scored. Seeds are pre-drawn random base rows."""
-    uniq = [int(s) for s in dict.fromkeys(seed_rows.tolist())]
-    dists0 = np_distances(metric, qvec[None, :], bmat[np.asarray(uniq)])[0]
-    pool = sorted((float(d), r) for d, r in zip(dists0, uniq))[:l_search]
-    visited: set[int] = set(uniq)
-    expanded: set[int] = set()
-    # seed scoring excluded from cmps — reference counter convention
-    # (SearchBipartiteGraph, src/index_bipartite.cpp:282-356)
-    cmps, hops = 0, 0
-    while True:
-        cur = next(((d, r) for d, r in pool if r not in expanded), None)
-        if cur is None:
-            break
-        expanded.add(cur[1])
-        hops += 1
-        fresh: list[int] = []
-        for nbr in indices[indptr[cur[1]] : indptr[cur[1] + 1]]:
-            for nn2 in indices[indptr[nbr] : indptr[nbr + 1]]:
-                if nn2 not in visited:
-                    visited.add(nn2)
-                    fresh.append(int(nn2))
-        if not fresh:
+) -> tuple[list[list[tuple[float, int]]], np.ndarray, np.ndarray]:
+    """2-hop best-first loop over the bipartite graph for a BATCH of
+    queries in lockstep (SearchBipartiteGraph,
+    src/index_bipartite.cpp:282-356): expanding a base node walks
+    base -> query-node -> base, so only base nodes are ever scored.
+    Seeds are pre-drawn random base rows; per query the state evolution
+    is identical to running its loop alone — lockstep only shares the
+    per-round distance kernel call (see _beam_search_batch).
+
+    cmps excludes seed scoring — the reference's counter convention.
+    """
+    n_q = qmat.shape[0]
+    uniq_list = [list(dict.fromkeys(s)) for s in seed_rows_list]
+    seed_qidx = np.repeat(
+        np.arange(n_q, dtype=np.int64),
+        np.fromiter((len(u) for u in uniq_list), dtype=np.int64, count=n_q),
+    )
+    seed_flat = np.fromiter(
+        (r for u in uniq_list for r in u), dtype=np.int64, count=len(seed_qidx)
+    )
+    seed_d = np_pair_distances(metric, qmat[seed_qidx], bmat[seed_flat])
+    pools: list[list[tuple[float, int]]] = []
+    off = 0
+    for u in uniq_list:
+        ds = seed_d[off : off + len(u)]
+        off += len(u)
+        pools.append(sorted((float(d), int(r)) for d, r in zip(ds, u))[:l_search])
+    visited: list[set[int]] = [set(u) for u in uniq_list]
+    expanded: list[set[int]] = [set() for _ in range(n_q)]
+    cmps = np.zeros(n_q, dtype=np.int64)
+    hops = np.zeros(n_q, dtype=np.int64)
+    live = list(range(n_q))
+    while live:
+        nxt: list[int] = []
+        owners: list[tuple[int, int]] = []
+        fresh_all: list[int] = []
+        for i in live:
+            pool, exp = pools[i], expanded[i]
+            cur = next(((d, r) for d, r in pool if r not in exp), None)
+            if cur is None:
+                continue
+            nxt.append(i)
+            exp.add(cur[1])
+            hops[i] += 1
+            vis = visited[i]
+            fresh: list[int] = []
+            for nbr in indices[indptr[cur[1]] : indptr[cur[1] + 1]]:
+                for nn2 in indices[indptr[nbr] : indptr[nbr + 1]]:
+                    if nn2 not in vis:
+                        vis.add(nn2)
+                        fresh.append(int(nn2))
+            if fresh:
+                owners.append((i, len(fresh)))
+                fresh_all.extend(fresh)
+        live = nxt
+        if not fresh_all:
             continue
-        batch = np.asarray(fresh, dtype=np.int64)
-        dists = np_distances(metric, qvec[None, :], bmat[batch])[0]
-        cmps += len(fresh)
-        worst = pool[-1][0] if len(pool) >= l_search else np.inf
-        for d, r in zip(dists, batch):
-            if d < worst or len(pool) < l_search:
-                insort(pool, (float(d), int(r)))
-                if len(pool) > l_search:
-                    pool.pop()
-                    worst = pool[-1][0]
-    return pool, cmps, hops
+        rows = np.asarray(fresh_all, dtype=np.int64)
+        qidx = np.repeat(
+            np.fromiter((i for i, _ in owners), dtype=np.int64, count=len(owners)),
+            np.fromiter((nf for _, nf in owners), dtype=np.int64, count=len(owners)),
+        )
+        dists = np_pair_distances(metric, qmat[qidx], bmat[rows])
+        off = 0
+        for i, nf in owners:
+            ds, rs = dists[off : off + nf], rows[off : off + nf]
+            off += nf
+            cmps[i] += nf
+            pool = pools[i]
+            worst = pool[-1][0] if len(pool) >= l_search else np.inf
+            for d, r in zip(ds, rs):
+                if d < worst or len(pool) < l_search:
+                    insort(pool, (float(d), int(r)))
+                    if len(pool) > l_search:
+                        pool.pop()
+                        worst = pool[-1][0]
+    return pools, cmps, hops
 
 
 def search_bipartite(
@@ -275,21 +314,29 @@ def search_bipartite(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_mat, b_indptr, b_indices = load_staged(base_path + "|" + adj_path, _build)
         for pdf in batches:
+            if pdf.empty:
+                continue
             out = {c: [] for c in ("qid", "nn_id", "dist", "rank", "cmps", "hops")}
-            for qid, vec in zip(pdf[query_id], pdf[vec_col]):
-                qvec = np.asarray(vec, dtype=np.float64)
-                rng = np.random.default_rng([seed, int(qid)])
-                seeds = rng.integers(0, base_count, size=n_seeds)
-                pool, cmps, hops = _beam_search_bipartite_one(
-                    qvec, seeds, b_indptr, b_indices, b_mat, l_search, metric
+            for s in range(0, len(pdf), _BATCH_CHUNK):
+                sub = pdf.iloc[s : s + _BATCH_CHUNK]
+                qids = sub[query_id].to_numpy()
+                qmat = np.stack([np.asarray(v, dtype=np.float64) for v in sub[vec_col]])
+                seeds = [
+                    [int(x) for x in np.random.default_rng([seed, int(qid)]).integers(
+                        0, base_count, size=n_seeds)]
+                    for qid in qids
+                ]
+                pools, cmps, hops = _beam_search_bipartite_batch(
+                    qmat, seeds, b_indptr, b_indices, b_mat, l_search, metric
                 )
-                for rank, (d, row) in enumerate(pool[:k], start=1):
-                    out["qid"].append(qid)
-                    out["nn_id"].append(row)
-                    out["dist"].append(d)
-                    out["rank"].append(rank)
-                    out["cmps"].append(cmps)
-                    out["hops"].append(hops)
+                for j, qid in enumerate(qids):
+                    for rank, (d, row) in enumerate(pools[j][:k], start=1):
+                        out["qid"].append(qid)
+                        out["nn_id"].append(row)
+                        out["dist"].append(d)
+                        out["rank"].append(rank)
+                        out["cmps"].append(int(cmps[j]))
+                        out["hops"].append(int(hops[j]))
             yield pd.DataFrame(out)
 
     return queries_df.select(query_id, vec_col).mapInPandas(run, _RESULT_SCHEMA)
