@@ -264,6 +264,18 @@ SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
 """
 
 
+def dedup_groups_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus near-dup grouping — NO slice: MinHash-LSH candidates ->
+    exact unigram Jaccard >= 0.9 -> connected components over the entire
+    documents table. Rows-only: the recursive-CTE oracle is quadratic in
+    corpus size (the 300-doc slice dedup_components carries the hash
+    oracle); full-corpus component equality vs the independent all-pairs
+    generator is gated in tests/test_pipeline.py."""
+    from mysteryann_spark.operators.dedup import dedup_groups
+
+    return dedup_groups(_docs(spark, sf_dir), threshold=0.9, n=1)
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (unigram shingles, 35 perms, 5 bands of
     7 rows, exact-Jaccard-verified >= 0.8). Rows-only: xxhash64 signatures
@@ -454,6 +466,7 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_curate": QuerySpec(pipeline_curate, _CURATE_SQL),
     "dedup_ann_pairs": QuerySpec(dedup_ann_pairs, None),
     "dedup_components": QuerySpec(dedup_components, _COMPONENTS_SQL),
+    "dedup_groups_full": QuerySpec(dedup_groups_full, None),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
     "dedup_simhash": QuerySpec(dedup_simhash, None),
     "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs, None),

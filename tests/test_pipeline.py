@@ -186,6 +186,22 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 99: 99}
 
 
+def test_dedup_groups_full_corpus_matches_all_pairs(spark):
+    """Full-corpus grouping (LSH candidates) must produce the identical
+    component labeling as the independent all-pairs path on the whole
+    sf0.01 corpus — no slice anywhere."""
+    from mysteryann_spark.operators.dedup import connected_components, dedup_groups
+
+    full = load_table(spark, "documents", SF_DIR)
+    got = {r["doc_id"]: r["component"] for r in dedup_groups(full, 0.9, n=1).collect()}
+    pairs = ngram_jaccard_pairs(full, n=1, threshold=0.9)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    nodes = full.select(F.col("doc_id").alias("id"))
+    ref = {r["id"]: r["comp"] for r in connected_components(edges, nodes).collect()}
+    assert got == ref
+    assert len(set(got.values())) < len(got)  # corpus really has dup groups
+
+
 def test_connected_components_raises_when_not_converged(spark):
     """A chain longer than max_iters must refuse rather than silently
     return split components."""
