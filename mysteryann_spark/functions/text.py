@@ -83,6 +83,67 @@ def quality_score_cols(text: Column | str) -> dict[str, Column]:
     }
 
 
+# BPE-style pre-tokenizer regex (simplified GPT-2 pattern: contraction
+# suffixes, letter runs, digit runs, punctuation runs, each optionally
+# space-prefixed). Restricted to constructs with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): no lookahead, no unicode classes.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_tokens_col(text: Column | str) -> Column:
+    """BPE-ish pre-tokenization: the GPT-2-style regex split that BPE
+    vocabularies are trained over (token COUNT is the budget metric a
+    data pipeline reports; actual merges need a vocab, out of scope)."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    return F.size(bpe_tokens_col(text)).cast("bigint")
+
+
+# Rabin-Karp rolling-hash fingerprinting. All arithmetic stays below
+# 2^63 (h < M, h*B^2 < 7e13), identical in Spark long math and DuckDB
+# BIGINT math, so the fingerprints oracle exactly.
+ROLL_M = 1_000_000_007
+ROLL_B = 257
+
+
+def token_base_hash(tok: Column) -> Column:
+    """Portable per-token base hash (mod ROLL_M): char-code sum plus
+    length/first/last weighting — exactly computable in both engines
+    (xxhash64/md5-to-int are not portable to DuckDB SQL)."""
+    chars = F.filter(F.split(tok, ""), lambda c: c != F.lit(""))
+    code_sum = F.aggregate(
+        chars, F.lit(0).cast("long"), lambda acc, c: acc + F.ascii(c).cast("long")
+    )
+    return (
+        F.length(tok).cast("long") * 131
+        + F.ascii(F.substring(tok, 1, 1)).cast("long") * 31
+        + F.ascii(F.substring(tok, -1, 1)).cast("long")
+        + code_sum
+    ) % F.lit(ROLL_M)
+
+
+def rolling_hashes(text: Column | str, w: int = 3) -> Column:
+    """Rabin-Karp window fingerprints over the token sequence: for each
+    position i, H_i = (h_i*B^(w-1) + ... + h_{i+w-1}) mod M — the
+    order-SENSITIVE w-gram sketch (Broder-style shingle fingerprints;
+    doc_fingerprint is the order-insensitive bag-of-words counterpart).
+    Returns an empty array for docs shorter than ``w`` tokens."""
+    toks = tokens_col(text)
+    hs = F.transform(toks, token_base_hash)
+    window = lambda i: sum(  # noqa: E731
+        [
+            F.element_at(hs, i + j) * F.lit(ROLL_B ** (w - 1 - j))
+            for j in range(w)
+        ],
+        F.lit(0).cast("long"),
+    ) % F.lit(ROLL_M)
+    return F.when(F.size(toks) < w, F.array().cast("array<long>")).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(toks) - w + 1), window)
+    )
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Content fingerprint: md5 of the sorted distinct token set.
 

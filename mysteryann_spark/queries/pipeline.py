@@ -119,6 +119,74 @@ FROM c
 """
 
 
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts vs whitespace counts — the token
+    budget metric a training pipeline reports per document."""
+    from mysteryann_spark.functions.text import bpe_token_count
+
+    ws = token_count("text")
+    bpe = bpe_token_count("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        bpe.alias("n_bpe"),
+        ws.alias("n_ws"),
+        stable_round(bpe.cast("double") / F.greatest(ws, F.lit(1)).cast("double"), 6).alias(
+            "bpe_per_word"
+        ),
+    )
+
+
+_BPE_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')) AS BIGINT) AS n_bpe,
+       CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_ws,
+       round(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')) * 1.0 /
+             greatest(len(list_filter(string_split(text, ' '), t -> t != '')), 1) + 1e-9, 6) AS bpe_per_word
+FROM documents
+"""
+
+
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprint per document: window count,
+    minimum window hash (the Broder-style sketch representative), and
+    distinct-window count over token 3-grams. Exact-oracled — the whole
+    modular pipeline reproduces in DuckDB BIGINT math."""
+    from mysteryann_spark.functions.text import rolling_hashes
+
+    rh = rolling_hashes("text", w=3)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(rh).cast("bigint").alias("n_windows"),
+        F.coalesce(F.array_min(rh), F.lit(-1)).cast("bigint").alias("min_hash"),
+        F.size(F.array_distinct(rh)).cast("bigint").alias("n_distinct"),
+    )
+
+
+_ROLLING_SQL = """
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+h AS (SELECT doc_id,
+        list_transform(toks, tk ->
+          (length(tk) * 131
+           + ascii(substr(tk, 1, 1)) * 31
+           + ascii(substr(tk, -1, 1))
+           + list_sum(list_transform(list_filter(string_split(tk, ''), c -> c != ''), c -> ascii(c)))
+          ) % 1000000007) AS hs,
+        len(toks) AS n
+      FROM t),
+r AS (SELECT doc_id,
+        CASE WHEN n < 3 THEN []
+             ELSE list_transform(generate_series(1, n - 2), i ->
+               (hs[i] * 66049 + hs[i + 1] * 257 + hs[i + 2]) % 1000000007)
+        END AS rh
+      FROM h)
+SELECT doc_id,
+       CAST(len(rh) AS BIGINT) AS n_windows,
+       CAST(coalesce(list_min(rh), -1) AS BIGINT) AS min_hash,
+       CAST(len(list_distinct(rh)) AS BIGINT) AS n_distinct
+FROM r
+"""
+
+
 # --- dedup ------------------------------------------------------------------
 
 
@@ -460,6 +528,8 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_token_stats": QuerySpec(doc_token_stats, _TOKEN_STATS_SQL),
     "doc_lang_id": QuerySpec(doc_lang_id, _LANG_SQL),
     "doc_quality": QuerySpec(doc_quality, _QUALITY_SQL),
+    "doc_bpe_tokens": QuerySpec(doc_bpe_tokens, _BPE_SQL),
+    "doc_rolling_fingerprint": QuerySpec(doc_rolling_fingerprint, _ROLLING_SQL),
     "dedup_exact": QuerySpec(dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_fingerprint": QuerySpec(dedup_fingerprint, _DEDUP_FP_SQL),
     "dedup_jaccard_bigram": QuerySpec(dedup_jaccard_bigram, _JACCARD_SQL),
