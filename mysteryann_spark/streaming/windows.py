@@ -162,6 +162,45 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
     )
 
 
+def read_events_stream_duplicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events feed delivered TWICE in separate micro-batches — the
+    local stand-in for an at-least-once source (Kafka redelivery, file
+    re-drops). Used to demonstrate streaming dedup: every event arrives
+    exactly twice."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        "/tmp/mysteryann_stream", sf_dir.strip("/").replace("/", "_"), "events_dup"
+    )
+    os.makedirs(stage, exist_ok=True)
+    for name in ("events_a.parquet", "events_b.parquet"):
+        link = os.path.join(stage, name)
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one copy per micro-batch
+        .load(stage)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_dedup_exact(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on event identity — the pipeline's defense
+    against at-least-once delivery. ``dropDuplicatesWithinWatermark``
+    keys state on event_id and expires it once the watermark passes, so
+    state stays O(watermark window), not O(stream) — the only dedup
+    semantics that survive an unbounded feed. Emits each event once even
+    when the source delivers it in multiple micro-batches."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
 def stream_view_purchase_join(events: DataFrame) -> DataFrame:
     """Stream-stream inner join: views ⋈ purchases of the same user with
     the purchase within 30 minutes after the view — the streaming twin of

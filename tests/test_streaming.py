@@ -48,6 +48,28 @@ def test_stream_sessionize_closed_sessions(spark):
         assert batch_map[k] == v, (k, v, batch_map[k])
 
 
+def test_stream_dedup_collapses_redelivery(spark):
+    """Every event delivered twice (two micro-batches of the same file)
+    must come out exactly once, matching the batch event set."""
+    from mysteryann_spark.sources.tables import load_table
+    from mysteryann_spark.streaming.windows import (
+        read_events_stream_duplicated,
+        stream_dedup_exact,
+    )
+
+    stream = stream_dedup_exact(read_events_stream_duplicated(spark, SF_DIR))
+    got = run_stream_to_memory(stream, "dedup_out", "append").collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids))  # each event exactly once
+    want = {
+        (r["event_id"], r["user_id"], r["event_type"], r["value"])
+        for r in load_table(spark, "events", SF_DIR).select(
+            "event_id", "user_id", "event_type", "value"
+        ).collect()
+    }
+    assert {(r["event_id"], r["user_id"], r["event_type"], r["value"]) for r in got} == want
+
+
 def test_stream_stream_join_matches_batch(spark):
     from mysteryann_spark.queries.events import events_interval_join
     from mysteryann_spark.streaming.windows import stream_view_purchase_join
