@@ -419,6 +419,40 @@ SELECT qid, nn_id, round(dist, 6) AS dist, rank FROM r WHERE rank <= 5
 """
 
 
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over the int8 scalar-quantized base (asymmetric SQ8:
+    full-precision queries, per-dim max|x|/127 scales, clamp/floor
+    quantizer) — the 4x-smaller-index scale path, fully SQL-oracled."""
+    from mysteryann_spark.operators.similarity import quantized_cosine_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
+    return quantized_cosine_topk(q, e, 5).select(
+        "qid", "nn_id", F.round("dist", 6).alias("dist"), "rank"
+    )
+
+
+_ANN_QUANT_SQL = """
+WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+p AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings CROSS JOIN idx),
+sc AS (SELECT i, CASE WHEN max(abs(x)) > 0 THEN max(abs(x)) / 127.0 ELSE 1.0 END AS s
+       FROM p GROUP BY i),
+dq AS (SELECT p.vec_id, p.i,
+              greatest(-127, least(127, floor(p.x / sc.s + 0.5))) * sc.s AS xd
+       FROM p JOIN sc ON p.i = sc.i),
+q AS (SELECT vec_id AS qid, i, x AS xq FROM p WHERE vec_id < 20),
+u AS (SELECT q.qid, b.vec_id AS nn_id, q.xq AS xa, b.xd AS xb
+      FROM q JOIN dq b ON q.i = b.i AND b.vec_id != q.qid),
+d AS (SELECT qid, nn_id,
+             -(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb)))) AS dist
+      FROM u GROUP BY qid, nn_id),
+r AS (SELECT qid, nn_id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nn_id) AS INT) AS rank
+      FROM d)
+SELECT qid, nn_id, round(dist, 6) AS dist, rank FROM r WHERE rank <= 5
+"""
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate cosine top-k (rows-only; recall vs the
     exact baseline gated in tests)."""
@@ -543,6 +577,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_embedding": QuerySpec(dedup_embedding, _EMB_NEARDUP_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, _ANN_COSINE_SQL),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, None),
+    "ann_quantized_topk": QuerySpec(ann_quantized_topk, _ANN_QUANT_SQL),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, None),
     "multimodal_decode": QuerySpec(multimodal_decode, None),
     "multimodal_meanpool": QuerySpec(multimodal_meanpool, _MM_POOL_SQL),

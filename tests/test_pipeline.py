@@ -155,6 +155,19 @@ def test_multimodal_real_decode_is_stubbed(spark):
         decode_frames(media, real_decode=True)
 
 
+def test_quantized_ann_recall_vs_bruteforce(spark, emb):
+    """int8 SQ must barely perturb cosine ranks at 64 dims."""
+    from mysteryann_spark.operators.similarity import quantized_cosine_topk
+
+    q = emb.where("vec_id < 50").select(F.col("vec_id").alias("qid"), "embedding")
+    exact = knn_join(q, emb, 5, "cosine", exclude_self=True)
+    quant = quantized_cosine_topk(q, emb, 5)
+    e = {(r["qid"], r["nn_id"]) for r in exact.collect()}
+    a = {(r["qid"], r["nn_id"]) for r in quant.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"SQ8 recall {recall}"
+
+
 def test_ivf_ann_recall_and_determinism(spark, emb):
     from mysteryann_spark.operators.similarity import ivf_cosine_topk
 
