@@ -45,4 +45,77 @@ def all_queries() -> dict[str, QuerySpec]:
         if overlap:
             raise ValueError(f"duplicate query names across modules: {overlap}")
         merged.update(mod.QUERIES)
-    return merged
+    return _driver_window_order(merged)
+
+
+# The correctness driver gates only the FIRST 50 entries in iteration order
+# (CORRECTNESS_r01/r02.json both cut off at exactly 50).  Registry order is
+# therefore a verification-coverage decision, not cosmetics:
+#
+#   * ``_FRONT`` — entries that most need driver rows this round: everything
+#     that has never had a driver correctness row (events_*, multimodal_*,
+#     ann_lsh/ivf/quantized, simhash pairs) or fell out of the window in r2,
+#     plus the rows-only graph/dedup entries whose only driver signal is the
+#     rows-ran check.
+#   * unlisted entries (i.e. anything NEW added to a module) sort between
+#     _FRONT and _BACK, so a new query lands inside the 50-entry window by
+#     default instead of silently past it.
+#   * ``_BACK`` — the relational floor, hash-verified in both r1 and r2; the
+#     most stable entries are the ones that can afford to sit past the window.
+_FRONT = [
+    # never driver-verified in any round (r2 VERDICT "What's missing" #1)
+    "events_tumbling",
+    "events_interval_join",
+    "events_sliding",
+    "events_sessionize",
+    "events_asof_click",
+    "events_pivot",
+    "multimodal_decode",
+    "multimodal_meanpool",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_quantized_topk",
+    "dedup_simhash_pairs",
+    # verified in r1, pushed out of the window in r2
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
+    "ann_cosine_topk",
+    # rows-only entries (err:"no_oracle") — keep their driver rows-ran signal
+    "roargraph_sweep",
+    "roargraph_degrees",
+    "roargraph_search_topk",
+    "roargraph_search_ip",
+    "roargraph_search_distributed",
+    "bipartite_search_topk",
+    "dedup_ann_pairs",
+    "dedup_groups_full",
+]
+_BACK = [
+    "filter_project",
+    "topk_orders",
+    "window_rank",
+    "window_running",
+    "semi_join_customers",
+    "anti_join_customers",
+    "distinct_agg",
+    "rollup_customer_balance",
+    "cube_orders",
+    "setops_nations",
+    "string_functions",
+    "date_functions",
+    "json_events",
+    "case_buckets",
+    "math_functions",
+    "grouping_sets_sales",
+    "funnel_steps",
+    "above_avg_balance",
+]
+
+
+def _driver_window_order(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+    front = [n for n in _FRONT if n in merged]
+    back = [n for n in _BACK if n in merged]
+    listed = set(front) | set(back)
+    middle = [n for n in merged if n not in listed]
+    return {n: merged[n] for n in front + middle + back}
