@@ -65,6 +65,20 @@ def build_roargraph(
     """
     metric = params.metric
 
+    # --- entry point (CalculateProjectionep, :2004-2041) on a background
+    # thread: it reads only base_df, so its two small jobs overlap the
+    # phase 0-3 jobs instead of serializing after them (Spark schedules
+    # concurrent jobs from separate driver threads; local[32] has slack).
+    import threading
+
+    ep_box: dict[str, int] = {}
+
+    def _medoid() -> None:
+        ep_box["ep"] = medoid(base_df, base_id, vec_col)[0]
+
+    ep_thread = threading.Thread(target=_medoid, name="medoid")
+    ep_thread.start()
+
     # --- phase 0: exact kNN of every training query into the base set
     # (the table the reference loads as learn_base_knn_, :2622-2639)
     knn = knn_join_arrays(
@@ -85,8 +99,8 @@ def build_roargraph(
     adj3 = _prune_merged(_edges(adj1), base_df, params.M_pjbp, metric)
     adj3 = adj3.localCheckpoint()  # cut lineage: phase 4 searches this graph
 
-    # --- entry point (CalculateProjectionep, :2004-2041)
-    ep, _ = medoid(base_df, base_id, vec_col)
+    ep_thread.join()
+    ep = ep_box["ep"]
 
     # --- phase 4: connectivity enhancement — beam-search the projection
     # graph from the medoid for every base node, prune visited set
@@ -110,27 +124,19 @@ def build_roargraph(
     supply_cands = visited.select(
         F.col("qid").alias("node"), F.col("nn_id").alias("cand_id")
     ).where(F.col("cand_id") != F.col("node"))
-    supply = _prune_merged(supply_cands, base_df, params.M_pjbp, metric)
 
-    # --- phase 5: merge supply into projection, cap at 2*M_pjbp (:1251-1269)
-    cap = params.degree_cap
-    merged = (
-        adj3.withColumnRenamed("nbrs", "pj_nbrs")
-        .join(supply.withColumnRenamed("nbrs", "sp_nbrs"), "node", "full_outer")
-        .select(
-            "node",
-            F.slice(
-                F.concat(
-                    F.coalesce("pj_nbrs", F.array().cast("array<bigint>")),
-                    F.array_except(
-                        F.coalesce("sp_nbrs", F.array().cast("array<bigint>")),
-                        F.coalesce("pj_nbrs", F.array().cast("array<bigint>")),
-                    ),
-                ),
-                1,
-                cap,
-            ).alias("nbrs"),
-        )
+    # --- phases 4+5 epilogue, fused: ONE occlusion prune at the final cap
+    # over (projection edges ∪ supply candidates ∪ both reverses) replaces
+    # the reference's separate supply prune + priority-merge (:1251-1269).
+    # Deviation: projection edges compete under occlusion instead of being
+    # merged first — one prune job instead of prune + full_outer join, and
+    # the diversity rule applies to the union pool. Gated by the same
+    # recall/degree/determinism tests that gate the other build deviations.
+    merged = _prune_merged(
+        _edges(adj3).unionByName(supply_cands),
+        base_df,
+        params.degree_cap,
+        metric,
     )
     return merged, ep
 

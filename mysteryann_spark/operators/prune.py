@@ -104,9 +104,11 @@ def prune_candidates(
     # which dominates when pools are small and nodes are many. Pool
     # completeness is guaranteed by the groupBy, batch splitting can't
     # separate a pool, and per-group memory stays O(pool * dim).
+    # No dropDuplicates here: it would cost a full (node, cand_id) shuffle
+    # and the kernel already dedups each pool (np.unique keeps the closest
+    # occurrence), so duplicate pairs only fatten collect_list slightly.
     pools = (
         cand_df.where(F.col("cand_id") != F.col("node"))
-        .dropDuplicates(["node", "cand_id"])
         .join(cand_vec, "cand_id")
         .groupBy("node")
         .agg(
