@@ -37,6 +37,11 @@ from pyspark.sql.types import (
 )
 
 from mysteryann_spark.functions.vector import l2_sq, np_distances
+from mysteryann_spark.sources.staging import (
+    load_staged,
+    stage_parquet,
+    table_matrix,
+)
 
 _CAND_SCHEMA = StructType(
     [
@@ -45,6 +50,22 @@ _CAND_SCHEMA = StructType(
         StructField("dist", DoubleType(), False),
     ]
 )
+
+
+def _read_query_block(paths: list[str], query_id: str, vec_col: str):
+    """Executor-side: one query block = one or more staged part files
+    (URIs from ``DataFrame.inputFiles``). Returns (qids, qmat) or None
+    if the block holds no rows. pyarrow datasets don't URI-resolve path
+    *lists*, so the filesystem is resolved explicitly (file:/hdfs:/s3:)."""
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    fs, first = pafs.FileSystem.from_uri(paths[0])
+    rel = [first] + [pafs.FileSystem.from_uri(p)[1] for p in paths[1:]]
+    tbl = pq.read_table(rel, filesystem=fs, columns=[query_id, vec_col])
+    if tbl.num_rows == 0:
+        return None
+    return table_matrix(tbl, query_id, vec_col)
 
 
 def knn_join(
@@ -57,6 +78,7 @@ def knn_join(
     vec_col: str = "embedding",
     exclude_self: bool = False,
     query_block_rows: int | None = None,
+    storage_dir: str | None = None,
 ) -> DataFrame:
     """Exact top-k join: for each query row, the k nearest base rows.
 
@@ -64,23 +86,43 @@ def knn_join(
     (dist, nn_id) — the reference's deterministic tiebreak
     (neighbor.h:29-31).
 
-    Default mode broadcasts the whole query side at once (the reference's
-    own regime — it holds every training query in RAM, index.h:61,64).
-    ``query_block_rows`` switches to blocked mode: query blocks stream
-    through ``toLocalIterator`` (driver holds ONE block), each block is
-    broadcast and GEMMed against the (cached) base in its own pass, and
-    the per-block candidates union before the global top-k window. Block
-    count trades base rescans for unbounded query cardinality.
+    The query side never round-trips through the driver: it is staged
+    once to Parquet by a distributed write (sources/staging.py) and each
+    Python worker lazily loads the block it is GEMMing. Default mode
+    keeps the whole staged query set resident per worker (the
+    reference's own regime — it holds every training query in RAM,
+    index.h:61,64; at the flagship 10M x 200-d scale the old
+    driver-collect path was a ~16 GB driver round-trip).
+    ``query_block_rows`` bounds worker-resident query rows instead: the
+    staged write splits into ceil(n_q / block) part files, each GEMMed
+    against the (cached) base in its own pass, unioned before the global
+    top-k window. Block count trades base rescans for unbounded query
+    cardinality.
     """
     spark = base_df.sparkSession
+    q_sel = queries_df.select(query_id, vec_col)
+    if query_block_rows is None:
+        q_path = stage_parquet(q_sel, storage_dir)
+    else:
+        import math
 
-    def block_candidates(q_rows: list) -> DataFrame:
-        qids = np.array([r[0] for r in q_rows], dtype=np.int64)
-        qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-        bc = spark.sparkContext.broadcast((qids, qmat))
+        n_blocks = max(1, math.ceil(q_sel.count() / query_block_rows))
+        q_path = stage_parquet(q_sel.repartition(n_blocks), storage_dir)
+    # metadata-only file listing — no query data reaches the driver
+    files = sorted(spark.read.parquet(q_path).inputFiles())
+    if not files:
+        return spark.createDataFrame([], _CAND_SCHEMA.add(StructField("rank", IntegerType())))
+    blocks = [files] if query_block_rows is None else [[f] for f in files]
 
+    def block_candidates(block_files: list[str]) -> DataFrame:
         def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            b_qids, b_qmat = bc.value
+            loaded = load_staged(
+                "knnq|" + "|".join(block_files),
+                lambda: _read_query_block(block_files, query_id, vec_col),
+            )
+            if loaded is None:
+                return
+            b_qids, b_qmat = loaded
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -102,22 +144,6 @@ def knn_join(
                 )
 
         return base_df.select(base_id, vec_col).mapInPandas(local_topk, _CAND_SCHEMA)
-
-    if query_block_rows is None:
-        q_rows = queries_df.select(query_id, vec_col).collect()
-        blocks = [q_rows] if q_rows else []
-    else:
-        blocks = []
-        buf: list = []
-        for row in queries_df.select(query_id, vec_col).toLocalIterator():
-            buf.append(row)
-            if len(buf) >= query_block_rows:
-                blocks.append(buf)
-                buf = []
-        if buf:
-            blocks.append(buf)
-    if not blocks:
-        return spark.createDataFrame([], _CAND_SCHEMA.add(StructField("rank", IntegerType())))
 
     candidates = block_candidates(blocks[0])
     for blk in blocks[1:]:

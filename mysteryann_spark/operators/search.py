@@ -47,7 +47,7 @@ from mysteryann_spark.sources.staging import (
     load_staged,
     read_staged,
     stage_parquet,
-    table_adjacency,
+    table_csr,
     table_matrix,
 )
 
@@ -83,23 +83,6 @@ _RESULT_SCHEMA = StructType(
         StructField("hops", IntegerType(), False),
     ]
 )
-
-
-def _build_csr(adj_rows: list, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Adjacency rows (node, nbrs) -> CSR aligned to the base id order."""
-    id_to_row = {int(v): i for i, v in enumerate(ids)}
-    nbr_lists: list[list[int]] = [[] for _ in range(len(ids))]
-    for node, nbrs in adj_rows:
-        row = id_to_row.get(int(node))
-        if row is not None:
-            nbr_lists[row] = [id_to_row[int(n)] for n in nbrs if int(n) in id_to_row]
-    indptr = np.zeros(len(ids) + 1, dtype=np.int64)
-    for i, lst in enumerate(nbr_lists):
-        indptr[i + 1] = indptr[i] + len(lst)
-    indices = np.fromiter(
-        (x for lst in nbr_lists for x in lst), dtype=np.int64, count=int(indptr[-1])
-    )
-    return indptr, indices
 
 
 def _beam_search_batch(
@@ -298,17 +281,12 @@ def search_bipartite(
         ids, bmat = table_matrix(read_staged(base_path), base_id, vec_col)
         if len(ids) != base_count or ids[0] != 0 or ids[-1] != base_count - 1:
             raise ValueError("bipartite search requires dense base ids [0, base_count)")
-        adj_rows = table_adjacency(read_staged(adj_path))
-        total = max(base_count, max(n for n, _ in adj_rows) + 1 if adj_rows else 0)
-        nbr_lists: list[list[int]] = [[] for _ in range(total)]
-        for node, nbrs in adj_rows:
-            nbr_lists[node] = nbrs
-        indptr = np.zeros(total + 1, dtype=np.int64)
-        for i, lst in enumerate(nbr_lists):
-            indptr[i + 1] = indptr[i] + len(lst)
-        indices = np.fromiter(
-            (x for lst in nbr_lists for x in lst), dtype=np.int64, count=int(indptr[-1])
-        )
+        adj_tbl = read_staged(adj_path)
+        node_ids = adj_tbl["node"].combine_chunks().to_numpy(zero_copy_only=False)
+        total = max(base_count, int(node_ids.max()) + 1 if len(node_ids) else 0)
+        # the bipartite graph's id space is dense [0, total): align the CSR
+        # to the identity id vector (vectorized — no per-node Python loop)
+        indptr, indices = table_csr(adj_tbl, np.arange(total, dtype=np.int64))
         return bmat, indptr, indices
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -368,8 +346,7 @@ def search_graph(
 
     def _build():
         ids, bmat = table_matrix(read_staged(base_path), base_id, vec_col)
-        adj_rows = table_adjacency(read_staged(adj_path))
-        indptr, indices = _build_csr(adj_rows, ids)
+        indptr, indices = table_csr(read_staged(adj_path), ids)
         return ids, bmat, indptr, indices
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

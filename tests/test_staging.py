@@ -1,0 +1,48 @@
+"""Unit tests for the Arrow-offsets CSR builder (sources/staging.py) —
+pure pyarrow/numpy, no Spark session needed."""
+
+import numpy as np
+import pyarrow as pa
+
+from mysteryann_spark.sources.staging import table_csr
+
+
+def _tbl(nodes, nbrs):
+    return pa.table(
+        {
+            "node": pa.array(nodes, type=pa.int64()),
+            "nbrs": pa.array(nbrs, type=pa.list_(pa.int64())),
+        }
+    )
+
+
+def test_csr_aligned_to_sorted_ids():
+    ids = np.array([10, 20, 30], dtype=np.int64)
+    # table rows deliberately out of id order; CSR must align to ids order
+    tbl = _tbl([30, 10], [[10, 20], [30]])
+    indptr, indices = table_csr(tbl, ids)
+    assert indptr.tolist() == [0, 1, 1, 3]  # 10 -> [30]; 20 -> []; 30 -> [10, 20]
+    assert indices.tolist() == [2, 0, 1]
+
+
+def test_csr_drops_unknown_nodes_and_neighbors():
+    ids = np.array([1, 2], dtype=np.int64)
+    tbl = _tbl([1, 99], [[2, 77, 1], [1]])  # node 99 and neighbor 77 unknown
+    indptr, indices = table_csr(tbl, ids)
+    assert indptr.tolist() == [0, 2, 2]
+    assert indices.tolist() == [1, 0]  # within-list order preserved
+
+
+def test_csr_empty_adjacency():
+    ids = np.array([5], dtype=np.int64)
+    indptr, indices = table_csr(_tbl([], []), ids)
+    assert indptr.tolist() == [0, 0]
+    assert len(indices) == 0
+
+
+def test_csr_dense_identity_ids():
+    ids = np.arange(4, dtype=np.int64)
+    tbl = _tbl([0, 3], [[1, 2], [0]])
+    indptr, indices = table_csr(tbl, ids)
+    assert indptr.tolist() == [0, 2, 2, 2, 3]
+    assert indices.tolist() == [1, 2, 0]
