@@ -88,6 +88,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     bucket_cap: int | None = None,
+    assume_broadcastable: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, with both the signature
     estimate and the exact token-set Jaccard for verification.
@@ -111,7 +112,16 @@ def minhash_lsh_pairs(
     buckets (a boilerplate shingle-set shared by millions of docs). It
     trades completeness for a hard bound on candidate fan-out, so it is
     off by default and the registry entry runs exact.
+
+    ``assume_broadcastable`` (default True) places broadcast hints on the
+    per-rep side tables (banded reps, signature/token payloads, member
+    lists) — the right plan while distinct token sets fit executor RAM
+    (~10^7 reps). Hints bypass ``autoBroadcastJoinThreshold``, so beyond
+    that scale pass False and the SAME plan runs every one of those
+    joins as a shuffled equi-join instead of OOMing (mirrors the
+    ``bucket_cap`` opt-in pattern).
     """
+    maybe_bc = F.broadcast if assume_broadcastable else (lambda df: df)
     rows_per_band = num_perm // bands
     htok = F.array_sort(
         F.array_distinct(F.transform(tokens_col("text"), lambda t: F.xxhash64(t)))
@@ -191,7 +201,7 @@ def minhash_lsh_pairs(
     # range (~10^7 sets) drop the hint and the same plan runs as a
     # shuffled equi-join.
     cand = (
-        a.join(F.broadcast(b), ["band", "bucket"])
+        a.join(maybe_bc(b), ["band", "bucket"])
         .where(F.col("rep_a") < F.col("rep_b"))
         .select("rep_a", "rep_b")
         .dropDuplicates(["rep_a", "rep_b"])
@@ -214,7 +224,7 @@ def minhash_lsh_pairs(
     # let AQE coalesce the (16 B/row) pair set onto a couple of cores.
     verified = (
         cand.join(
-            F.broadcast(
+            maybe_bc(
                 sigs.select(
                     F.col("rep").alias("rep_a"),
                     F.col("htok").alias("tok_a"),
@@ -225,7 +235,7 @@ def minhash_lsh_pairs(
             "rep_a",
         )
         .join(
-            F.broadcast(
+            maybe_bc(
                 sigs.select(
                     F.col("rep").alias("rep_b"),
                     F.col("htok").alias("tok_b"),
@@ -245,13 +255,13 @@ def minhash_lsh_pairs(
     members = groups.select("rep", "members")
     cross = (
         verified.join(
-            F.broadcast(
+            maybe_bc(
                 members.select(F.col("rep").alias("rep_a"), F.col("members").alias("ma"))
             ),
             "rep_a",
         )
         .join(
-            F.broadcast(
+            maybe_bc(
                 members.select(F.col("rep").alias("rep_b"), F.col("members").alias("mb"))
             ),
             "rep_b",
@@ -321,19 +331,34 @@ def simhash_bits(docs: DataFrame, num_bits: int = 64) -> DataFrame:
 
 
 def simhash_chunks(docs: DataFrame, bands: int = 4, num_bits: int = 64) -> DataFrame:
-    """SimHash as ``bands`` integer chunks of ``num_bits/bands`` bits each
-    (chunk b holds bits [b*w, (b+1)*w)) — the banding-friendly rendering:
-    chunk equality is the pigeonhole bucket key, and Hamming distance is
-    the summed popcount of per-chunk XORs."""
+    """SimHash as ``bands`` integer chunks — the banding-friendly
+    rendering: chunk equality is the pigeonhole bucket key, and Hamming
+    distance is the summed popcount of per-chunk XORs.
+
+    Chunk b holds bits [b*w, b*w + width_b) with w = num_bits // bands;
+    the LAST chunk absorbs the remainder bits so every signature bit
+    participates for any ``bands`` value (64 bits / 5 bands = four
+    12-bit chunks + one 16-bit chunk — never silently truncated)."""
     w = num_bits // bands
+    if w == 0:
+        raise ValueError(f"bands={bands} exceeds num_bits={num_bits}")
     counts = _simhash_counts(num_bits)
-    chunk = lambda b: sum(  # noqa: E731
-        [
-            F.when(F.element_at(counts, b * w + j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            for j in range(w)
-        ],
-        F.lit(0),
-    ).cast("int")
+
+    def chunk(b: int):
+        width = (num_bits - b * w) if b == bands - 1 else w
+        # OR of disjoint single-bit values; shiftleft (not a Python int
+        # literal) so a 64-wide chunk's bit 63 wraps into the sign bit
+        # instead of overflowing the literal
+        acc = F.lit(0).cast("long")
+        for j in range(width):
+            acc = acc.bitwiseOR(
+                F.when(
+                    F.element_at(counts, b * w + j + 1) > 0,
+                    F.shiftleft(F.lit(1).cast("long"), j),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return acc
+
     chunks = F.array(*[chunk(b) for b in range(bands)])
     return docs.select("doc_id", chunks.alias("chunks"))
 
@@ -626,6 +651,26 @@ def connected_components(
     return lab
 
 
+def lsh_params_for(
+    threshold: float, miss_bound: float = 1e-15, max_perm: int = 192
+) -> tuple[int, int] | None:
+    """(num_perm, bands) sized so an LSH candidate pair AT the Jaccard
+    threshold is missed with probability <= ``miss_bound``: with bands of
+    r rows, miss = (1 - t^r)^bands. Prefers 2-row bands (today's shape,
+    fewer false candidates); falls back to 1-row bands when low
+    thresholds would need too many permutations; returns None when even
+    1-row bands exceed ``max_perm`` (threshold ~<0.16 at the defaults) —
+    callers should use an exact generator there."""
+    import math
+
+    t = min(max(threshold, 1e-9), 1.0 - 1e-9)
+    for rows in (2, 1):
+        bands = max(1, math.ceil(math.log(miss_bound) / math.log(1.0 - t**rows)))
+        if rows * bands <= max_perm:
+            return rows * bands, bands
+    return None
+
+
 def dedup_groups(
     docs: DataFrame, threshold: float = 0.9, n: int = 1
 ) -> DataFrame:
@@ -636,14 +681,19 @@ def dedup_groups(
     For unigram grouping (n=1, the standard near-dup configuration) the
     pair candidates come from MinHash-LSH banding with exact-Jaccard
     verification — no all-pairs join anywhere in the plan. The banding is
-    sized so candidate recall at the threshold is effectively exact: with
-    32 bands of 2 rows a pair at jaccard 0.9 is missed with probability
-    (1 - 0.9^2)^32 < 1e-22, so the verified pair set equals the all-pairs
-    set (the recursive-CTE oracle hash-checks exactly that). n > 1 keeps
-    the exact generator, which is quadratic — slice first.
+    sized FROM the threshold (lsh_params_for) so a borderline pair is
+    missed with probability <= 1e-15 at ANY supported threshold — not
+    just the 0.9 the old fixed 64/32 config was tuned for (at t=0.3 that
+    config missed ~5% of borderline pairs) — keeping the verified pair
+    set equal to the all-pairs set (the recursive-CTE oracle hash-checks
+    exactly that at 0.9). Below the supported range (~0.16), and for
+    n > 1, the exact quadratic generator runs instead — slice first.
     """
-    if n == 1:
-        pairs = minhash_lsh_pairs(docs, num_perm=64, bands=32, threshold=threshold)
+    if n == 1 and (params := lsh_params_for(threshold)) is not None:
+        num_perm, bands = params
+        pairs = minhash_lsh_pairs(
+            docs, num_perm=num_perm, bands=bands, threshold=threshold
+        )
     else:
         pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

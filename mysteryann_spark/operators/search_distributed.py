@@ -147,7 +147,16 @@ def search_graph_distributed(
         (F.count("*") - F.lit(1)).cast("int").alias("cmps"),
         F.sum(F.col("expanded").cast("int")).cast("int").alias("hops"),
     )
-    final = visited
+    # Bound to the top-l_search pool FIRST, then drop the self row, then
+    # take k — the same order as the broadcast path's final emit. Filtering
+    # self from all visited rows before ranking would let the
+    # (l_search+1)-th visited candidate slide into the result when
+    # k == l_search and self sits inside the pool, breaking bit-parity.
+    final = (
+        visited.withColumn("rk", F.row_number().over(pool_w))
+        .where(F.col("rk") <= l_search)
+        .drop("rk")
+    )
     if exclude_self:
         final = final.where(F.col("nn_id") != F.col("qid"))
     return (

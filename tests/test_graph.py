@@ -111,6 +111,28 @@ def test_distributed_search_excludes_self_at_entry_point(spark, emb, index):
     assert all(r["nn_id"] != r["qid"] for r in bc)
 
 
+def test_distributed_search_parity_at_k_equals_l_search(spark, emb, index):
+    """k == l_search with exclude_self is the parity boundary: the final
+    pool must be bounded to l_search BEFORE the self filter on both paths
+    (a medoid self-query then yields k-1 rows, not a backfilled k-th from
+    the (l_search+1)-th visited candidate)."""
+    from mysteryann_spark.operators.search_distributed import search_graph_distributed
+
+    adj, ep = index
+    q = emb.where(F.col("vec_id").isin([int(ep), 3])).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    kw = dict(k=8, l_search=8, metric="l2", exclude_self=True)
+    bc = search_graph(q, emb, adj, ep, **kw).collect()
+    di = search_graph_distributed(q, emb, adj, ep, **kw).collect()
+    key = lambda r: (r["qid"], r["rank"])  # noqa: E731
+    bc_map = {key(r): (r["nn_id"], round(r["dist"], 9)) for r in bc}
+    di_map = {key(r): (r["nn_id"], round(r["dist"], 9)) for r in di}
+    assert bc_map == di_map
+    # the medoid's own query lost one pool slot to the self row
+    assert sum(1 for r in di if r["qid"] == int(ep)) == 7
+
+
 def test_bipartite_two_hop_search_recall(spark, emb):
     """Q2: 2-hop beam search over the bipartite graph (10 seeded random
     entry points) must recover most exact neighbors on the self-query

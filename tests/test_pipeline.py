@@ -123,6 +123,47 @@ def test_simhash_pigeonhole_equals_all_pairs(spark, docs):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_pigeonhole_exact_with_remainder_chunks(spark, docs):
+    """max_hamming=4 -> 5 bands over 64 bits (non-divisible: four 12-bit
+    chunks + one 16-bit remainder chunk). Every signature bit must still
+    participate, so the pair set and hamming distances must equal the
+    all-pairs baseline — the regression was silently truncating the top
+    4 bits for any bands not dividing 64."""
+    from mysteryann_spark.operators.dedup import simhash_pigeonhole_pairs
+
+    appended = docs.select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.lit("zzzuniquetoken")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(appended)
+    exact = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(corpus, max_hamming=4).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pigeonhole_pairs(corpus, max_hamming=4).collect()
+    }
+    assert banded == exact
+    assert len(exact) > 50
+
+
+def test_lsh_params_scale_with_threshold():
+    """Banding must be sized from the threshold so borderline-pair miss
+    probability stays under the bound at ANY threshold, not just 0.9."""
+    from mysteryann_spark.operators.dedup import lsh_params_for
+
+    for t in (0.95, 0.9, 0.7, 0.5, 0.3, 0.2):
+        num_perm, bands = lsh_params_for(t)
+        rows = num_perm // bands
+        assert num_perm % bands == 0 and num_perm <= 192
+        miss = (1.0 - t**rows) ** bands
+        assert miss <= 1e-15, (t, num_perm, bands, miss)
+    # below the supported range the LSH path must refuse (callers fall
+    # back to the exact generator)
+    assert lsh_params_for(0.05) is None
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark, emb):
     q = emb.where("vec_id < 50").select(F.col("vec_id").alias("qid"), "embedding")
     exact = knn_join(q, emb, 5, "cosine", exclude_self=True)
