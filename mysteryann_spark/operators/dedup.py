@@ -387,7 +387,10 @@ def simhash_hamming_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
 
 
 def simhash_pigeonhole_pairs(
-    docs: DataFrame, max_hamming: int = 3, bands: int | None = None
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    assume_broadcastable: bool = True,
 ) -> DataFrame:
     """All (id_a < id_b, hamming) pairs within ``max_hamming`` via
     pigeonhole banding — EXACT, no cartesian anywhere in the plan.
@@ -401,6 +404,13 @@ def simhash_pigeonhole_pairs(
     candidate dedup, and verification run per distinct signature, then
     verified rep pairs expand back through a members join — intra-group
     pairs are Hamming 0 by construction.
+
+    ``assume_broadcastable`` (default True) places broadcast hints on
+    the per-rep side tables (banded chunks, signature payloads, member
+    lists) — right while distinct signatures fit executor RAM. Hints
+    bypass ``autoBroadcastJoinThreshold``, so beyond that scale pass
+    False and every one of those joins degrades to a shuffled equi-join
+    instead of OOMing (same opt-out as minhash_lsh_pairs).
     """
     bands = bands if bands is not None else max_hamming + 1
     if bands <= max_hamming:
@@ -408,6 +418,8 @@ def simhash_pigeonhole_pairs(
             f"pigeonhole needs bands > max_hamming, got {bands} <= {max_hamming}"
         )
     from mysteryann_spark.session import spread
+
+    maybe_bc = F.broadcast if assume_broadcastable else (lambda df: df)
 
     groups = (
         simhash_chunks(docs, bands=bands)
@@ -439,7 +451,7 @@ def simhash_pigeonhole_pairs(
     # broadcast keeps the hot-chunk pair explosion on the spread probe
     # side (see minhash_lsh_pairs for the AQE-bytes rationale)
     cand = (
-        a.join(F.broadcast(b), ["band", "chunk"])
+        a.join(maybe_bc(b), ["band", "chunk"])
         .where(F.col("rep_a") < F.col("rep_b"))
         .select("rep_a", "rep_b")
         .dropDuplicates(["rep_a", "rep_b"])
@@ -452,11 +464,11 @@ def simhash_pigeonhole_pairs(
     sides = groups.select("rep", "chunks")
     verified = (
         cand.join(
-            F.broadcast(sides.select(F.col("rep").alias("rep_a"), F.col("chunks").alias("ca"))),
+            maybe_bc(sides.select(F.col("rep").alias("rep_a"), F.col("chunks").alias("ca"))),
             "rep_a",
         )
         .join(
-            F.broadcast(sides.select(F.col("rep").alias("rep_b"), F.col("chunks").alias("cb"))),
+            maybe_bc(sides.select(F.col("rep").alias("rep_b"), F.col("chunks").alias("cb"))),
             "rep_b",
         )
         .withColumn("hamming", ham)
@@ -466,11 +478,11 @@ def simhash_pigeonhole_pairs(
     members = groups.select("rep", "members")
     cross = (
         verified.join(
-            F.broadcast(members.select(F.col("rep").alias("rep_a"), F.col("members").alias("ma"))),
+            maybe_bc(members.select(F.col("rep").alias("rep_a"), F.col("members").alias("ma"))),
             "rep_a",
         )
         .join(
-            F.broadcast(members.select(F.col("rep").alias("rep_b"), F.col("members").alias("mb"))),
+            maybe_bc(members.select(F.col("rep").alias("rep_b"), F.col("members").alias("mb"))),
             "rep_b",
         )
         .select(F.explode("ma").alias("x"), "mb", "hamming")

@@ -126,9 +126,11 @@ def roargraph_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's headline evaluation (run_roargraph_search_test.sh):
     recall@k / QPS / latency / avg cmps / avg hops per L_pq sweep point.
     The reference protocol sweeps a dense L list from k up to several
-    hundred (run_roargraph_search_test.sh:1-15); registered here are 8
-    points spanning that range at the scaled-down build. Rows-only
-    (timings aren't SQL); recall monotonicity + floor gated in tests."""
+    hundred (run_roargraph_search_test.sh:1-15, 57 values 10..2000);
+    registered here are 22 points spanning k..300 at the scaled-down
+    build — the staged index is shared across points, so each extra
+    point costs one search pass only. Rows-only (timings aren't SQL);
+    recall monotonicity + floor gated in tests."""
     from mysteryann_spark.operators.sweep import search_sweep
 
     emb, adj, ep = _build(spark, sf_dir)
@@ -136,7 +138,9 @@ def roargraph_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), "embedding"
     )
     return search_sweep(q, emb, adj, ep, k=PARAMS.k,
-                        l_values=[10, 15, 20, 30, 40, 60, 80, 100],
+                        l_values=[10, 12, 15, 18, 20, 25, 30, 35, 40, 50, 60,
+                                  70, 80, 90, 100, 120, 140, 160, 200, 240,
+                                  270, 300],
                         metric=PARAMS.metric)
 
 

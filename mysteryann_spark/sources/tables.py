@@ -34,20 +34,34 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
-        # rejects. Read it as raw nanos and truncate to micros with integer
-        # division (ns epoch values exceed the double mantissa, so float
-        # division would corrupt microseconds). Matches DuckDB's ns->us
-        # truncation, keeping the oracle comparable. Fully distributed —
-        # no driver-side conversion, scales to any table size.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to event-time TIMESTAMP (LTZ) whatever the
+    writer produced.
+
+    The driver has shipped events.parquet with ts as INT64 TIMESTAMP(NANOS)
+    (readable only as raw longs under nanosAsLong) and as TIMESTAMP(MICROS)
+    with isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Nanos are truncated
+    to micros with integer division (ns epoch values exceed the double
+    mantissa, so float division would corrupt microseconds) — matching
+    DuckDB's ns->us truncation so the oracle stays comparable; NTZ is cast
+    to LTZ, an identity under the UTC session timezone. Both forms are
+    per-row Catalyst expressions — fully distributed, no driver conversion,
+    scales to any table size.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":  # raw nanos
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt is not None and dt != "timestamp":  # timestamp_ntz
+        return df.withColumn("ts", F.col("ts").cast(TimestampType()))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -22,26 +22,19 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import LongType, StructField, StructType
 
-# Raw parquet schema: ts is INT64 TIMESTAMP(NANOS) which the reader only
-# accepts as long under nanosAsLong (see sources/tables.py).
-_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from mysteryann_spark.sources.tables import normalize_event_ts
+
+# Raw parquet schema for events: the driver has shipped ts both as INT64
+# TIMESTAMP(NANOS) (readable only as long under nanosAsLong) and as plain
+# TIMESTAMP(MICROS) NTZ. readStream requires an explicit schema, so take
+# the batch reader's inferred one (once per call — one footer read), and
+# let normalize_event_ts (shared with sources/tables.py) turn whatever
+# arrived into event-time TIMESTAMP (LTZ; identity under UTC session tz).
+def _raw_events_schema(spark: SparkSession, path: str) -> StructType:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path).schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,9 +44,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file source requires a directory, and /root/testdata is read-only,
     so the single parquet file is staged (symlinked) into a temp dir.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = os.path.join(sf_dir, "events.parquet")
+    schema = _raw_events_schema(spark, src)
     stage = os.path.join(
         "/tmp/mysteryann_stream", sf_dir.strip("/").replace("/", "_"), "events"
     )
@@ -61,8 +54,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    raw = spark.readStream.format("parquet").schema(_RAW_SCHEMA).load(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.format("parquet").schema(schema).load(stage)
+    return normalize_event_ts(raw)
 
 
 def stream_tumbling_counts(events: DataFrame) -> DataFrame:
@@ -167,9 +160,9 @@ def read_events_stream_duplicated(spark: SparkSession, sf_dir: str) -> DataFrame
     local stand-in for an at-least-once source (Kafka redelivery, file
     re-drops). Used to demonstrate streaming dedup: every event arrives
     exactly twice."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = os.path.join(sf_dir, "events.parquet")
+    schema = _raw_events_schema(spark, src)
     stage = os.path.join(
         "/tmp/mysteryann_stream", sf_dir.strip("/").replace("/", "_"), "events_dup"
     )
@@ -180,11 +173,11 @@ def read_events_stream_duplicated(spark: SparkSession, sf_dir: str) -> DataFrame
             os.symlink(src, link)
     raw = (
         spark.readStream.format("parquet")
-        .schema(_RAW_SCHEMA)
+        .schema(schema)
         .option("maxFilesPerTrigger", 1)  # one copy per micro-batch
         .load(stage)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def stream_dedup_exact(events: DataFrame) -> DataFrame:
