@@ -37,10 +37,24 @@ def main() -> None:
 
     # warm-up: JVM + parquet footer caches + Python/Arrow worker spawn
     # (reference warms 100 queries before timing,
-    # tests/test_search_roargraph.cpp:197-200)
+    # tests/test_search_roargraph.cpp:197-200). The mapInPandas pass is
+    # repartitioned to cluster parallelism so the WHOLE Python worker
+    # pool forks and imports numpy/pandas before timing starts — a
+    # single-partition warm-up spawns one worker and the first timed
+    # pandas stage then pays ~2-3 s of concurrent worker ramp.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     load_table(spark, "lineitem", SF_DIR).count()
-    _warm = load_table(spark, "embeddings", SF_DIR).limit(64)
-    _warm.mapInPandas(lambda it: it, _warm.schema).count()
+    _warm = load_table(spark, "embeddings", SF_DIR).limit(256).repartition(cpus)
+
+    def _warm_fn(batches):
+        # pre-import the staged-artifact reader: workers that first touch
+        # a staged index inside a timed query would otherwise each pay
+        # the pyarrow import (~2 s) there
+        import pyarrow.parquet  # noqa: F401
+
+        yield from batches
+
+    _warm.mapInPandas(_warm_fn, _warm.schema).count()
 
     for qname in (
         "flagship_revenue_by_nation",

@@ -81,6 +81,136 @@ def minhash_signatures(
     return docs.select("doc_id", sig.alias("sig"))
 
 
+_VERIFY_SCHEMA = StructType(
+    [
+        StructField("rep_a", LongType(), False),
+        StructField("rep_b", LongType(), False),
+        StructField("est_jaccard", DoubleType(), False),
+        StructField("jaccard", DoubleType(), False),
+    ]
+)
+
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _mix64(x: np.ndarray | np.uint64) -> np.ndarray | np.uint64:
+    """splitmix64 finalizer — a public-domain full-avalanche 64-bit mixer
+    (Steele et al., "Fast Splittable Pseudorandom Number Generators").
+    Vectorizes over uint64 numpy arrays; the minhash family below is
+    h_i(t) = mix(t ^ mix(seed + i))."""
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the point
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & _U64_MAX
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9) & _U64_MAX
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB) & _U64_MAX
+        return x ^ (x >> np.uint64(31))
+
+
+def _minhash_mat(
+    indptr: np.ndarray, flat: np.ndarray, num_perm: int, seed: int
+) -> np.ndarray:
+    """(n_reps, num_perm) uint64 MinHash matrix over CSR token sets —
+    one vectorized mix + segment-min per permutation, no per-row loop.
+    Empty token sets get the identity (all-max) signature."""
+    n = len(indptr) - 1
+    widths = np.diff(indptr)
+    nonempty = widths > 0
+    toks = flat.view(np.uint64)
+    out = np.full((n, num_perm), _U64_MAX, dtype=np.uint64)
+    starts = indptr[:-1][nonempty]
+    for i in range(num_perm):
+        h = _mix64(toks ^ _mix64(np.uint64(seed + i)))
+        # reduceat misreads empty segments (returns the element AT the
+        # offset), so reduce over nonempty segment starts only
+        if len(starts):
+            out[nonempty, i] = np.minimum.reduceat(h, starts)
+    return out
+
+
+def _band_buckets(sigmat: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """(n_reps, bands) int64 bucket ids: iterated splitmix combine of the
+    band's signature rows (the numpy twin of the SQL xxhash64(rows...)
+    bucket key)."""
+    n = sigmat.shape[0]
+    out = np.empty((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        acc = np.full(n, np.uint64(0x8B5F0A5C9D3E7F11), dtype=np.uint64)
+        for r in range(rows_per_band):
+            acc = _mix64(acc ^ sigmat[:, b * rows_per_band + r])
+        out[:, b] = acc
+    return out.view(np.int64)
+
+
+def _verify_pairs_staged(
+    cand: DataFrame, staged: str, num_perm: int, threshold: float, seed: int
+) -> DataFrame:
+    """Exact-Jaccard verification of (rep_a, rep_b) candidate pairs
+    against STAGED per-rep payloads (token-hash set + MinHash signature).
+
+    ``staged`` is the Parquet artifact written by ``minhash_lsh_pairs``
+    (one row per distinct token set: rep, htok, members, sig); it is
+    loaded per worker process as CSR numpy arrays — no driver collect,
+    no per-pair array shipping. The kernel computes the signature
+    estimate as one vectorized matrix compare and the exact intersection
+    per pair via searchsorted over the two sorted token arrays —
+    identical double arithmetic to the SQL form
+    (inter / (na + nb - inter)), so the pair set and values match the
+    join path bit-for-bit.
+    """
+    from mysteryann_spark.sources.staging import (
+        load_staged,
+        read_staged,
+        table_ragged,
+    )
+
+    def build():
+        tbl = read_staged(staged)
+        reps, indptr, flat = table_ragged(tbl, "rep", "htok")
+        flat = np.ascontiguousarray(flat)
+        # recompute the splitmix64 MinHash matrix once per worker from the
+        # CSR token sets (cheaper than shipping num_perm longs per rep)
+        sigmat = _minhash_mat(indptr, flat, num_perm, seed)
+        return reps, indptr, flat, sigmat
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        reps, indptr, flat, sigmat = load_staged(staged, build)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ia = np.searchsorted(reps, pdf["rep_a"].to_numpy())
+            ib = np.searchsorted(reps, pdf["rep_b"].to_numpy())
+            est = (sigmat[ia] == sigmat[ib]).mean(axis=1)
+            jac = np.empty(n, dtype=np.float64)
+            for i in range(n):
+                a0, a1 = indptr[ia[i]], indptr[ia[i] + 1]
+                b0, b1 = indptr[ib[i]], indptr[ib[i] + 1]
+                na, nb = int(a1 - a0), int(b1 - b0)
+                if na == 0 or nb == 0:
+                    jac[i] = np.nan  # 0/0 union: SQL null, dropped below
+                    continue
+                A, B = flat[a0:a1], flat[b0:b1]
+                if na > nb:  # search the smaller set in the bigger one
+                    A, B = B, A
+                idx = np.minimum(np.searchsorted(B, A), len(B) - 1)
+                inter = int(np.count_nonzero(B[idx] == A))
+                union = na + nb - inter
+                jac[i] = inter / union if union else np.nan
+            keep = jac >= threshold  # NaN compares False
+            yield pd.DataFrame(
+                {
+                    "rep_a": pdf["rep_a"].to_numpy()[keep],
+                    "rep_b": pdf["rep_b"].to_numpy()[keep],
+                    "est_jaccard": est[keep],
+                    "jaccard": jac[keep],
+                }
+            )
+
+    # The caller repartitions the pair set explicitly (see
+    # minhash_lsh_pairs) so the kernel chains into the dedup stage with
+    # no extra shuffle and full parallelism.
+    return cand.mapInPandas(verify, _VERIFY_SCHEMA)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_perm: int = 16,
@@ -131,14 +261,9 @@ def minhash_lsh_pairs(
     # (a 64-bit collision would need ~2^32 distinct tokens in ONE doc)
     # at ~2x the throughput, and the per-pair payload shrinks from
     # ~2x300 B of strings to 8 B/token.
-    groups = (
-        docs.select("doc_id", htok.alias("htok"))
-        .groupBy("htok")
-        .agg(
-            F.min("doc_id").alias("rep"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
-        )
-        .localCheckpoint(eager=True)  # reused by banding + both expansion joins
+    grouped = docs.select("doc_id", htok.alias("htok")).groupBy("htok").agg(
+        F.min("doc_id").alias("rep"),
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
     )
     # MinHash over the hashed token set: permutation i is
     # min(xxhash64(seed + i, token_hash)) — a pure Catalyst expression.
@@ -150,31 +275,86 @@ def minhash_lsh_pairs(
             for i in range(num_perm)
         ]
     )
-    sigs = groups.select("rep", "htok", F.size("htok").alias("ntok"), sig.alias("sig"))
+    if assume_broadcastable:
+        # Tokenize + group exactly ONCE: the per-rep table (a few hundred
+        # bytes per distinct token set) is staged as Parquet by a single
+        # job, and every consumer — banding, the verify kernel, both
+        # member-expansion joins — reads the staged copy instead of
+        # re-deriving the lineage. Signing and banding happen in numpy
+        # (splitmix64 family) inside Arrow kernels: the Catalyst
+        # num_perm-pass xxhash64 expression cost more in codegen compile
+        # than the whole query's execution. The explicit repartition
+        # keeps AQE from coalescing the post-groupBy stage (a few
+        # thousand reps is KBs) onto one core.
+        from mysteryann_spark.sources.staging import stage_parquet
+
+        staged = stage_parquet(grouped.select("rep", "htok", "members"))
+        groups = docs.sparkSession.read.parquet(staged)
+        sigs = None
+    else:
+        staged = None
+        groups = grouped.withColumn("sig", sig).localCheckpoint(eager=True)
+        sigs = groups.select("rep", "htok", F.size("htok").alias("ntok"), "sig")
     # Band the signatures but shuffle ONLY (band, bucket, rep) triples —
     # carrying the sig arrays through the bucket self-join and the pair
     # dedup would multiply shuffle volume by num_perm; the per-rep payload
-    # (signature + token-hash set) re-attaches with ONE id-equi join per
-    # side after the candidate pair set is deduplicated (and so minimal).
-    banded = sigs.select(
-        "rep",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("rep", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # (signature + token-hash set) re-attaches after the candidate pair
+    # set is deduplicated (and so minimal).
+    if assume_broadcastable:
+        band_schema = StructType(
+            [
+                StructField("rep", LongType(), False),
+                StructField("band", LongType(), False),
+                StructField("bucket", LongType(), False),
+            ]
+        )
+
+        def band_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                toks = pdf["htok"]
+                widths = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+                indptr = np.concatenate(
+                    [np.zeros(1, dtype=np.int64), np.cumsum(widths, dtype=np.int64)]
+                )
+                flat = (
+                    np.concatenate([np.asarray(t, dtype=np.int64) for t in toks])
+                    if indptr[-1]
+                    else np.empty(0, dtype=np.int64)
+                )
+                sigmat = _minhash_mat(indptr, flat, num_perm, seed)
+                buckets = _band_buckets(sigmat, bands, rows_per_band)
+                yield pd.DataFrame(
+                    {
+                        "rep": np.repeat(pdf["rep"].to_numpy(), bands),
+                        "band": np.tile(np.arange(bands, dtype=np.int64), n),
+                        "bucket": buckets.reshape(-1),
+                    }
+                )
+
+        banded = groups.select("rep", "htok").mapInPandas(band_kernel, band_schema)
+    else:
+        banded = sigs.select(
+            "rep",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).cast("long").alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("rep", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     if bucket_cap is not None:
         w = Window.partitionBy("band", "bucket")
         banded = (
@@ -200,56 +380,70 @@ def minhash_lsh_pairs(
     # one (band, bucket) row per distinct token set; beyond broadcast
     # range (~10^7 sets) drop the hint and the same plan runs as a
     # shuffled equi-join.
+    # One explicit hash shuffle serves BOTH the pair dedup and the verify
+    # kernel's parallelism: repartition-by-num on the pair key satisfies
+    # dropDuplicates' distribution requirement (no second shuffle) and is
+    # exempt from AQE's bytes-based coalescing, which would otherwise fold
+    # the ~16 B/row pair set onto one core right before the CPU-bound
+    # verify.
+    target = docs.sparkSession.sparkContext.defaultParallelism
     cand = (
         a.join(maybe_bc(b), ["band", "bucket"])
         .where(F.col("rep_a") < F.col("rep_b"))
         .select("rep_a", "rep_b")
+        .repartition(target, "rep_a", "rep_b")
         .dropDuplicates(["rep_a", "rep_b"])
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
-            )
-        ).cast("double")
-        / F.lit(float(num_perm))
-    )
-    # |A ∪ B| = |A| + |B| - |A ∩ B| — one array_intersect per pair, no
-    # materialized union array (the per-pair verify is the cost center)
-    inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
-    jac = inter / (F.col("na") + F.col("nb") - inter)
-    # Side payloads attach via broadcast for the same reason as above: the
-    # verify expression is CPU-bound per pair, and a shuffled join would
-    # let AQE coalesce the (16 B/row) pair set onto a couple of cores.
-    verified = (
-        cand.join(
-            maybe_bc(
+    if assume_broadcastable:
+        # Staged Arrow verify: each rep's token set crosses the wire ONCE
+        # (one staged-Parquet read per worker process), instead of once
+        # per candidate pair. The SQL join form below ships every token
+        # array ~pair-degree times through the verify projection — on a
+        # template-heavy corpus (sf0.1: 1.6M candidate pairs over 3.9k
+        # distinct sets, mean pair degree ~420) that is GBs of array
+        # movement plus an interpreted array_intersect per pair; the
+        # staged kernel moves 16 B/pair and intersects with vectorized
+        # searchsorted over worker-cached CSR arrays. Same regime gate as
+        # the broadcast hints: per-rep payloads fit worker RAM.
+        verified = _verify_pairs_staged(cand, staged, num_perm, threshold, seed)
+    else:
+        est = (
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    lambda v: v == 1,
+                )
+            ).cast("double")
+            / F.lit(float(num_perm))
+        )
+        # |A ∪ B| = |A| + |B| - |A ∩ B| — one array_intersect per pair, no
+        # materialized union array (the per-pair verify is the cost center)
+        inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
+        jac = inter / (F.col("na") + F.col("nb") - inter)
+        verified = (
+            cand.join(
                 sigs.select(
                     F.col("rep").alias("rep_a"),
                     F.col("htok").alias("tok_a"),
                     F.col("ntok").cast("double").alias("na"),
                     F.col("sig").alias("sig_a"),
-                )
-            ),
-            "rep_a",
-        )
-        .join(
-            maybe_bc(
+                ),
+                "rep_a",
+            )
+            .join(
                 sigs.select(
                     F.col("rep").alias("rep_b"),
                     F.col("htok").alias("tok_b"),
                     F.col("ntok").cast("double").alias("nb"),
                     F.col("sig").alias("sig_b"),
-                )
-            ),
-            "rep_b",
+                ),
+                "rep_b",
+            )
+            .withColumn("est_jaccard", est)
+            .withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= threshold)
+            .select("rep_a", "rep_b", "est_jaccard", "jaccard")
         )
-        .withColumn("est_jaccard", est)
-        .withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("rep_a", "rep_b", "est_jaccard", "jaccard")
-    )
     # Expand verified rep pairs to doc pairs. est/jaccard are constant
     # across a group pair (identical token sets => identical signatures).
     members = groups.select("rep", "members")

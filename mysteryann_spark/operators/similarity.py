@@ -101,53 +101,72 @@ def ivf_cosine_topk(
     model size, not the data size. Returns (qid, nn_id, dist, rank) like
     knn_join.
     """
-    norm = lambda c: F.transform(  # noqa: E731
-        c,
-        lambda x: x.cast("double")
-        / F.sqrt(F.aggregate(F.transform(c, lambda v: v.cast("double") * v), F.lit(0.0), lambda s, v: s + v)),
-    )
-    b = base_df.select(F.col(base_id).alias("nn_id"), norm(F.col(vec_col)).alias("nvec"))
-    q = queries_df.select(F.col(query_id).alias("qid"), norm(F.col(vec_col)).alias("qvec"))
+    # Every numeric kernel below is Arrow-batched numpy — normalization,
+    # centroid scoring, and the candidate dot product. The earlier
+    # Catalyst renderings (nested aggregate(zip_with(...)) lambdas) are
+    # interpreted per element, not codegen'd, and dominated runtime.
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _unit(vecs: pd.Series) -> np.ndarray:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def l2norm(vecs: pd.Series) -> pd.Series:
+        return pd.Series(list(_unit(vecs)))
 
     # deterministic hash-sample: keep ids whose xxhash64 falls in the
-    # smallest 1/rate buckets — no sort, no shuffle, stable under retry
+    # smallest 1/rate buckets — no sort, no shuffle, stable under retry.
+    # Raw vectors come back (normalization happens driver-side in numpy);
+    # the collect is bounded by train_sample, not the data size.
     n_base = base_df.count()
     rate = max(1, int(np.ceil(n_base / float(train_sample))))
     sample_pdf = (
-        b.where(F.pmod(F.xxhash64(F.col("nn_id")), F.lit(rate)) == 0)
-        .select("nvec")
+        base_df.where(F.pmod(F.xxhash64(F.col(base_id)), F.lit(rate)) == 0)
+        .select(F.col(vec_col).alias("v"))
         .toPandas()
     )
-    train = np.stack([np.asarray(v, dtype=np.float64) for v in sample_pdf["nvec"]])
-    cmat = _sample_kmeans(train, n_centroids, max_iter, seed)
-    bc = b.sparkSession.sparkContext.broadcast(cmat)
+    cmat = _sample_kmeans(_unit(sample_pdf["v"]), n_centroids, max_iter, seed)
+    bc = base_df.sparkSession.sparkContext.broadcast(cmat)
 
-    # centroid scoring as an Arrow-batched UDF over the broadcast
-    # (n_centroids x dim) matrix — a literal-array Catalyst expression at
-    # dim 64 x 16 centroids codegens thousands of constants and dominates
-    # runtime; one GEMM per batch is the right kernel shape.
-    from pyspark.sql.functions import pandas_udf
-
+    # centroid scoring: one GEMM per Arrow batch against the broadcast
+    # (n_centroids x dim) matrix; input is the RAW vector (normalized
+    # inline) so assignment needs no second pass over nvec.
     def _nearest(n: int):
         @pandas_udf(ArrayType(IntegerType()))
         def nearest(vecs: pd.Series) -> pd.Series:
             c = bc.value
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            m = _unit(vecs)
             d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             order = np.argsort(d, axis=1)[:, :n]
             return pd.Series(list(order.astype(np.int32)))
 
         return nearest
 
-    assigned = b.withColumn("cid", F.element_at(_nearest(1)(F.col("nvec")), 1))
-    probes = q.select("qid", "qvec", F.explode(_nearest(n_probe)(F.col("qvec"))).alias("cid"))
+    assigned = base_df.select(
+        F.col(base_id).alias("nn_id"),
+        l2norm(F.col(vec_col)).alias("nvec"),
+        F.element_at(_nearest(1)(F.col(vec_col)), 1).alias("cid"),
+    )
+    probes = queries_df.select(
+        F.col(query_id).alias("qid"),
+        l2norm(F.col(vec_col)).alias("qvec"),
+        F.explode(_nearest(n_probe)(F.col(vec_col))).alias("cid"),
+    )
 
     cand = probes.join(assigned, "cid").select("qid", "nn_id", "qvec", "nvec")
     if exclude_self:
         cand = cand.where(F.col("qid") != F.col("nn_id"))
-    # unit vectors: cosine distance = 1 - dot
-    dot = F.aggregate(F.zip_with("qvec", "nvec", lambda a, bb: a * bb), F.lit(0.0), lambda s, v: s + v)
-    scored = cand.select("qid", "nn_id", (F.lit(1.0) - dot).alias("dist"))
+
+    # unit vectors: cosine distance = 1 - dot; row-wise einsum per batch
+    @pandas_udf(DoubleType())
+    def cos_dist(qv: pd.Series, nv: pd.Series) -> pd.Series:
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+        bm = np.stack([np.asarray(v, dtype=np.float64) for v in nv])
+        return pd.Series(1.0 - np.einsum("ij,ij->i", a, bm))
+
+    scored = cand.select("qid", "nn_id", cos_dist("qvec", "nvec").alias("dist"))
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nn_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

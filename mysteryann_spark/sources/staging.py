@@ -82,6 +82,27 @@ def table_matrix(tbl, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray
     return ids[order].astype(np.int64), mat[order]
 
 
+def table_ragged(tbl, id_col: str, list_col: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ids, indptr, flat) from an Arrow table with a ragged list column,
+    id-sorted — the CSR shape for variable-length per-id payloads (token
+    sets, signatures of varying width). Built from Arrow list offsets +
+    vectorized gathers only; no ``to_pylist``, no per-row Python loop."""
+    ids = tbl[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    arr = tbl[list_col].combine_chunks()
+    if arr.null_count:
+        raise ValueError(f"staged {list_col} column must not contain nulls")
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    order = np.argsort(ids, kind="stable")
+    starts, l = offsets[:-1][order], widths[order]
+    indptr = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(l, dtype=np.int64)])
+    # vectorized gather of the reordered segments: position k inside
+    # segment j maps to starts[j] + k
+    pos = np.arange(int(l.sum()), dtype=np.int64) - np.repeat(indptr[:-1], l) + np.repeat(starts, l)
+    return ids[order], indptr, flat[pos]
+
+
 def table_csr(
     tbl, ids: np.ndarray, node_col: str = "node", nbrs_col: str = "nbrs"
 ) -> tuple[np.ndarray, np.ndarray]:
