@@ -153,3 +153,80 @@ def doc_fingerprint(text: Column | str) -> Column:
     """
     toks = F.array_sort(F.array_distinct(tokens_col(text)))
     return F.md5(F.array_join(toks, " "))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Patterns stay inside the Java-regex ∩ RE2 common subset (no backrefs,
+# no lookaround) so the DuckDB oracle runs them verbatim.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+_PII_RULES = (
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_IPV4_RE, "<IP>"),
+    (PII_PHONE_RE, "<PHONE>"),
+)
+
+
+def pii_counts_cols(text: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts — the detection report a curation
+    pipeline logs before scrubbing."""
+    t = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_emails": F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("bigint"),
+        "n_ips": F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("bigint"),
+        "n_phones": F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("bigint"),
+    }
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Replace every PII match with a typed placeholder. Email runs first
+    so an address's host part is never half-eaten by the IP rule."""
+    t = F.col(text) if isinstance(text, str) else text
+    for pat, rep in _PII_RULES:
+        t = F.regexp_replace(t, pat, rep)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules
+# ---------------------------------------------------------------------------
+
+# Rule thresholds follow the Gopher corpus-filtering recipe (Rae et al.,
+# "Scaling Language Models: Methods, Analysis & Insights from Training
+# Gopher", appendix A1.1), scaled to the synthetic corpus: word-count
+# bounds, mean-word-length band, and a minimum stop-word presence.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_STOP_FRACTION = 0.02
+
+
+def gopher_quality_cols(text: Column | str) -> dict[str, Column]:
+    """The per-rule measurements plus the conjunctive pass flag."""
+    toks = tokens_col(text)
+    n = F.size(toks).cast("bigint")
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    mean_len = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double")
+        / nd
+    )
+    stop_frac = _stop_hits(toks, EN_STOPWORDS).cast("double") / nd
+    passes = (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_LEN)
+        & (stop_frac >= GOPHER_MIN_STOP_FRACTION)
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": mean_len,
+        "stop_fraction": stop_frac,
+        "passes_gopher": passes.cast("int"),
+    }

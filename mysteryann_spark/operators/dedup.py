@@ -961,3 +961,79 @@ def embedding_neardup_pairs(
             )
 
     return emb.select(base_id, vec_col).mapInPandas(block, _PAIR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    max_iter: int = 5,
+    seed: int = 42,
+    train_sample: int = 4096,
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): k-means-cluster the embedding space, find
+    within-cluster cosine near-duplicates, keep one canonical
+    representative (min id) per duplicate group.
+
+    Returns (vec_id, cluster_id, component, keep) — keep=1 marks the
+    survivor of its semantic group; singleton groups survive trivially.
+
+    Scale shape: the clustering bounds the pairwise work — candidate
+    pairs come from ONE equi-shuffle on centroid id and a per-cluster
+    GEMM (cluster size ~ N/k rows), never a global cross product; the
+    grouping is the same min-label-propagation connected components the
+    text dedup path uses. At 100 TB you'd raise n_clusters so clusters
+    stay executor-sized — the partitioning key is the model, the plan is
+    unchanged.
+    """
+    from mysteryann_spark.operators.similarity import (
+        nearest_centroids_udf,
+        train_centroids,
+    )
+
+    bc = train_centroids(
+        emb, n_clusters, max_iter, seed, train_sample, base_id, vec_col
+    )
+    assigned = emb.select(
+        F.col(base_id).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.element_at(nearest_centroids_udf(bc, 1)(F.col(vec_col)), 1).alias("cid"),
+    )
+
+    pair_schema = StructType(
+        [
+            StructField("src", LongType(), False),
+            StructField("dst", LongType(), False),
+        ]
+    )
+
+    def cluster_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        mat = np_normalize(mat)
+        sims = mat @ mat.T
+        ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"src": ids[ii], "dst": ids[jj]})
+
+    pairs = assigned.groupBy("cid").applyInPandas(cluster_pairs, pair_schema)
+    nodes = assigned.select("id")
+    comps = connected_components(pairs, nodes)
+    return (
+        assigned.select("id", "cid")
+        .join(comps, "id")
+        .select(
+            F.col("id").alias(base_id),
+            F.col("cid").alias("cluster_id"),
+            F.col("comp").alias("component"),
+            (F.col("id") == F.col("comp")).cast("int").alias("keep"),
+        )
+    )

@@ -211,3 +211,59 @@ def medoid(
         .collect()[0]
     )
     return int(best["medoid_id"]), float(best["dist"])
+
+
+def range_join(
+    queries_df: DataFrame,
+    base_df: DataFrame,
+    radius: float,
+    metric: str = "l2",
+    query_id: str = "qid",
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Range (radius) join: every (query, base) pair with distance
+    <= ``radius`` — the fixed-threshold sibling of the top-k kNN join
+    (the reference's queue-based search bounds by COUNT, neighbor.h:138;
+    a range join bounds by DISTANCE, the retrieval mode used for
+    near-duplicate harvesting and recall curves).
+
+    Same scale shape as knn_join: the query side is staged once
+    (executor-side Parquet, no driver round-trip), the base side streams
+    through one GEMM per Arrow batch, and — unlike top-k — no global
+    merge is needed at all: the radius predicate is decided locally per
+    batch, so there is ZERO shuffle and output size is the only cost.
+    Returns (qid, nn_id, dist).
+    """
+    spark = base_df.sparkSession
+    q_path = stage_parquet(queries_df.select(query_id, vec_col))
+    files = sorted(spark.read.parquet(q_path).inputFiles())
+    if not files:
+        return spark.createDataFrame([], _CAND_SCHEMA)
+    r = float(radius)
+
+    def in_range(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        loaded = load_staged(
+            "rangeq|" + "|".join(files),
+            lambda: _read_query_block(files, query_id, vec_col),
+        )
+        if loaded is None:
+            return
+        b_qids, b_qmat = loaded
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf[base_id].to_numpy(dtype=np.int64)
+            bmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            dmat = np_distances(metric, b_qmat, bmat)  # (n_q, n_batch)
+            if exclude_self:
+                dmat[b_qids[:, None] == bids[None, :]] = np.inf
+            qi, bi = np.nonzero(dmat <= r)
+            if len(qi) == 0:
+                continue
+            yield pd.DataFrame(
+                {"qid": b_qids[qi], "nn_id": bids[bi], "dist": dmat[qi, bi]}
+            )
+
+    return base_df.select(base_id, vec_col).mapInPandas(in_range, _CAND_SCHEMA)

@@ -68,6 +68,68 @@ def _sample_kmeans(
     return cent
 
 
+def _unit(vecs: pd.Series) -> np.ndarray:
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def l2norm_udf():
+    """Arrow-batched L2 normalization: ARRAY<numeric> -> unit ARRAY<DOUBLE>."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def l2norm(vecs: pd.Series) -> pd.Series:
+        return pd.Series(list(_unit(vecs)))
+
+    return l2norm
+
+
+def train_centroids(
+    base_df: DataFrame,
+    n_centroids: int,
+    max_iter: int,
+    seed: int,
+    train_sample: int,
+    base_id: str,
+    vec_col: str,
+):
+    """Broadcast of a seeded k-means centroid matrix trained on a BOUNDED
+    deterministic sample (the FAISS IVF training protocol — centroids are
+    a tiny model; training beyond a few thousand points per centroid buys
+    nothing). The hash-sample keeps ids whose xxhash64 lands in the
+    smallest 1/rate buckets — no sort, no shuffle, stable under retry;
+    the one driver collect is bounded by ``train_sample``, not the data
+    size. Vectors are normalized driver-side in numpy."""
+    n_base = base_df.count()
+    rate = max(1, int(np.ceil(n_base / float(train_sample))))
+    sample_pdf = (
+        base_df.where(F.pmod(F.xxhash64(F.col(base_id)), F.lit(rate)) == 0)
+        .select(F.col(vec_col).alias("v"))
+        .toPandas()
+    )
+    cmat = _sample_kmeans(_unit(sample_pdf["v"]), n_centroids, max_iter, seed)
+    return base_df.sparkSession.sparkContext.broadcast(cmat)
+
+
+def nearest_centroids_udf(bc, n: int):
+    """Arrow-batched centroid scoring: one GEMM per batch against the
+    broadcast (n_centroids x dim) matrix; input is the RAW vector
+    (normalized inline) so assignment needs no second normalization
+    pass."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def nearest(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        m = _unit(vecs)
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :n]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return nearest
+
+
 def ivf_cosine_topk(
     queries_df: DataFrame,
     base_df: DataFrame,
@@ -105,44 +167,11 @@ def ivf_cosine_topk(
     # centroid scoring, and the candidate dot product. The earlier
     # Catalyst renderings (nested aggregate(zip_with(...)) lambdas) are
     # interpreted per element, not codegen'd, and dominated runtime.
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import DoubleType
-
-    def _unit(vecs: pd.Series) -> np.ndarray:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        return m / np.linalg.norm(m, axis=1, keepdims=True)
-
-    @pandas_udf(ArrayType(DoubleType()))
-    def l2norm(vecs: pd.Series) -> pd.Series:
-        return pd.Series(list(_unit(vecs)))
-
-    # deterministic hash-sample: keep ids whose xxhash64 falls in the
-    # smallest 1/rate buckets — no sort, no shuffle, stable under retry.
-    # Raw vectors come back (normalization happens driver-side in numpy);
-    # the collect is bounded by train_sample, not the data size.
-    n_base = base_df.count()
-    rate = max(1, int(np.ceil(n_base / float(train_sample))))
-    sample_pdf = (
-        base_df.where(F.pmod(F.xxhash64(F.col(base_id)), F.lit(rate)) == 0)
-        .select(F.col(vec_col).alias("v"))
-        .toPandas()
+    bc = train_centroids(
+        base_df, n_centroids, max_iter, seed, train_sample, base_id, vec_col
     )
-    cmat = _sample_kmeans(_unit(sample_pdf["v"]), n_centroids, max_iter, seed)
-    bc = base_df.sparkSession.sparkContext.broadcast(cmat)
-
-    # centroid scoring: one GEMM per Arrow batch against the broadcast
-    # (n_centroids x dim) matrix; input is the RAW vector (normalized
-    # inline) so assignment needs no second pass over nvec.
-    def _nearest(n: int):
-        @pandas_udf(ArrayType(IntegerType()))
-        def nearest(vecs: pd.Series) -> pd.Series:
-            c = bc.value
-            m = _unit(vecs)
-            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            order = np.argsort(d, axis=1)[:, :n]
-            return pd.Series(list(order.astype(np.int32)))
-
-        return nearest
+    _nearest = lambda n: nearest_centroids_udf(bc, n)  # noqa: E731
+    l2norm = l2norm_udf()
 
     assigned = base_df.select(
         F.col(base_id).alias("nn_id"),
@@ -160,6 +189,9 @@ def ivf_cosine_topk(
         cand = cand.where(F.col("qid") != F.col("nn_id"))
 
     # unit vectors: cosine distance = 1 - dot; row-wise einsum per batch
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
     @pandas_udf(DoubleType())
     def cos_dist(qv: pd.Series, nv: pd.Series) -> pd.Series:
         a = np.stack([np.asarray(v, dtype=np.float64) for v in qv])

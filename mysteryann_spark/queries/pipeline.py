@@ -557,6 +557,210 @@ GROUP BY c.label, c.n, nrm.nrm
 """
 
 
+
+
+# --- round-3 pipeline extensions -------------------------------------------
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact round-trip. The corpus is synthetic word salad
+    with no PII, so deterministic PII (an email, an IP, a phone) is
+    INJECTED from doc_id in both engines first — the oracle then actually
+    exercises the regex logic (counts + md5 of the scrubbed text) instead
+    of comparing no-ops. Patterns live in the Java-regex ∩ RE2 subset so
+    DuckDB runs them verbatim."""
+    from mysteryann_spark.functions.text import pii_counts_cols, pii_scrub
+
+    d = _docs(spark, sf_dir)
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    counts = pii_counts_cols(synth)
+    return d.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+        F.md5(pii_scrub(synth)).alias("scrubbed_md5"),
+    )
+
+
+_PII_SQL = r"""
+WITH s AS (SELECT doc_id,
+  concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@mail.example.com or 10.0.',
+         CAST(doc_id % 256 AS VARCHAR), '.', CAST((doc_id * 7) % 256 AS VARCHAR),
+         ' call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS synth
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(synth, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(synth, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(synth,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
+FROM s
+"""
+
+
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter (word-count bounds, mean-word-length band,
+    minimum stop-word fraction) with the per-rule measurements — the
+    rule-based quality gate of a curation pipeline, fully SQL-oracled."""
+    from mysteryann_spark.functions.text import gopher_quality_cols
+
+    d = _docs(spark, sf_dir)
+    cols = gopher_quality_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        cols["n_words"].alias("n_words"),
+        stable_round(cols["mean_word_len"], 6).alias("mean_word_len"),
+        stable_round(cols["stop_fraction"], 6).alias("stop_fraction"),
+        cols["passes_gopher"].alias("passes_gopher"),
+    )
+
+
+_GOPHER_SQL = """
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+b AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        greatest(len(toks), 1) * 1.0 AS nd,
+        CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE) AS chars,
+        len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x))) * 1.0 AS sw
+      FROM t),
+c AS (SELECT doc_id, n_words, chars / nd AS mwl, sw / nd AS sf FROM b)
+SELECT doc_id, n_words,
+       round(mwl + 1e-9, 6) AS mean_word_len,
+       round(sf + 1e-9, 6) AS stop_fraction,
+       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                  AND mwl >= 3.0 AND mwl <= 10.0 AND sf >= 0.02
+            THEN 1 ELSE 0 END AS INTEGER) AS passes_gopher
+FROM c
+"""
+
+
+def doc_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated token-3-gram detection (the exact-substring
+    dedup primitive of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): every rolling-hash window that occurs more
+    than once anywhere in the corpus, with its document spread and
+    occurrence count. One explode + one hash aggregation — the 100 TB
+    shape is a single shuffle on the window hash."""
+    from mysteryann_spark.functions.text import rolling_hashes
+
+    d = _docs(spark, sf_dir)
+    wins = d.select("doc_id", F.explode(rolling_hashes("text", 3)).alias("rhash"))
+    return (
+        wins.groupBy("rhash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .where(F.col("n_occ") >= 2)
+    )
+
+
+_SUBSTR_SQL = """
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+h AS (SELECT doc_id,
+        list_transform(toks, tk ->
+          (length(tk) * 131
+           + ascii(substr(tk, 1, 1)) * 31
+           + ascii(substr(tk, -1, 1))
+           + list_sum(list_transform(list_filter(string_split(tk, ''), c -> c != ''), c -> ascii(c)))
+          ) % 1000000007) AS hs,
+        len(toks) AS n
+      FROM t),
+r AS (SELECT doc_id,
+        CASE WHEN n < 3 THEN []
+             ELSE list_transform(generate_series(1, n - 2), i ->
+               (hs[i] * 66049 + hs[i + 1] * 257 + hs[i + 2]) % 1000000007)
+        END AS rh
+      FROM h),
+w AS (SELECT doc_id, unnest(rh) AS rhash FROM r)
+SELECT rhash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM w GROUP BY rhash HAVING count(*) >= 2
+"""
+
+
+def pipeline_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified data mixing: per-source sampling rates
+    applied via an md5-derived uniform — the reproducible (re-runnable,
+    retry-stable) way a pipeline downsamples sources to a target mixture.
+    Pure per-row expressions; the only cost is the scan."""
+    d = _docs(spark, sf_dir)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3", "src4"), F.lit(0.9))
+        .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"), F.lit(0.5))
+        .otherwise(F.lit(0.2))
+    )
+    return d.where(u < rate).select(
+        "doc_id", "source", stable_round(u, 6).alias("u")
+    )
+
+
+_MIX_SQL = """
+SELECT doc_id, source, round(u + 1e-9, 6) AS u
+FROM (SELECT doc_id, source,
+        CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u,
+        CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN CAST(0.9 AS DOUBLE)
+             WHEN source IN ('src5','src6','src7','src8','src9') THEN CAST(0.5 AS DOUBLE)
+             ELSE CAST(0.2 AS DOUBLE) END AS rate
+      FROM documents)
+WHERE u < rate
+"""
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table: k-means
+    clusters -> within-cluster cosine near-dup groups -> one survivor per
+    group. Rows-only (seeded k-means is not SQL-expressible); the
+    keep-set properties are gated in tests/test_pipeline.py."""
+    from mysteryann_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir), threshold=0.5, n_clusters=16)
+
+
+_RANGE_RADIUS = 1.4
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) similarity search: all base vectors within squared
+    L2 1.4 of each query — the fixed-threshold retrieval mode (near-dup
+    harvesting) next to the top-k entries. Zero-shuffle plan: staged
+    query block + per-batch GEMM + local radius predicate."""
+    from mysteryann_spark.operators.knn import range_join
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
+    out = range_join(q, e, radius=_RANGE_RADIUS, metric="l2", exclude_self=True)
+    return out.select("qid", "nn_id", stable_round(F.col("dist"), 6).alias("dist"))
+
+
+_RANGE_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+u AS (SELECT q.qid, b.vec_id AS nn_id,
+             CAST(unnest(q.qe) AS DOUBLE) AS xa, CAST(unnest(b.embedding) AS DOUBLE) AS xb
+      FROM q, embeddings b WHERE q.qid != b.vec_id),
+d AS (SELECT qid, nn_id, sum(xa * xa) + sum(xb * xb) - 2 * sum(xa * xb) AS dist
+      FROM u GROUP BY qid, nn_id)
+SELECT qid, nn_id, round(dist + 1e-9, 6) AS dist FROM d WHERE dist <= {_RANGE_RADIUS}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_tfidf_topterms": QuerySpec(doc_tfidf_topterms, _TFIDF_SQL),
     "doc_token_stats": QuerySpec(doc_token_stats, _TOKEN_STATS_SQL),
@@ -581,4 +785,10 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, None),
     "multimodal_decode": QuerySpec(multimodal_decode, None),
     "multimodal_meanpool": QuerySpec(multimodal_meanpool, _MM_POOL_SQL),
+    "doc_pii_scrub": QuerySpec(doc_pii_scrub, _PII_SQL),
+    "doc_gopher_quality": QuerySpec(doc_gopher_quality, _GOPHER_SQL),
+    "doc_substring_spans": QuerySpec(doc_substring_spans, _SUBSTR_SQL),
+    "pipeline_mix_sample": QuerySpec(pipeline_mix_sample, _MIX_SQL),
+    "dedup_semantic": QuerySpec(dedup_semantic, None),
+    "ann_range_search": QuerySpec(ann_range_search, _RANGE_SQL),
 }

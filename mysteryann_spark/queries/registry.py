@@ -90,8 +90,21 @@ _FRONT = [
     "bipartite_search_topk",
     "dedup_ann_pairs",
     "dedup_groups_full",
+    # new in round 3 — never had a driver row
+    "doc_pii_scrub",
+    "doc_gopher_quality",
+    "doc_substring_spans",
+    "pipeline_mix_sample",
+    "dedup_semantic",
+    "ann_range_search",
 ]
 _BACK = [
+    # twice-verified (r1+r2) pipeline entries rotated back to make window
+    # room for the round-3 additions — same policy as the relational floor
+    "dedup_fingerprint",
+    "dedup_jaccard_bigram",
+    "pipeline_curate",
+    "dedup_components",
     "filter_project",
     "topk_orders",
     "window_rank",

@@ -336,3 +336,161 @@ def test_ann_neardup_covers_exact_pairs(spark, emb):
     sims = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in embedding_neardup_pairs(emb, 0.0).collect()}
     for p in approx:
         assert sims.get(p, 0.0) >= th - 1e-9, p
+
+
+def test_range_join_matches_bruteforce(spark, emb):
+    """Every (query, base) pair within the radius — no more, no fewer —
+    against an independent numpy recomputation."""
+    import numpy as np
+
+    from mysteryann_spark.operators.knn import range_join
+
+    q = emb.where("vec_id < 20").selectExpr("vec_id as qid", "embedding")
+    got = {
+        (r["qid"], r["nn_id"]): r["dist"]
+        for r in range_join(q, emb, radius=1.4, metric="l2", exclude_self=True).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    qmask = ids < 20
+    qq = (mat[qmask] ** 2).sum(1)[:, None]
+    bb = (mat**2).sum(1)[None, :]
+    d = np.maximum(qq + bb - 2.0 * mat[qmask] @ mat.T, 0.0)
+    want = {}
+    for qi, qid in enumerate(ids[qmask]):
+        for bi, bid in enumerate(ids):
+            if bid != qid and d[qi, bi] <= 1.4:
+                want[(int(qid), int(bid))] = d[qi, bi]
+    assert set(got) == set(want)
+    for k, v in got.items():
+        assert abs(v - want[k]) < 1e-9
+
+
+def test_semantic_dedup_properties(spark, emb):
+    """Survivor-set invariants: each group keeps exactly its min id;
+    every dropped row shares a cluster-and-group with its survivor; the
+    whole output is deterministic across runs."""
+    from mysteryann_spark.operators.dedup import semantic_dedup
+
+    out = semantic_dedup(emb, threshold=0.5, n_clusters=16).collect()
+    assert len(out) == emb.count()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, rows in by_comp.items():
+        ids = sorted(r["vec_id"] for r in rows)
+        assert comp == ids[0]
+        keeps = [r["vec_id"] for r in rows if r["keep"] == 1]
+        assert keeps == [comp]
+        # a semantic group never spans clusters: pairs are generated
+        # within-cluster only, and components are unions of pair edges
+        assert len({r["cluster_id"] for r in rows}) == 1 or len(rows) == 1
+    again = semantic_dedup(emb, threshold=0.5, n_clusters=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    from mysteryann_spark.functions.text import pii_counts_cols, pii_scrub
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (0, "reach me at jane.doe+spam@corp.example.org thanks"),
+            (1, "server 192.168.1.254 and backup 10.0.0.7"),
+            (2, "call 555-0142 or 800-555-1212 ext 9"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    c = pii_counts_cols(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            c["n_emails"].alias("e"),
+            c["n_ips"].alias("i"),
+            c["n_phones"].alias("p"),
+            pii_scrub(F.col("text")).alias("s"),
+        ).collect()
+    }
+    assert (rows[0]["e"], rows[0]["i"], rows[0]["p"]) == (1, 0, 0)
+    assert "<EMAIL>" in rows[0]["s"] and "@" not in rows[0]["s"]
+    assert (rows[1]["e"], rows[1]["i"], rows[1]["p"]) == (0, 2, 0)
+    assert rows[1]["s"].count("<IP>") == 2
+    # 800-555-1212 contains the 3-4 digit shape at "555-1212"
+    assert rows[2]["p"] == 2 and rows[2]["s"].count("<PHONE>") == 2
+    assert rows[3]["s"] == "clean text with no pii at all"
+
+
+def test_gopher_rules_fire_individually(spark):
+    from mysteryann_spark.functions.text import gopher_quality_cols
+    from pyspark.sql import functions as F
+
+    long_ok = "the quick brown fox jumps over a lazy dog near the river bank " * 5
+    df = spark.createDataFrame(
+        [
+            (0, long_ok),  # passes every rule
+            (1, "too short for the corpus"),  # word count < 50
+            (2, " ".join(["supercalifragilistic"] * 60)),  # mean len + stopwords
+            (3, " ".join(["xy"] * 60)),  # mean word length < 3
+        ],
+        "doc_id long, text string",
+    )
+    g = gopher_quality_cols(F.col("text"))
+    rows = {
+        r["doc_id"]: r["ok"]
+        for r in df.select("doc_id", g["passes_gopher"].alias("ok")).collect()
+    }
+    assert rows == {0: 1, 1: 0, 2: 0, 3: 0}
+
+
+def test_substring_spans_match_bruteforce(spark):
+    """Repeated-window aggregation equals a direct Counter over the same
+    per-doc rolling hashes (whole corpus — the query is corpus-wide)."""
+    from collections import Counter
+
+    from mysteryann_spark.functions.text import rolling_hashes
+    from mysteryann_spark.queries.pipeline import doc_substring_spans
+    from mysteryann_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    per_doc = (
+        load_table(spark, "documents", SF_DIR)
+        .select("doc_id", rolling_hashes("text", 3).alias("rh"))
+        .collect()
+    )
+    occ = Counter()
+    dspread = {}
+    for r in per_doc:
+        for h in r["rh"]:
+            occ[h] += 1
+            dspread.setdefault(h, set()).add(r["doc_id"])
+    want = {
+        h: (len(dspread[h]), c) for h, c in occ.items() if c >= 2
+    }
+    got = {
+        r["rhash"]: (r["n_docs"], r["n_occ"])
+        for r in doc_substring_spans(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_mix_sample_deterministic_and_stratified(spark):
+    from mysteryann_spark.queries.pipeline import pipeline_mix_sample
+    from tests.conftest import SF_DIR
+
+    a = {r["doc_id"]: r["source"] for r in pipeline_mix_sample(spark, SF_DIR).collect()}
+    b = {r["doc_id"]: r["source"] for r in pipeline_mix_sample(spark, SF_DIR).collect()}
+    assert a == b  # hash-derived, not rand(): identical under re-run
+    from mysteryann_spark.sources.tables import load_table
+
+    totals = {}
+    for r in load_table(spark, "documents", SF_DIR).select("doc_id", "source").collect():
+        totals.setdefault(r["source"], [0, 0])[0] += 1
+        if r["doc_id"] in a:
+            totals[r["source"]][1] += 1
+    hi = [totals[s][1] / totals[s][0] for s in totals if s in {"src0", "src1", "src2", "src3", "src4"}]
+    lo = [totals[s][1] / totals[s][0] for s in totals if int(s[3:]) >= 10]
+    # loose statistical bounds: 0.9-rate strata must out-sample 0.2-rate
+    assert min(hi) > max(lo)
