@@ -52,20 +52,30 @@ _CAND_SCHEMA = StructType(
 )
 
 
-def _read_query_block(paths: list[str], query_id: str, vec_col: str):
+def _read_query_block(
+    paths: list[str], query_id: str, vec_col: str, match_col: str | None = None
+):
     """Executor-side: one query block = one or more staged part files
-    (URIs from ``DataFrame.inputFiles``). Returns (qids, qmat) or None
-    if the block holds no rows. pyarrow datasets don't URI-resolve path
-    *lists*, so the filesystem is resolved explicitly (file:/hdfs:/s3:)."""
+    (URIs from ``DataFrame.inputFiles``). Returns (qids, qmat[, qmatch])
+    or None if the block holds no rows. pyarrow datasets don't
+    URI-resolve path *lists*, so the filesystem is resolved explicitly
+    (file:/hdfs:/s3:)."""
     import pyarrow.fs as pafs
     import pyarrow.parquet as pq
 
     fs, first = pafs.FileSystem.from_uri(paths[0])
     rel = [first] + [pafs.FileSystem.from_uri(p)[1] for p in paths[1:]]
-    tbl = pq.read_table(rel, filesystem=fs, columns=[query_id, vec_col])
+    cols = [query_id, vec_col] + ([match_col] if match_col else [])
+    tbl = pq.read_table(rel, filesystem=fs, columns=cols)
     if tbl.num_rows == 0:
         return None
-    return table_matrix(tbl, query_id, vec_col)
+    ids, mat = table_matrix(tbl, query_id, vec_col)
+    if match_col is None:
+        return ids, mat
+    raw_ids = tbl[query_id].combine_chunks().to_numpy(zero_copy_only=False)
+    vals = tbl[match_col].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(raw_ids, kind="stable")  # same order as table_matrix
+    return ids, mat, vals[order].astype(np.int64)
 
 
 def knn_join(
@@ -79,6 +89,7 @@ def knn_join(
     exclude_self: bool = False,
     query_block_rows: int | None = None,
     storage_dir: str | None = None,
+    match_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k join: for each query row, the k nearest base rows.
 
@@ -98,9 +109,16 @@ def knn_join(
     against the (cached) base in its own pass, unioned before the global
     top-k window. Block count trades base rescans for unbounded query
     cardinality.
+
+    ``match_col`` (optional) makes the join FILTERED: both sides must
+    carry the column, and a base row only competes for a query's top-k
+    when the values match (the Big-ANN filtered-track semantics — e.g.
+    same-label retrieval). The filter is a distance mask inside the GEMM
+    kernel, so selectivity never costs a second scan.
     """
     spark = base_df.sparkSession
-    q_sel = queries_df.select(query_id, vec_col)
+    q_cols = [query_id, vec_col] + ([match_col] if match_col else [])
+    q_sel = queries_df.select(*q_cols)
     if query_block_rows is None:
         q_path = stage_parquet(q_sel, storage_dir)
     else:
@@ -117,18 +135,25 @@ def knn_join(
     def block_candidates(block_files: list[str]) -> DataFrame:
         def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             loaded = load_staged(
-                "knnq|" + "|".join(block_files),
-                lambda: _read_query_block(block_files, query_id, vec_col),
+                "knnq|" + ("m:" + match_col + "|" if match_col else "") + "|".join(block_files),
+                lambda: _read_query_block(block_files, query_id, vec_col, match_col),
             )
             if loaded is None:
                 return
-            b_qids, b_qmat = loaded
+            if match_col is None:
+                b_qids, b_qmat = loaded
+                b_qmatch = None
+            else:
+                b_qids, b_qmat, b_qmatch = loaded
             for pdf in batches:
                 if pdf.empty:
                     continue
                 bids = pdf[base_id].to_numpy(dtype=np.int64)
                 bmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
                 dmat = np_distances(metric, b_qmat, bmat)  # (n_q, n_batch)
+                if b_qmatch is not None:
+                    bm = pdf[match_col].to_numpy(dtype=np.int64)
+                    dmat[b_qmatch[:, None] != bm[None, :]] = np.inf
                 if exclude_self:
                     # mask before the local top-k, or a batch owning the
                     # query's own row would surrender a candidate slot
@@ -143,12 +168,13 @@ def knn_join(
                     {"qid": b_qids[rows_q], "nn_id": cand_ids, "dist": cand_d}
                 )
 
-        return base_df.select(base_id, vec_col).mapInPandas(local_topk, _CAND_SCHEMA)
+        b_cols = [base_id, vec_col] + ([match_col] if match_col else [])
+        return base_df.select(*b_cols).mapInPandas(local_topk, _CAND_SCHEMA)
 
     candidates = block_candidates(blocks[0])
     for blk in blocks[1:]:
         candidates = candidates.unionByName(block_candidates(blk))
-    if exclude_self:
+    if exclude_self or match_col is not None:
         candidates = candidates.where(F.col("dist") != float("inf"))
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nn_id").asc())
     return (

@@ -155,3 +155,88 @@ def build_roargraph_from_table(
     if n_queries is not None:
         q = q.where(F.col("qid") < n_queries)
     return build_roargraph(base, q, params)
+
+
+def insert_into_roargraph(
+    base_df: DataFrame,
+    adj_df: DataFrame,
+    ep: int,
+    new_df: DataFrame,
+    params: IndexParams,
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, int]:
+    """Batch-incremental insertion: add ``new_df`` vectors to an existing
+    projection graph WITHOUT a full rebuild.
+
+    The reference is build-once/static (BuildRoarGraph rebuilds from
+    scratch; no insert API exists in src/index_bipartite.cpp) — this is
+    the standard graph-ANN maintenance extension, the same recipe as the
+    build's own connectivity phase (G4 phase 4, :1192-1248) applied to
+    the incoming batch:
+
+    1. Beam-search the EXISTING graph for every new vector — its visited
+       set is the candidate pool (exactly how phase 4 harvests pools).
+    2. Occlusion-prune each pool to the degree cap -> new node's nbrs.
+    3. Reverse-link: nodes receiving a reverse edge are re-pruned over
+       (their old nbrs ∪ incoming new ids) at the cap — the batch form
+       of ProjectionAddReverse (:1391-1432); untouched rows pass through
+       unchanged, so the cost scales with |batch| * degree, not |graph|.
+    4. Entry point is unchanged: the medoid of base ∪ batch drifts
+       negligibly for sane batch sizes, and recomputing it is a full
+       base scan — callers doing bulk loads should rebuild instead.
+
+    New ids must be disjoint from existing ids (enforced). Returns the
+    merged ``(node, nbrs)`` adjacency and the (unchanged) entry point.
+    """
+    from mysteryann_spark.operators.search import search_graph
+    from mysteryann_spark.session import spread
+
+    metric = params.metric
+    new_sel = new_df.select(base_id, vec_col)
+    clash = new_sel.join(
+        base_df.select(base_id), base_id, "left_semi"
+    ).count()
+    if clash:
+        raise ValueError(f"{clash} new ids already exist in the base set")
+    all_vec = base_df.select(base_id, vec_col).unionByName(new_sel)
+
+    # 1: candidate pools from a beam search of the current graph
+    visited = search_graph(
+        spread(new_sel.select(F.col(base_id).alias("qid"), vec_col)),
+        base_df,
+        adj_df,
+        ep,
+        k=params.L_pjpq,
+        l_search=params.L_pjpq,
+        metric=metric,
+        base_id=base_id,
+        vec_col=vec_col,
+    )
+    new_cands = visited.select(
+        F.col("qid").alias("node"), F.col("nn_id").alias("cand_id")
+    ).where(F.col("cand_id") != F.col("node"))
+
+    # 2: each new node's adjacency
+    new_adj = prune_candidates(
+        new_cands, all_vec, params.M_pjbp, metric, base_id=base_id, vec_col=vec_col
+    )
+
+    # 3: reverse edges into touched existing nodes, re-pruned at the cap
+    rev = _edges(new_adj).select(
+        F.col("cand_id").alias("node"), F.col("node").alias("cand_id")
+    )
+    touched = rev.select("node").distinct()
+    old_touched_edges = _edges(adj_df).join(touched, "node", "left_semi")
+    pruned_touched = prune_candidates(
+        old_touched_edges.unionByName(rev),
+        all_vec,
+        params.degree_cap,
+        metric,
+        base_id=base_id,
+        vec_col=vec_col,
+    )
+
+    untouched = adj_df.join(touched, "node", "left_anti")
+    merged = untouched.unionByName(pruned_touched).unionByName(new_adj)
+    return merged, ep

@@ -144,6 +144,65 @@ def roargraph_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                         metric=PARAMS.metric)
 
 
+def roargraph_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered graph ANN (Big-ANN filtered-track shape): same-label
+    top-k by over-retrieval + post-filter — search the unfiltered graph
+    with k and L widened by the label selectivity (10 labels -> 10x),
+    keep matching-label hits, re-rank to k. The standard post-filter
+    strategy when the index is label-agnostic; recall vs the exact
+    filtered kNN is gated in tests/test_graph.py."""
+    from pyspark.sql import Window
+
+    emb, adj, ep = _build(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < _N_SEARCH_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding", "label"
+    )
+    # 10 labels -> 10x expected selectivity, widened another 1.5x for
+    # per-query variance (a label's k-th neighbor can rank well past
+    # k*selectivity globally — the documented post-filter decay that
+    # motivates filtered indexes at production scale)
+    wide_k = PARAMS.k * 15
+    wide_l = wide_k * 2
+    res = search_graph(
+        q.select("qid", "embedding"), emb, adj.localCheckpoint(), ep,
+        k=wide_k, l_search=wide_l, metric=PARAMS.metric, exclude_self=True,
+    )
+    labeled = (
+        res.join(emb.select(F.col("vec_id").alias("nn_id"), F.col("label").alias("nn_label")), "nn_id")
+        .join(q.select("qid", F.col("label").alias("q_label")), "qid")
+        .where(F.col("nn_label") == F.col("q_label"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nn_id").asc())
+    return (
+        labeled.withColumn("frank", F.row_number().over(w))
+        .where(F.col("frank") <= PARAMS.k)
+        .select("qid", "nn_id", F.round("dist", 6).alias("dist"), F.col("frank").alias("rank"))
+    )
+
+
+def roargraph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance: build on the first 90% of the base,
+    insert the held-out 10% as a batch (search -> prune -> reverse-link,
+    operators/projection.insert_into_roargraph), return per-node degrees
+    of the merged graph. Rows-only; recall/degree-cap/determinism gates
+    live in tests/test_graph.py."""
+    from mysteryann_spark.operators.projection import (
+        build_roargraph_from_table,
+        insert_into_roargraph,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cut = int(emb.count() * 0.9)
+    old = emb.where(F.col("vec_id") < cut)
+    new = emb.where(F.col("vec_id") >= cut)
+    adj, ep = build_roargraph_from_table(spark, old, PARAMS)
+    merged, _ = insert_into_roargraph(
+        old.select("vec_id", "embedding"), adj.localCheckpoint(), ep,
+        new.select("vec_id", "embedding"), PARAMS,
+    )
+    return merged.select("node", F.size("nbrs").cast("bigint").alias("degree"))
+
+
 QUERIES: dict[str, QuerySpec] = {
     "roargraph_sweep": QuerySpec(roargraph_sweep, None),
     "roargraph_degrees": QuerySpec(roargraph_degrees, None),
@@ -151,4 +210,6 @@ QUERIES: dict[str, QuerySpec] = {
     "roargraph_search_ip": QuerySpec(roargraph_search_ip, None),
     "roargraph_search_distributed": QuerySpec(roargraph_search_distributed, None),
     "bipartite_search_topk": QuerySpec(bipartite_search_topk, None),
+    "roargraph_search_filtered": QuerySpec(roargraph_search_filtered, None),
+    "roargraph_insert": QuerySpec(roargraph_insert, None),
 }

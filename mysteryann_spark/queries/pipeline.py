@@ -761,6 +761,35 @@ SELECT qid, nn_id, round(dist + 1e-9, 6) AS dist FROM d WHERE dist <= {_RANGE_RA
 """
 
 
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED exact kNN (the Big-ANN filtered-track semantics): top-5
+    same-label neighbors per query. The label predicate is a distance
+    mask inside the GEMM kernel (knn_join match_col) — one scan, no
+    per-label re-partitioning, exact and fully SQL-oracled."""
+    from mysteryann_spark.operators.knn import knn_join
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding", "label"
+    )
+    return knn_join(
+        q, e, 5, "l2", exclude_self=True, match_col="label"
+    ).select("qid", "nn_id", stable_round(F.col("dist"), 6).alias("dist"), "rank")
+
+
+_ANN_FILTERED_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql FROM embeddings WHERE vec_id < 20),
+u AS (SELECT q.qid, b.vec_id AS nn_id,
+             CAST(unnest(q.qe) AS DOUBLE) AS xa, CAST(unnest(b.embedding) AS DOUBLE) AS xb
+      FROM q JOIN embeddings b ON b.label = q.ql AND b.vec_id != q.qid),
+d AS (SELECT qid, nn_id, sum((xa - xb) * (xa - xb)) AS dist FROM u GROUP BY qid, nn_id),
+r AS (SELECT qid, nn_id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nn_id) AS INT) AS rank
+      FROM d)
+SELECT qid, nn_id, round(dist + 1e-9, 6) AS dist, rank FROM r WHERE rank <= 5
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_tfidf_topterms": QuerySpec(doc_tfidf_topterms, _TFIDF_SQL),
     "doc_token_stats": QuerySpec(doc_token_stats, _TOKEN_STATS_SQL),
@@ -791,4 +820,5 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_mix_sample": QuerySpec(pipeline_mix_sample, _MIX_SQL),
     "dedup_semantic": QuerySpec(dedup_semantic, None),
     "ann_range_search": QuerySpec(ann_range_search, _RANGE_SQL),
+    "ann_filtered_topk": QuerySpec(ann_filtered_topk, _ANN_FILTERED_SQL),
 }

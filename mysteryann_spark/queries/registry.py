@@ -97,6 +97,9 @@ _FRONT = [
     "pipeline_mix_sample",
     "dedup_semantic",
     "ann_range_search",
+    "ann_filtered_topk",
+    "roargraph_search_filtered",
+    "roargraph_insert",
 ]
 _BACK = [
     # twice-verified (r1+r2) pipeline entries rotated back to make window
@@ -105,6 +108,9 @@ _BACK = [
     "dedup_jaccard_bigram",
     "pipeline_curate",
     "dedup_components",
+    "dedup_exact",
+    "doc_rolling_fingerprint",
+    "doc_bpe_tokens",
     "filter_project",
     "topk_orders",
     "window_rank",

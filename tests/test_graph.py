@@ -236,3 +236,106 @@ def test_search_sweep_recall_monotone(spark, emb, index):
         assert r["avg_cmps"] > 0 and r["avg_hops"] > 0 and r["qps"] > 0
     # bigger beams do strictly more work
     assert rows[10]["avg_cmps"] < rows[40]["avg_cmps"]
+
+
+def test_filtered_search_recall_vs_exact_filtered(spark):
+    """Post-filter graph search (same-label top-k) must hit >= 0.9 recall
+    against the exact filtered kNN join (knn_join match_col)."""
+    from mysteryann_spark.operators.knn import knn_join
+    from mysteryann_spark.queries.graph import roargraph_search_filtered
+    from mysteryann_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    got = {}
+    for r in roargraph_search_filtered(spark, SF_DIR).collect():
+        got.setdefault(r["qid"], set()).add(r["nn_id"])
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), "embedding", "label"
+    )
+    exact = {}
+    for r in knn_join(q, emb, 10, "l2", exclude_self=True, match_col="label").collect():
+        exact.setdefault(r["qid"], set()).add(r["nn_id"])
+    recalls = [
+        len(got.get(qid, set()) & nn) / len(nn) for qid, nn in exact.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, sum(recalls) / len(recalls)
+
+
+def test_filtered_knn_labels_respected(spark, emb):
+    """Every filtered-kNN neighbor shares the query's label, and ranks
+    are the per-label exact order."""
+    from mysteryann_spark.operators.knn import knn_join
+
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding", "label"
+    )
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = knn_join(q, emb, 5, "l2", exclude_self=True, match_col="label").collect()
+    assert rows
+    for r in rows:
+        assert labels[r["nn_id"]] == labels[r["qid"]]
+
+
+def test_insert_into_roargraph_recall_degrees_determinism(spark, emb):
+    """Post-insert graph must (a) respect the degree cap, (b) cover every
+    node, (c) make the inserted vectors retrievable — full-corpus search
+    recall against exact kNN >= 0.9 — and (d) be deterministic."""
+    from mysteryann_spark.operators.knn import knn_join_arrays
+    from mysteryann_spark.operators.projection import (
+        build_roargraph_from_table,
+        insert_into_roargraph,
+    )
+
+    n = emb.count()
+    cut = int(n * 0.9)
+    old = emb.where(F.col("vec_id") < cut)
+    new = emb.where(F.col("vec_id") >= cut).select("vec_id", "embedding")
+    adj, ep = build_roargraph_from_table(spark, old, PARAMS)
+    adj = adj.localCheckpoint()
+
+    def run():
+        m, e = insert_into_roargraph(
+            old.select("vec_id", "embedding"), adj, ep, new, PARAMS
+        )
+        return m.localCheckpoint(), e
+
+    merged, ep2 = run()
+    rows = merged.select("node", F.array_sort("nbrs").alias("nbrs")).collect()
+    assert len(rows) == n  # every node present, old and new
+    assert all(1 <= len(r["nbrs"]) <= PARAMS.degree_cap for r in rows)
+
+    q = emb.select(F.col("vec_id").alias("qid"), "embedding")
+    res = search_graph(q, emb, merged, ep2, k=10, l_search=PARAMS.L_pq, metric="l2")
+    res_arr = (
+        res.groupBy("qid")
+        .agg(F.array_sort(F.collect_list(F.struct("rank", "nn_id"))).alias("t"))
+        .select("qid", F.transform("t", lambda x: x["nn_id"]).alias("nn"))
+    )
+    gt = knn_join_arrays(q, emb, 10, "l2")
+    recall = mean_recall(res_arr, gt, 10)
+    assert recall >= 0.9, f"post-insert recall@10={recall}"
+
+    again, _ = run()
+    a = {r["node"]: r["nbrs"] for r in rows}
+    b = {
+        r["node"]: r["nbrs"]
+        for r in again.select("node", F.array_sort("nbrs").alias("nbrs")).collect()
+    }
+    assert a == b
+
+
+def test_insert_rejects_id_clash(spark, emb):
+    from mysteryann_spark.operators.projection import (
+        build_roargraph_from_table,
+        insert_into_roargraph,
+    )
+    import pytest as _pytest
+
+    old = emb.where(F.col("vec_id") < 100)
+    adj, ep = build_roargraph_from_table(spark, old, PARAMS)
+    with _pytest.raises(ValueError, match="already exist"):
+        insert_into_roargraph(
+            old.select("vec_id", "embedding"), adj, ep,
+            old.select("vec_id", "embedding").limit(5), PARAMS,
+        )
