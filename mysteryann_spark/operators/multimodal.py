@@ -130,3 +130,39 @@ def mean_pool_embeddings(
             F.transform("mean_vec", lambda x: x / norm).alias("pooled"),
         )
     )
+
+
+_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_md5", StringType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """Strided frame sampling: keep every ``stride``-th frame of each
+    payload (the cheap temporal downsample every video pipeline runs
+    before the expensive decode/embed). Same Arrow batch shape as
+    decode_frames — binary column in, typed frame rows out; the sampled
+    frame's fingerprint is md5(payload + '#' + frame index), computable
+    on the raw bytes without a decoder."""
+
+    def _sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in ("media_id", "frame_idx", "frame_md5")}
+            for mid, payload, n_frames in zip(
+                pdf["media_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                data = bytes(payload)
+                for fi in range(0, int(n_frames), stride):
+                    h = hashlib.md5(data + b"#" + str(fi).encode()).hexdigest()
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["frame_md5"].append(h)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload", "n_frames").mapInPandas(
+        _sample_batch, _SAMPLE_SCHEMA
+    )

@@ -790,6 +790,94 @@ SELECT qid, nn_id, round(dist + 1e-9, 6) AS dist, rank FROM r WHERE rank <= 5
 """
 
 
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (the GPT-style pretraining
+    layout): documents are concatenated in doc_id order and split into
+    fixed 2048-token windows; each doc reports its token count, start
+    offset, covering sequence range, and offset inside its first
+    sequence. One window cumsum — no shuffle beyond the global ordering
+    the layout itself requires."""
+    from pyspark.sql import Window
+
+    budget = 2048
+    d = _docs(spark, sf_dir).select("doc_id", token_count("text").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_tok"),
+        F.floor(start / budget).cast("bigint").alias("start_seq"),
+        F.floor((start + F.col("n_tokens") - 1) / budget).cast("bigint").alias("end_seq"),
+        (start % budget).cast("bigint").alias("seq_offset"),
+    )
+
+
+_PACK_SQL = """
+WITH t AS (SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+      FROM documents),
+s AS (SELECT doc_id, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+      FROM t)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(floor(start_tok / 2048.0) AS BIGINT) AS start_seq,
+       CAST(floor((start_tok + n_tokens - 1) / 2048.0) AS BIGINT) AS end_seq,
+       CAST(start_tok % 2048 AS BIGINT) AS seq_offset
+FROM s
+"""
+
+
+def pipeline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: doc count, token totals, and exact
+    interpolated token-count quantiles — the data-profiling report a
+    curation run emits per ingest source. percentile() is the exact
+    (sort-based) aggregate; at 100 TB you'd swap approx_percentile with
+    a documented error bound."""
+    d = _docs(spark, sf_dir).select("source", token_count("text").alias("n"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        stable_round(F.avg("n"), 6).alias("avg_tokens"),
+        stable_round(F.expr("percentile(n, 0.5)"), 6).alias("p50_tokens"),
+        stable_round(F.expr("percentile(n, 0.9)"), 6).alias("p90_tokens"),
+    )
+
+
+_PROFILE_SQL = """
+WITH t AS (SELECT source,
+        CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n
+      FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       round(avg(n) + 1e-9, 6) AS avg_tokens,
+       round(quantile_cont(n, 0.5) + 1e-9, 6) AS p50_tokens,
+       round(quantile_cont(n, 0.9) + 1e-9, 6) AS p90_tokens
+FROM t GROUP BY source
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling over binary payloads (every 2nd frame of
+    the synthetic media table). The fingerprint md5(payload + '#' + idx)
+    is computed on raw bytes in the Arrow kernel; the oracle reproduces
+    it because the synth payload is the document's UTF-8 text."""
+    from mysteryann_spark.operators.multimodal import sample_frames
+
+    media = synth_media_from_documents(_docs(spark, sf_dir))
+    return sample_frames(media, stride=2)
+
+
+_FRAME_SAMPLE_SQL = """
+WITH m AS (SELECT doc_id AS media_id, text, 1 + doc_id % 4 AS n_frames FROM documents),
+f AS (SELECT media_id, text, unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx FROM m)
+SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       md5(concat(text, '#', CAST(frame_idx AS VARCHAR))) AS frame_md5
+FROM f
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_tfidf_topterms": QuerySpec(doc_tfidf_topterms, _TFIDF_SQL),
     "doc_token_stats": QuerySpec(doc_token_stats, _TOKEN_STATS_SQL),
@@ -821,4 +909,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_semantic": QuerySpec(dedup_semantic, None),
     "ann_range_search": QuerySpec(ann_range_search, _RANGE_SQL),
     "ann_filtered_topk": QuerySpec(ann_filtered_topk, _ANN_FILTERED_SQL),
+    "pipeline_pack_sequences": QuerySpec(pipeline_pack_sequences, _PACK_SQL),
+    "pipeline_profile": QuerySpec(pipeline_profile, _PROFILE_SQL),
+    "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, _FRAME_SAMPLE_SQL),
 }

@@ -100,6 +100,9 @@ _FRONT = [
     "ann_filtered_topk",
     "roargraph_search_filtered",
     "roargraph_insert",
+    "pipeline_pack_sequences",
+    "pipeline_profile",
+    "multimodal_frame_sample",
 ]
 _BACK = [
     # twice-verified (r1+r2) pipeline entries rotated back to make window
@@ -111,6 +114,9 @@ _BACK = [
     "dedup_exact",
     "doc_rolling_fingerprint",
     "doc_bpe_tokens",
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_quality",
     "filter_project",
     "topk_orders",
     "window_rank",

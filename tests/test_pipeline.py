@@ -494,3 +494,44 @@ def test_mix_sample_deterministic_and_stratified(spark):
     lo = [totals[s][1] / totals[s][0] for s in totals if int(s[3:]) >= 10]
     # loose statistical bounds: 0.9-rate strata must out-sample 0.2-rate
     assert min(hi) > max(lo)
+
+
+def test_pack_sequences_contiguous(spark):
+    """Concat-then-chunk invariants: starts are the running sum of token
+    counts in doc_id order; sequence ids are consistent with offsets."""
+    from mysteryann_spark.queries.pipeline import pipeline_pack_sequences
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        pipeline_pack_sequences(spark, SF_DIR).collect(), key=lambda r: r["doc_id"]
+    )
+    run = 0
+    for r in rows:
+        assert r["start_tok"] == run
+        assert r["start_seq"] == r["start_tok"] // 2048
+        assert r["seq_offset"] == r["start_tok"] % 2048
+        assert r["end_seq"] == (r["start_tok"] + r["n_tokens"] - 1) // 2048
+        run += r["n_tokens"]
+
+
+def test_frame_sample_is_stride_subset_of_decode(spark):
+    from mysteryann_spark.operators.multimodal import (
+        decode_frames,
+        sample_frames,
+        synth_media_from_documents,
+    )
+    from mysteryann_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    media = synth_media_from_documents(
+        load_table(spark, "documents", SF_DIR).where(F.col("doc_id") < 50)
+    ).cache()
+    decoded = {(r["media_id"], r["frame_idx"]) for r in decode_frames(media).collect()}
+    sampled = [(r["media_id"], r["frame_idx"]) for r in sample_frames(media, 2).collect()]
+    assert sampled and len(set(sampled)) == len(sampled)
+    for mid, fi in sampled:
+        assert fi % 2 == 0
+        assert (mid, fi) in decoded
+    # every even frame of every media row is present
+    evens = {(m, f) for m, f in decoded if f % 2 == 0}
+    assert set(sampled) == evens
