@@ -55,6 +55,18 @@ def main() -> None:
         yield from batches
 
     _warm.mapInPandas(_warm_fn, _warm.schema).count()
+    # JIT/codegen warm-up for the graph-build path: a tiny sf0.001 build
+    # compiles the same generated code the timed sf0.1 build runs
+    # (reference warm-up runs real searches before timing for the same
+    # reason); measured build wall-time spread shrinks severalfold.
+    try:
+        _wemb = load_table(spark, "embeddings", SF_DIR.replace("sf0.1", "sf0.001"))
+        _wadj, _ = build_roargraph_from_table(
+            spark, _wemb, IndexParams(M_sq=8, M_pjbp=4, L_pjpq=12, k=5, L_pq=12, metric="l2")
+        )
+        _wadj.count()
+    except Exception:
+        pass  # warm-up only; never fail the bench
 
     for qname in (
         "flagship_revenue_by_nation",
