@@ -46,3 +46,37 @@ def test_csr_dense_identity_ids():
     indptr, indices = table_csr(tbl, ids)
     assert indptr.tolist() == [0, 2, 2, 2, 3]
     assert indices.tolist() == [1, 2, 0]
+
+
+def test_table_ragged_reorders_and_handles_empties():
+    """CSR loader must id-sort rows, preserve within-list order through
+    the reordering gather, and represent empty lists as zero-width
+    segments."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mysteryann_spark.sources.staging import table_ragged
+
+    tbl = pa.table(
+        {
+            "rep": pa.array([30, 10, 20, 40], type=pa.int64()),
+            "htok": pa.array(
+                [[7, 8, 9], [1, 2], [], [5]], type=pa.list_(pa.int64())
+            ),
+        }
+    )
+    ids, indptr, flat = table_ragged(tbl, "rep", "htok")
+    assert list(ids) == [10, 20, 30, 40]
+    assert list(indptr) == [0, 2, 2, 5, 6]
+    assert list(flat) == [1, 2, 7, 8, 9, 5]
+    # chunked input (multiple record batches) must behave identically
+    tbl2 = pa.concat_tables([tbl.slice(0, 2), tbl.slice(2)])
+    ids2, indptr2, flat2 = table_ragged(tbl2, "rep", "htok")
+    assert list(ids2) == list(ids)
+    assert list(indptr2) == list(indptr)
+    assert list(flat2) == list(flat)
+    with np.errstate(all="raise"):  # empty table edge
+        e = pa.table({"rep": pa.array([], type=pa.int64()),
+                      "htok": pa.array([], type=pa.list_(pa.int64()))})
+        ids3, indptr3, flat3 = table_ragged(e, "rep", "htok")
+        assert len(ids3) == 0 and list(indptr3) == [0] and len(flat3) == 0
