@@ -103,6 +103,7 @@ _FRONT = [
     "pipeline_pack_sequences",
     "pipeline_profile",
     "multimodal_frame_sample",
+    "bucketed_join_revenue",
 ]
 _BACK = [
     # twice-verified (r1+r2) pipeline entries rotated back to make window
@@ -117,6 +118,7 @@ _BACK = [
     "doc_token_stats",
     "doc_lang_id",
     "doc_quality",
+    "doc_tfidf_topterms",
     "filter_project",
     "topk_orders",
     "window_rank",

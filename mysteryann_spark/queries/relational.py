@@ -571,7 +571,48 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2 WHERE c2.c_nationkey =
 """
 
 
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-fact join over BUCKETED tables: lineitem and orders are
+    persisted hash-clustered + sorted on orderkey (8 buckets each), so
+    the sort-merge join reads co-located pre-sorted buckets — zero
+    Exchange on either side (asserted in tests/test_plans.py). At 100 TB
+    this is the difference between shuffling both fact tables per query
+    and paying the shuffle once at ingest. Results are identical to the
+    plain join, which is exactly what the oracle checks."""
+    from mysteryann_spark.sources.bucketed import bucketed_table
+
+    li = bucketed_table(
+        spark,
+        load_table(spark, "lineitem", sf_dir).select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        "b_lineitem", "l_orderkey",
+    )
+    o = bucketed_table(
+        spark,
+        load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority"),
+        "b_orders", "o_orderkey",
+    )
+    joined = li.hint("merge").join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 4).alias(
+            "revenue"
+        ),
+    )
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bucketed_join_revenue": QuerySpec(bucketed_join_revenue, _BUCKETED_JOIN_SQL),
     "flagship_revenue_by_nation": QuerySpec(flagship_revenue_by_nation, _FLAGSHIP_SQL),
     "pricing_summary": QuerySpec(pricing_summary, _PRICING_SQL),
     "filter_project": QuerySpec(filter_project, _FILTER_SQL),

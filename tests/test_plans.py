@@ -37,3 +37,41 @@ def test_filter_project_reads_minimal_schema(spark):
     schemas = scan_read_schemas(df)
     assert schemas and all(len(s) <= 6 for s in schemas)
     assert pushed_filters(df)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Bucketed+sorted tables joined on the bucket key must sort-merge
+    join with ZERO Exchange on either side — the shuffle was paid once at
+    write time. This is the co-located-join contract bucketing exists
+    for; a plan that re-shuffles means the bucket metadata was lost."""
+    from mysteryann_spark.plans.inspect import formatted_plan
+    from mysteryann_spark.queries.relational import bucketed_join_revenue
+    from tests.conftest import SF_DIR
+
+    df = bucketed_join_revenue(spark, SF_DIR)
+    # audit the join subtree (the final groupBy agg legitimately shuffles)
+    import re
+
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    join_section = plan.split("HashAggregate")[-1]  # below the agg: join + scans
+    assert "Exchange" not in join_section, join_section[:2000]
+    # and the result itself must equal the plain shuffled join
+    from mysteryann_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    o = load_table(spark, "orders", SF_DIR)
+    plain = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 4
+            ).alias("revenue"),
+        )
+    )
+    got = {tuple(r) for r in df.collect()}
+    want = {tuple(r) for r in plain.collect()}
+    assert got == want
