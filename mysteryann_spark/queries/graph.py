@@ -203,6 +203,30 @@ def roargraph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("node", F.size("nbrs").cast("bigint").alias("degree"))
 
 
+def roargraph_save_load_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index persistence round-trip under the driver's eye: save the
+    built projection graph + metadata header (SaveProjectionGraph,
+    src/index_bipartite.cpp:2606-2619), load it back (LoadProjectionGraph,
+    :2097-2117), and search THROUGH the loaded copy — results must equal
+    searching the in-session graph (rows-only here; byte-level save/load
+    equality is test-gated in tests/test_graph.py)."""
+    import tempfile
+
+    from mysteryann_spark.sources.graph_io import load_index, save_index
+
+    emb, adj, ep = _build(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="mysteryann-roundtrip-")
+    dim = len(emb.select("embedding").head()[0])
+    save_index(adj, path, entry_point=ep, dim=dim, params=PARAMS)
+    adj2, meta = load_index(spark, path)
+    q = emb.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
+    res = search_graph(
+        q, emb, adj2.localCheckpoint(), int(meta["entry_point"]),
+        k=PARAMS.k, l_search=PARAMS.L_pq, metric=str(meta["metric"]),
+    )
+    return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "roargraph_sweep": QuerySpec(roargraph_sweep, None),
     "roargraph_degrees": QuerySpec(roargraph_degrees, None),
@@ -212,4 +236,5 @@ QUERIES: dict[str, QuerySpec] = {
     "bipartite_search_topk": QuerySpec(bipartite_search_topk, None),
     "roargraph_search_filtered": QuerySpec(roargraph_search_filtered, None),
     "roargraph_insert": QuerySpec(roargraph_insert, None),
+    "roargraph_save_load_search": QuerySpec(roargraph_save_load_search, None),
 }

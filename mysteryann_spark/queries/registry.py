@@ -104,6 +104,7 @@ _FRONT = [
     "pipeline_profile",
     "multimodal_frame_sample",
     "bucketed_join_revenue",
+    "roargraph_save_load_search",
 ]
 _BACK = [
     # twice-verified (r1+r2) pipeline entries rotated back to make window
@@ -119,6 +120,7 @@ _BACK = [
     "doc_lang_id",
     "doc_quality",
     "doc_tfidf_topterms",
+    "bipartite_edges",
     "filter_project",
     "topk_orders",
     "window_rank",
