@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 
 from pyspark.sql.types import ArrayType, IntegerType
 
-from mysteryann_spark.functions.vector import distance_col
 from mysteryann_spark.operators.knn import knn_join
 
 
@@ -33,21 +32,6 @@ def cosine_topk(
 def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> list[list[list[float]]]:
     rng = np.random.default_rng(seed)
     return rng.normal(size=(tables, bits, dim)).tolist()
-
-
-def _bucket_expr(vec_col, planes: list[list[float]]):
-    """LSH bucket id: sign-bit concat of <v, plane_j> — pure Catalyst
-    (zip_with dot product per plane), no UDF."""
-    bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
-    return bucket
 
 
 def _sample_kmeans(
@@ -278,36 +262,59 @@ def lsh_cosine_topk(
     Returns (qid, nn_id, dist, rank) like knn_join; recall vs cosine_topk
     is gated in tests (the driver records rows-only — hyperplane draws are
     seeded numpy, not SQL-expressible).
+
+    Kernel shape: bucket signatures are one (batch x dim) @ (dim x
+    tables*bits) GEMM per Arrow batch plus a sign-bit pack — the literal-
+    array Catalyst expression it replaces codegen'd thousands of plane
+    constants and dominated runtime. The bucket join carries bare
+    (tbl, bkt, id) triples; vectors re-attach by id AFTER the candidate
+    dedup (payload-light shuffle), and the re-rank dot is an einsum.
     """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, LongType
+
     dim = len(queries_df.select(vec_col).head()[0])
-    planes = _hyperplanes(dim, bits, tables, seed)
+    pmat = np.asarray(
+        _hyperplanes(dim, bits, tables, seed), dtype=np.float64
+    ).reshape(tables * bits, dim)
+    bc = queries_df.sparkSession.sparkContext.broadcast(pmat)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (m @ bc.value.T) > 0  # (n, tables*bits)
+        packed = signs.reshape(len(m), tables, bits).astype(np.int64) @ weights
+        return pd.Series(list(packed))
 
     def tagged(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
-        per_table = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"), _bucket_expr(F.col(vec_col), planes[t]).alias("bkt")
-                )
-                for t in range(tables)
-            ]
-        )
         return df.select(
             F.col(id_col).alias(out_id),
-            F.col(vec_col).alias(f"{out_id}_vec"),
-            F.explode(per_table).alias("tb"),
-        ).select(out_id, f"{out_id}_vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+            F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bkt"),
+        )
 
     q = tagged(queries_df, query_id, "qid")
     b = tagged(base_df, base_id, "nn_id")
     cand = (
         q.join(b, ["tbl", "bkt"])
-        .select("qid", "nn_id", "qid_vec", "nn_id_vec")
+        .select("qid", "nn_id")
         .dropDuplicates(["qid", "nn_id"])
     )
     if exclude_self:
         cand = cand.where(F.col("qid") != F.col("nn_id"))
-    scored = cand.select(
-        "qid", "nn_id", distance_col("cosine", "qid_vec", "nn_id_vec").alias("dist")
+
+    @pandas_udf(DoubleType())
+    def cos_dist(qv: pd.Series, nv: pd.Series) -> pd.Series:
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+        bm = np.stack([np.asarray(v, dtype=np.float64) for v in nv])
+        num = np.einsum("ij,ij->i", a, bm)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(bm, axis=1)
+        return pd.Series(-(num / den))
+
+    scored = (
+        cand.join(queries_df.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")), "qid")
+        .join(base_df.select(F.col(base_id).alias("nn_id"), F.col(vec_col).alias("nv")), "nn_id")
+        .select("qid", "nn_id", cos_dist("qv", "nv").alias("dist"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nn_id").asc())
     return (
