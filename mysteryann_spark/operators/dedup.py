@@ -29,7 +29,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from mysteryann_spark.functions.text import tokens_col
 from mysteryann_spark.functions.vector import np_normalize
@@ -495,33 +502,62 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _simhash_counts(num_bits: int = 64):
-    """Per-bit signed counters over the token-hash bag — the shared core
-    of every SimHash rendering. Entirely per-row Catalyst expressions: the
-    token loop is ``aggregate`` over the token array, the bit loop a
-    ``zip_with`` over 64 counters — no shuffle, no UDF."""
-    # hash once per token, then unpack bits with a Python-level loop
-    # (shiftright's bit count must be a literal int, not a Column)
-    hashes = F.transform(tokens_col("text"), lambda t: F.xxhash64(t))
-    bit_vec = lambda h: F.array(  # noqa: E731
-        *[
-            (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-            for j in range(num_bits)
-        ]
+def _simhash_sign_matrix(
+    arrs: pd.Series, num_bits: int
+) -> np.ndarray:
+    """(n_docs, num_bits) bool sign matrix of per-bit signed counters over
+    each doc's token-hash BAG (multiplicity counts — SimHash weights by
+    occurrence). One vectorized bit-unpack + segment-sum per batch;
+    arithmetic >> matches Spark's shiftright, so signs are bit-identical
+    to the previous Catalyst rendering."""
+    n = len(arrs)
+    widths = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+    indptr = np.concatenate(
+        [np.zeros(1, dtype=np.int64), np.cumsum(widths, dtype=np.int64)]
     )
-    return F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), num_bits),
-        lambda acc, h: F.zip_with(acc, bit_vec(h), lambda a, b: a + b),
-    )
+    counts = np.zeros((n, num_bits), dtype=np.int64)
+    if indptr[-1]:
+        flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in arrs])
+        shifts = np.arange(num_bits, dtype=np.int64)
+        bits = ((flat[:, None] >> shifts) & 1) * 2 - 1
+        nonempty = widths > 0
+        counts[nonempty] = np.add.reduceat(bits, indptr[:-1][nonempty], axis=0)
+    return counts > 0
+
+
+def _hashed_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, ht) with ht = xxhash64 of every token (bag, not set) —
+    the one cheap JVM pass; the per-bit arithmetic runs in Arrow
+    kernels (the nested aggregate/zip_with Catalyst form was
+    interpreted per element and dominated the simhash entries)."""
+    ht = F.transform(tokens_col("text"), lambda t: F.xxhash64(t))
+    return docs.select("doc_id", ht.alias("ht"))
 
 
 def simhash_bits(docs: DataFrame, num_bits: int = 64) -> DataFrame:
     """64-bit SimHash per doc as a bit string (sign of per-bit weighted
     sums of token hashes)."""
-    counts = _simhash_counts(num_bits)
-    bits = F.transform(counts, lambda c: F.when(c > 0, F.lit("1")).otherwise(F.lit("0")))
-    return docs.select("doc_id", F.array_join(bits, "").alias("simhash"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("simhash", StringType(), False),
+        ]
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sign = _simhash_sign_matrix(pdf["ht"], num_bits)
+            chars = np.where(sign, "1", "0")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "simhash": ["".join(row) for row in chars],
+                }
+            )
+
+    return _hashed_tokens(docs).mapInPandas(kern, schema)
 
 
 def simhash_chunks(docs: DataFrame, bands: int = 4, num_bits: int = 64) -> DataFrame:
@@ -536,25 +572,31 @@ def simhash_chunks(docs: DataFrame, bands: int = 4, num_bits: int = 64) -> DataF
     w = num_bits // bands
     if w == 0:
         raise ValueError(f"bands={bands} exceeds num_bits={num_bits}")
-    counts = _simhash_counts(num_bits)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("chunks", ArrayType(LongType(), False), False),
+        ]
+    )
 
-    def chunk(b: int):
-        width = (num_bits - b * w) if b == bands - 1 else w
-        # OR of disjoint single-bit values; shiftleft (not a Python int
-        # literal) so a 64-wide chunk's bit 63 wraps into the sign bit
-        # instead of overflowing the literal
-        acc = F.lit(0).cast("long")
-        for j in range(width):
-            acc = acc.bitwiseOR(
-                F.when(
-                    F.element_at(counts, b * w + j + 1) > 0,
-                    F.shiftleft(F.lit(1).cast("long"), j),
-                ).otherwise(F.lit(0).cast("long"))
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sign = _simhash_sign_matrix(pdf["ht"], num_bits)
+            out = np.zeros((len(pdf), bands), dtype=np.uint64)
+            for b in range(bands):
+                width = (num_bits - b * w) if b == bands - 1 else w
+                for j in range(width):
+                    out[:, b] |= sign[:, b * w + j].astype(np.uint64) << np.uint64(j)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "chunks": list(out.view(np.int64)),
+                }
             )
-        return acc
 
-    chunks = F.array(*[chunk(b) for b in range(bands)])
-    return docs.select("doc_id", chunks.alias("chunks"))
+    return _hashed_tokens(docs).mapInPandas(kern, schema)
 
 
 def simhash_hamming_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
