@@ -206,7 +206,24 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinalities next to their exact counts: distinct
+    users per event type via approx_count_distinct (rsd=0.02) and exact
+    count_distinct side by side. At 100 TB the sketch is the only
+    affordable distinct — fixed-size state, map-side mergeable, one
+    shuffle of sketches instead of raw keys. Rows-only (the sketch
+    estimate is implementation-defined); the relative-error bound is
+    gated in tests/test_streaming.py."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_approx_distinct": QuerySpec(events_approx_distinct, None),
     "events_tumbling": QuerySpec(events_tumbling, _TUMBLING_SQL),
     "events_interval_join": QuerySpec(events_interval_join, _INTERVAL_SQL),
     "events_sliding": QuerySpec(events_sliding, _SLIDING_SQL),

@@ -105,6 +105,7 @@ _FRONT = [
     "multimodal_frame_sample",
     "bucketed_join_revenue",
     "roargraph_save_load_search",
+    "events_approx_distinct",
 ]
 _BACK = [
     # twice-verified (r1+r2) pipeline entries rotated back to make window
@@ -121,6 +122,7 @@ _BACK = [
     "doc_quality",
     "doc_tfidf_topterms",
     "bipartite_edges",
+    "udf_registry_distances",
     "filter_project",
     "topk_orders",
     "window_rank",

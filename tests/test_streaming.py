@@ -107,3 +107,16 @@ def test_stream_search_matches_batch(spark):
     got_map = {key(r): (r["nn_id"], round(r["dist"], 9)) for r in got}
     want_map = {key(r): (r["nn_id"], round(r["dist"], 9)) for r in want}
     assert got_map == want_map
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ at rsd=0.02 must land within 5% of the exact distinct count
+    for every event type."""
+    from mysteryann_spark.queries.events import events_approx_distinct
+    from tests.conftest import SF_DIR
+
+    rows = events_approx_distinct(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert rel <= 0.05, (r["event_type"], r["approx_users"], r["exact_users"])
