@@ -75,3 +75,27 @@ def test_bucketed_join_has_no_exchange(spark):
     got = {tuple(r) for r in df.collect()}
     want = {tuple(r) for r in plain.collect()}
     assert got == want
+
+
+def test_new_entries_prune_and_avoid_cartesian(spark):
+    """Round-3 entries: scans read only needed columns; no cartesian or
+    nested-loop join anywhere in their plans."""
+    from mysteryann_spark.plans.inspect import formatted_plan, scan_read_schemas
+    from mysteryann_spark.queries.pipeline import (
+        ann_filtered_topk,
+        ann_range_search,
+        doc_gopher_quality,
+        pipeline_mix_sample,
+    )
+    from tests.conftest import SF_DIR
+
+    g = doc_gopher_quality(spark, SF_DIR)
+    for cols in scan_read_schemas(g):
+        assert set(cols) <= {"doc_id", "text"}, cols
+    m = pipeline_mix_sample(spark, SF_DIR)
+    for cols in scan_read_schemas(m):
+        assert set(cols) <= {"doc_id", "source"}, cols
+    for df in (ann_filtered_topk(spark, SF_DIR), ann_range_search(spark, SF_DIR)):
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -120,3 +120,31 @@ def test_approx_distinct_error_bound(spark):
     for r in rows:
         rel = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
         assert rel <= 0.05, (r["event_type"], r["approx_users"], r["exact_users"])
+
+
+def test_normalize_event_ts_handles_both_encodings(spark, tmp_path):
+    """The driver has shipped events.ts as INT64 TIMESTAMP(NANOS) and as
+    TIMESTAMP(MICROS) NTZ; normalize_event_ts must produce identical
+    event-time TIMESTAMP values for both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysteryann_spark.sources.tables import normalize_event_ts
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    nanos_tbl = pa.table(
+        {"ts": pa.array([m * 1000 for m in micros], type=pa.timestamp("ns"))}
+    )
+    micros_tbl = pa.table({"ts": pa.array(micros, type=pa.timestamp("us"))})
+    p_ns, p_us = str(tmp_path / "ns.parquet"), str(tmp_path / "us.parquet")
+    pq.write_table(nanos_tbl, p_ns)
+    pq.write_table(micros_tbl, p_us)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    a = normalize_event_ts(spark.read.parquet(p_ns))
+    b = normalize_event_ts(spark.read.parquet(p_us))
+    assert dict(a.dtypes)["ts"] == "timestamp"
+    assert dict(b.dtypes)["ts"] == "timestamp"
+    va = sorted(r["ts"] for r in a.collect())
+    vb = sorted(r["ts"] for r in b.collect())
+    assert va == vb
