@@ -60,7 +60,13 @@ def main() -> None:
     # (reference warm-up runs real searches before timing for the same
     # reason); measured build wall-time spread shrinks severalfold.
     try:
-        _wemb = load_table(spark, "embeddings", SF_DIR.replace("sf0.1", "sf0.001"))
+        # substitute the sf component generically (sf0.1 / sf0.01 / ...)
+        # so the tiny warm-up dir is right at any bench scale; skip the
+        # graph warm-up entirely rather than run a full-size build
+        tiny_dir = re.sub(r"sf[0-9.]+", "sf0.001", SF_DIR)
+        if tiny_dir == SF_DIR or not os.path.isdir(tiny_dir):
+            raise FileNotFoundError(tiny_dir)
+        _wemb = load_table(spark, "embeddings", tiny_dir)
         _wadj, _ = build_roargraph_from_table(
             spark, _wemb, IndexParams(M_sq=8, M_pjbp=4, L_pjpq=12, k=5, L_pq=12, metric="l2")
         )

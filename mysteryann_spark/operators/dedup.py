@@ -158,10 +158,16 @@ def _verify_pairs_staged(
     loaded per worker process as CSR numpy arrays — no driver collect,
     no per-pair array shipping. The kernel computes the signature
     estimate as one vectorized matrix compare and the exact intersection
-    per pair via searchsorted over the two sorted token arrays —
-    identical double arithmetic to the SQL form
-    (inter / (na + nb - inter)), so the pair set and values match the
-    join path bit-for-bit.
+    per pair via searchsorted over the two sorted token arrays — the
+    exact-Jaccard arithmetic (inter / (na + nb - inter)) is identical
+    double math to the SQL join path, so the jaccard VALUES and the
+    >=threshold verdicts agree bit-for-bit for any pair both paths
+    consider. The CANDIDATE sets and est_jaccard may differ between the
+    two paths: this path signs/bands with the splitmix64 family while
+    the SQL path uses xxhash64, so band buckets (and thus which
+    sub-threshold pairs get examined at all) are drawn from different
+    hash families. tests/test_pipeline.py compares the two paths'
+    final outputs on the test corpus.
     """
     from mysteryann_spark.sources.staging import (
         load_staged,

@@ -117,6 +117,21 @@ def knn_join(
     kernel, so selectivity never costs a second scan.
     """
     spark = base_df.sparkSession
+    if match_col is not None:
+        # validate up front: the Arrow kernel compares match values as
+        # int64, so a string/float label column would die mid-GEMM with an
+        # opaque cast error instead of this plan-time message
+        from pyspark.sql.types import ByteType, IntegerType, ShortType
+
+        _int_types = (ByteType, ShortType, IntegerType, LongType)
+        for side, df in (("queries_df", queries_df), ("base_df", base_df)):
+            dt = df.schema[match_col].dataType
+            if not isinstance(dt, _int_types):
+                raise TypeError(
+                    f"knn_join match_col {match_col!r} on {side} must be an "
+                    f"integer type (got {dt.simpleString()}); cast labels to "
+                    "int/bigint before the join"
+                )
     q_cols = [query_id, vec_col] + ([match_col] if match_col else [])
     q_sel = queries_df.select(*q_cols)
     if query_block_rows is None:

@@ -3,10 +3,13 @@
 Media payloads are opaque ``binary`` columns with typed metadata — the
 pattern the reference's WebVid pipeline applies outside the engine
 (prepare_for_clip_webvid.py:50-129: fetch tars -> per-frame CLIP embeddings
--> L2-normalize -> mean-pool -> re-normalize). Here the Spark-side plumbing
-(schemas, Arrow batch shapes, partitioning) is real and tested; the actual
-image/audio decode is stubbed behind ``decode_stub``/NotImplementedError
-because no media libraries exist in this container.
+-> L2-normalize -> mean-pool -> re-normalize). The Spark-side plumbing
+(schemas, Arrow batch shapes, partitioning) is real and tested, and
+``real_decode=True`` now carries a REAL pure-numpy decoder for two honest
+wire formats — binary PPM (P6) and uncompressed 24-bit BMP — so the decode
+seam is exercised end-to-end on actual image bytes. Codec formats needing
+external libraries (JPEG/PNG/H.264) remain out of scope for this container;
+they would slot into ``decode_image``'s dispatch.
 """
 
 from __future__ import annotations
@@ -61,19 +64,157 @@ def synth_media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def _parse_ppm(data: bytes):
+    """Binary PPM (P6) -> (h, w, 3) uint8 array. Pure numpy; handles
+    comments and arbitrary whitespace in the header per the netpbm spec."""
+    import numpy as np
+
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic + 3 ints (width, height, maxval), '#' comments allowed
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    raster = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+def _parse_bmp(data: bytes):
+    """Uncompressed 24-bit BMP -> (h, w, 3) uint8 RGB array. Handles the
+    standard BITMAPINFOHEADER layout: bottom-up rows, 4-byte row padding,
+    BGR channel order on the wire."""
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    raster = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=pixel_off)
+    rows = raster.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def decode_image(data: bytes):
+    """Dispatch decode on magic bytes: P6 PPM or 24-bit BMP -> (h, w, 3)
+    uint8 RGB. The seam where external-codec formats would plug in."""
+    if data[:2] == b"P6":
+        return _parse_ppm(data)
+    if data[:2] == b"BM":
+        return _parse_bmp(data)
+    raise ValueError(f"unsupported image magic {data[:2]!r}")
+
+
+def encode_ppm(arr) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6) bytes."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def encode_bmp(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit bottom-up BMP bytes."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    row_bytes = (w * 3 + 3) & ~3
+    raster = np.zeros((h, row_bytes), dtype=np.uint8)
+    raster[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    body = raster.tobytes()
+    info = (
+        (40).to_bytes(4, "little") + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little") + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    header = b"BM" + (14 + 40 + len(body)).to_bytes(4, "little") + b"\0\0\0\0" + (
+        14 + 40
+    ).to_bytes(4, "little")
+    return header + info + body
+
+
+def synth_real_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL image table: each doc becomes an actual encoded
+    PPM (even ids) or BMP (odd ids) payload whose pixels are a pure
+    function of (doc_id, n_chars) — real wire bytes for the real decoder,
+    no external library, reproducible at any SF."""
+    import numpy as np
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in ("media_id", "payload", "mime", "width", "height", "n_frames")}
+            for did, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, n_chars = int(did), int(n_chars)
+                w = 8 + (n_chars % 17)
+                h = 8 + (did % 11)
+                pix = (
+                    (np.arange(h * w * 3, dtype=np.int64) * 31 + did * 131 + 7) % 256
+                ).astype(np.uint8).reshape(h, w, 3)
+                payload = encode_ppm(pix) if did % 2 == 0 else encode_bmp(pix)
+                out["media_id"].append(did)
+                out["payload"].append(payload)
+                out["mime"].append("image/x-portable-pixmap" if did % 2 == 0 else "image/bmp")
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(1)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "n_chars").mapInPandas(_make, MEDIA_SCHEMA)
+
+
 def decode_frames(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Frame-sample each payload: one output row per (media, frame).
 
-    ``real_decode=True`` is the seam where an image/video library would
-    decode pixels; unavailable in this container, so it raises. The fake
-    path is deterministic (md5 of payload + frame index) and exercises the
-    exact mapInPandas batch shape a real decoder would use: binary column
-    in, exploded typed rows out, one Arrow batch at a time.
+    ``real_decode=True`` runs the REAL pure-numpy image decoder
+    (decode_image: P6 PPM / 24-bit BMP) on each payload and fingerprints
+    the DECODED RGB pixel buffer — one frame per still image, n_bytes =
+    decoded raster size. The fake path is deterministic (md5 of raw
+    payload + frame index, one row per claimed frame) and exercises the
+    same mapInPandas batch shape: binary column in, exploded typed rows
+    out, one Arrow batch at a time.
     """
     if real_decode:
-        raise NotImplementedError(
-            "media decode requires an image/video library not present in "
-            "this environment; wire a decoder into _decode_batch"
+
+        def _real_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {c: [] for c in ("media_id", "frame_idx", "frame_md5", "n_bytes")}
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    pixels = decode_image(bytes(payload))
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(0)
+                    out["frame_md5"].append(hashlib.md5(pixels.tobytes()).hexdigest())
+                    out["n_bytes"].append(pixels.nbytes)
+                yield pd.DataFrame(out)
+
+        return media.select("media_id", "payload").mapInPandas(
+            _real_decode_batch, _DECODE_SCHEMA
         )
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

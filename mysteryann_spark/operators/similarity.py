@@ -53,8 +53,12 @@ def _sample_kmeans(
 
 
 def _unit(vecs: pd.Series) -> np.ndarray:
+    from mysteryann_spark.functions.vector import np_normalize
+
     m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-    return m / np.linalg.norm(m, axis=1, keepdims=True)
+    # np_normalize guards zero-norm rows (norm treated as 1.0) so an
+    # all-zero embedding yields zeros, not NaNs that poison k-means
+    return np_normalize(m)
 
 
 def l2norm_udf():

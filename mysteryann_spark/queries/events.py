@@ -107,8 +107,9 @@ WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
 g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
                      THEN 1 ELSE 0 END AS new_sess
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS session_id
       FROM g)
 SELECT user_id, session_id, count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,

@@ -11,6 +11,8 @@ respected, deterministic across rebuilds.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -124,12 +126,12 @@ def bipartite_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def roargraph_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's headline evaluation (run_roargraph_search_test.sh):
-    recall@k / QPS / latency / avg cmps / avg hops per L_pq sweep point.
-    The reference protocol sweeps a dense L list from k up to several
-    hundred (run_roargraph_search_test.sh:1-15, 57 values 10..2000);
-    registered here are 22 points spanning k..300 at the scaled-down
-    build — the staged index is shared across points, so each extra
-    point costs one search pass only. Rows-only (timings aren't SQL);
+    recall@k / QPS / latency / avg cmps / avg hops per L_pq sweep point,
+    at the reference's FULL sweep protocol — the exact 56-value L_pq list
+    of run_roargraph_search_test.sh:14 (10..2000). The staged index is
+    shared across points, so each extra point costs one search pass only;
+    the high-L tail (where the recall/QPS trade-off flattens) is the
+    published curve's right half. Rows-only (timings aren't SQL);
     recall monotonicity + floor gated in tests."""
     from mysteryann_spark.operators.sweep import search_sweep
 
@@ -137,47 +139,120 @@ def roargraph_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < _N_SEARCH_QUERIES).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    return search_sweep(q, emb, adj, ep, k=PARAMS.k,
-                        l_values=[10, 12, 15, 18, 20, 25, 30, 35, 40, 50, 60,
-                                  70, 80, 90, 100, 120, 140, 160, 200, 240,
-                                  270, 300],
+    # run_roargraph_search_test.sh:14 verbatim
+    l_values = (
+        list(range(10, 101, 5))
+        + list(range(110, 201, 10))
+        + list(range(220, 301, 20))
+        + list(range(350, 801, 50))
+        + list(range(900, 2001, 100))
+    )
+    return search_sweep(q, emb, adj, ep, k=PARAMS.k, l_values=l_values,
                         metric=PARAMS.metric)
+
+
+def filtered_search_graph(
+    spark: SparkSession,
+    emb: DataFrame,
+    adj: DataFrame,
+    ep: int,
+    q: DataFrame,
+    k: int,
+    l_floor: int,
+    metric: str,
+    *,
+    slack: float = 1.5,
+    min_label_freq: float = 0.02,
+    max_widen: int = 100,
+) -> DataFrame:
+    """Selectivity-AWARE filtered graph ANN: per-label over-retrieval.
+
+    The widening factor is derived from measured label frequencies (one
+    tiny agg over the base, collected — label cardinality is small by
+    construction), not a fixed guess: a query whose label covers 10% of
+    the base widens 10x·slack; a 2% label widens 50x·slack. Labels below
+    ``min_label_freq`` (or needing more than ``max_widen``x) skip the
+    graph entirely and run the EXACT filtered kNN (match_col GEMM mask) —
+    over-retrieving a rare label through a label-agnostic index silently
+    loses recall, and the exact path over a rare label's scan is cheap by
+    the same selectivity. One graph pass serves all graph-routed labels
+    (widened to the largest factor any of them needs); skewed-label
+    recall is gated in tests/test_graph.py.
+    """
+    from pyspark.sql import Window
+
+    from mysteryann_spark.operators.knn import knn_join
+
+    n_base = emb.count()
+    freqs = {
+        r["label"]: r["cnt"] / n_base
+        for r in emb.groupBy("label").agg(F.count("*").alias("cnt")).collect()
+    }
+    q_labels = {r["label"] for r in q.select("label").distinct().collect()}
+    rare, widen = set(), 1
+    for lab in q_labels:
+        f = freqs.get(lab, 0.0)
+        need = math.ceil(slack / f) if f > 0 else max_widen + 1
+        if f < min_label_freq or need > max_widen:
+            rare.add(lab)
+        else:
+            widen = max(widen, need)
+    out = []
+    graph_q = q.where(~F.col("label").isin(list(rare))) if rare else q
+    if len(rare) < len(q_labels):
+        wide_k = min(k * widen, n_base)
+        # l_floor is the index's own quality beam (the L the unfiltered
+        # recall gate holds at): a small widening factor must not shrink
+        # the beam below it, or graph recall drops before the filter
+        # even applies
+        res = search_graph(
+            graph_q.select("qid", "embedding"), emb, adj.localCheckpoint(), ep,
+            k=wide_k, l_search=max(l_floor, wide_k * 2), metric=metric,
+            exclude_self=True,
+        )
+        labeled = (
+            res.join(
+                emb.select(F.col("vec_id").alias("nn_id"), F.col("label").alias("nn_label")),
+                "nn_id",
+            )
+            .join(graph_q.select("qid", F.col("label").alias("q_label")), "qid")
+            .where(F.col("nn_label") == F.col("q_label"))
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nn_id").asc())
+        out.append(
+            labeled.withColumn("frank", F.row_number().over(w))
+            .where(F.col("frank") <= k)
+            .select("qid", "nn_id", "dist", F.col("frank").alias("rank"))
+        )
+    if rare:
+        exact = knn_join(
+            q.where(F.col("label").isin(list(rare))).select("qid", "embedding", "label"),
+            emb.select("vec_id", "embedding", "label"),
+            k=k, metric=metric, query_id="qid", base_id="vec_id",
+            vec_col="embedding", exclude_self=True, match_col="label",
+        )
+        out.append(exact.select("qid", "nn_id", "dist", "rank"))
+    res = out[0]
+    for extra in out[1:]:
+        res = res.unionByName(extra)
+    return res
 
 
 def roargraph_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered graph ANN (Big-ANN filtered-track shape): same-label
-    top-k by over-retrieval + post-filter — search the unfiltered graph
-    with k and L widened by the label selectivity (10 labels -> 10x),
-    keep matching-label hits, re-rank to k. The standard post-filter
-    strategy when the index is label-agnostic; recall vs the exact
-    filtered kNN is gated in tests/test_graph.py."""
-    from pyspark.sql import Window
-
+    top-k via selectivity-aware over-retrieval + post-filter
+    (filtered_search_graph) — widening factors come from measured label
+    frequencies, with an exact filtered-kNN fallback for rare labels.
+    Recall vs the exact filtered kNN is gated in tests/test_graph.py,
+    including a skewed-label corpus."""
     emb, adj, ep = _build(spark, sf_dir)
     q = emb.where(F.col("vec_id") < _N_SEARCH_QUERIES).select(
         F.col("vec_id").alias("qid"), "embedding", "label"
     )
-    # 10 labels -> 10x expected selectivity, widened another 1.5x for
-    # per-query variance (a label's k-th neighbor can rank well past
-    # k*selectivity globally — the documented post-filter decay that
-    # motivates filtered indexes at production scale)
-    wide_k = PARAMS.k * 15
-    wide_l = wide_k * 2
-    res = search_graph(
-        q.select("qid", "embedding"), emb, adj.localCheckpoint(), ep,
-        k=wide_k, l_search=wide_l, metric=PARAMS.metric, exclude_self=True,
+    res = filtered_search_graph(
+        spark, emb, adj, ep, q, k=PARAMS.k, l_floor=PARAMS.L_pq, metric=PARAMS.metric
     )
-    labeled = (
-        res.join(emb.select(F.col("vec_id").alias("nn_id"), F.col("label").alias("nn_label")), "nn_id")
-        .join(q.select("qid", F.col("label").alias("q_label")), "qid")
-        .where(F.col("nn_label") == F.col("q_label"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nn_id").asc())
-    return (
-        labeled.withColumn("frank", F.row_number().over(w))
-        .where(F.col("frank") <= PARAMS.k)
-        .select("qid", "nn_id", F.round("dist", 6).alias("dist"), F.col("frank").alias("rank"))
-    )
+    return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank")
 
 
 def roargraph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,6 +302,35 @@ def roargraph_save_load_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank")
 
 
+def roargraph_binary_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference BINARY index interop: export the built projection graph
+    to the reference's own uint32 stream layout (SaveProjectionGraph,
+    src/index_bipartite.cpp:2606-2619), import it back
+    (LoadProjectionGraph, :2097-2117), and search THROUGH the imported
+    copy — a user holding C++-built RoarGraph index files can load them
+    here without a rebuild. Rows-only; byte-level roundtrip equality is
+    gated in tests/test_graph.py."""
+    import os
+    import tempfile
+
+    from mysteryann_spark.sources.graph_io import (
+        load_projection_binary,
+        save_projection_binary,
+    )
+
+    emb, adj, ep = _build(spark, sf_dir)
+    npts = emb.count()
+    path = os.path.join(tempfile.mkdtemp(prefix="mysteryann-binidx-"), "roar.index")
+    save_projection_binary(adj, path, entry_point=ep, npts=npts)
+    adj2, ep2 = load_projection_binary(spark, path)
+    q = emb.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
+    res = search_graph(
+        q, emb, adj2.localCheckpoint(), ep2,
+        k=PARAMS.k, l_search=PARAMS.L_pq, metric=PARAMS.metric,
+    )
+    return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "roargraph_sweep": QuerySpec(roargraph_sweep, None),
     "roargraph_degrees": QuerySpec(roargraph_degrees, None),
@@ -237,4 +341,5 @@ QUERIES: dict[str, QuerySpec] = {
     "roargraph_search_filtered": QuerySpec(roargraph_search_filtered, None),
     "roargraph_insert": QuerySpec(roargraph_insert, None),
     "roargraph_save_load_search": QuerySpec(roargraph_save_load_search, None),
+    "roargraph_binary_interop": QuerySpec(roargraph_binary_interop, None),
 }

@@ -532,6 +532,18 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_frames(media)
 
 
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: deterministic PPM/BMP payloads
+    (actual encoded wire bytes) -> pure-numpy decoder -> per-frame
+    fingerprint of the DECODED RGB raster. Rows-only; exact pixel
+    recovery (encode->decode == source array) is gated in
+    tests/test_pipeline.py."""
+    from mysteryann_spark.operators.multimodal import synth_real_media_from_documents
+
+    media = synth_real_media_from_documents(_docs(spark, sf_dir))
+    return decode_frames(media, real_decode=True)
+
+
 def multimodal_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled = mean_pool_embeddings(_emb(spark, sf_dir), "label")
     return pooled.select(
@@ -685,7 +697,7 @@ r AS (SELECT doc_id,
                (hs[i] * 66049 + hs[i + 1] * 257 + hs[i + 2]) % 1000000007)
         END AS rh
       FROM h),
-w AS (SELECT doc_id, unnest(rh) AS rhash FROM r)
+w AS (SELECT doc_id, CAST(unnest(rh) AS BIGINT) AS rhash FROM r)
 SELECT rhash,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_occ
@@ -901,6 +913,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_quantized_topk": QuerySpec(ann_quantized_topk, _ANN_QUANT_SQL),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, None),
     "multimodal_decode": QuerySpec(multimodal_decode, None),
+    "multimodal_decode_real": QuerySpec(multimodal_decode_real, None),
     "multimodal_meanpool": QuerySpec(multimodal_meanpool, _MM_POOL_SQL),
     "doc_pii_scrub": QuerySpec(doc_pii_scrub, _PII_SQL),
     "doc_gopher_quality": QuerySpec(doc_gopher_quality, _GOPHER_SQL),

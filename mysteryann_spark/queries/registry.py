@@ -49,67 +49,44 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The correctness driver gates only the FIRST 50 entries in iteration order
-# (CORRECTNESS_r01/r02.json both cut off at exactly 50).  Registry order is
-# therefore a verification-coverage decision, not cosmetics:
+# (CORRECTNESS_r01/r02/r03.json all cut off at exactly 50).  Registry order
+# is therefore a verification-coverage decision, not cosmetics.  Round-4
+# policy (r3 VERDICT "Next round" #3):
 #
-#   * ``_FRONT`` — entries that most need driver rows this round: everything
-#     that has never had a driver correctness row (events_*, multimodal_*,
-#     ann_lsh/ivf/quantized, simhash pairs) or fell out of the window in r2,
-#     plus the rows-only graph/dedup entries whose only driver signal is the
-#     rows-ran check.
-#   * unlisted entries (i.e. anything NEW added to a module) sort between
-#     _FRONT and _BACK, so a new query lands inside the 50-entry window by
-#     default instead of silently past it.
-#   * ``_BACK`` — the relational floor, hash-verified in both r1 and r2; the
-#     most stable entries are the ones that can afford to sit past the window.
+#   * ``_FRONT`` — (a) the two r3 hash-FAIL entries whose oracles were fixed
+#     this round, (b) entries NEW or CHANGED in round 4, (c) the 31 stable
+#     entries whose last driver verification was r2 but whose underlying
+#     modules (dedup/relational/pipeline) changed in r3 — the window rotates
+#     onto them so the post-r3 code gets driver rows.
+#   * unlisted entries (anything NEW added to a module) sort between _FRONT
+#     and _BACK, landing inside the window by default.
+#   * ``_BACK`` — entries green in the r3 driver run and untouched since.
 _FRONT = [
-    # never driver-verified in any round (r2 VERDICT "What's missing" #1)
-    "events_tumbling",
-    "events_interval_join",
-    "events_sliding",
+    # r3 hash-FAILs, oracle typing fixed this round — must re-green
     "events_sessionize",
-    "events_asof_click",
-    "events_pivot",
-    "multimodal_decode",
-    "multimodal_meanpool",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_quantized_topk",
-    "dedup_simhash_pairs",
-    # verified in r1, pushed out of the window in r2
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding",
-    "ann_cosine_topk",
-    # rows-only entries (err:"no_oracle") — keep their driver rows-ran signal
-    "roargraph_sweep",
-    "roargraph_degrees",
-    "roargraph_search_topk",
-    "roargraph_search_ip",
-    "roargraph_search_distributed",
-    "bipartite_search_topk",
-    "dedup_ann_pairs",
-    "dedup_groups_full",
-    # new in round 3 — never had a driver row
-    "doc_pii_scrub",
-    "doc_gopher_quality",
     "doc_substring_spans",
-    "pipeline_mix_sample",
-    "dedup_semantic",
+    # new in round 4
+    "roargraph_binary_interop",
+    "multimodal_decode_real",
+    # changed in round 4 (bucketed source-keying; minhash path test + doc;
+    # 56-point sweep; selectivity-aware filtered search; knn match_col
+    # validation; similarity zero-norm guard)
+    "bucketed_join_revenue",
+    "dedup_minhash_lsh",
+    "roargraph_sweep",
+    "roargraph_search_filtered",
+    "knn_exact",
+    "knn_medoid",
+    "knn_recall_l2_vs_cosine",
+    "knn_rderr_truncated",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_quantized_topk",
     "ann_range_search",
     "ann_filtered_topk",
-    "roargraph_search_filtered",
-    "roargraph_insert",
-    "pipeline_pack_sequences",
-    "pipeline_profile",
-    "multimodal_frame_sample",
-    "bucketed_join_revenue",
-    "roargraph_save_load_search",
-    "events_approx_distinct",
-]
-_BACK = [
-    # twice-verified (r1+r2) pipeline entries rotated back to make window
-    # room for the round-3 additions — same policy as the relational floor
+    "dedup_semantic",
+    # last driver-verified in r2; modules changed in r3 — rotate back in
     "dedup_fingerprint",
     "dedup_jaccard_bigram",
     "pipeline_curate",
@@ -141,6 +118,42 @@ _BACK = [
     "grouping_sets_sales",
     "funnel_steps",
     "above_avg_balance",
+]
+_BACK = [
+    # green in the r3 driver window (hash or rows-ran) and untouched in r4
+    "events_tumbling",
+    "events_interval_join",
+    "events_sliding",
+    "events_asof_click",
+    "events_pivot",
+    "events_approx_distinct",
+    "multimodal_decode",
+    "multimodal_meanpool",
+    "multimodal_frame_sample",
+    "dedup_simhash_pairs",
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_groups_full",
+    "dedup_ann_pairs",
+    "doc_pii_scrub",
+    "doc_gopher_quality",
+    "pipeline_mix_sample",
+    "pipeline_pack_sequences",
+    "pipeline_profile",
+    "roargraph_degrees",
+    "roargraph_search_topk",
+    "roargraph_search_ip",
+    "roargraph_search_distributed",
+    "bipartite_search_topk",
+    "roargraph_save_load_search",
+    "roargraph_insert",
+    "flagship_revenue_by_nation",
+    "pricing_summary",
+    "brand_sales",
+    "vector_norms",
+    "fbin_roundtrip_norms",
+    "vector_normalize",
+    "distance_pairs",
 ]
 
 

@@ -586,12 +586,12 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "lineitem", sf_dir).select(
             "l_orderkey", "l_extendedprice", "l_discount"
         ),
-        "b_lineitem", "l_orderkey",
+        "b_lineitem", "l_orderkey", source=sf_dir,
     )
     o = bucketed_table(
         spark,
         load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority"),
-        "b_orders", "o_orderkey",
+        "b_orders", "o_orderkey", source=sf_dir,
     )
     joined = li.hint("merge").join(o, F.col("l_orderkey") == F.col("o_orderkey"))
     return joined.groupBy("o_orderpriority").agg(

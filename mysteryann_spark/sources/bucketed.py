@@ -13,6 +13,7 @@ resident together" regime, applied to relational scale.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -27,10 +28,19 @@ def bucketed_table(
     name: str,
     key: str,
     n_buckets: int = 8,
+    source: str = "",
 ) -> DataFrame:
-    """Persist ``df`` as a bucketed+sorted table (once per session) and
-    return the catalog-backed DataFrame whose scan reports the bucket
-    layout to the planner."""
+    """Persist ``df`` as a bucketed+sorted table (once per session per
+    source dataset) and return the catalog-backed DataFrame whose scan
+    reports the bucket layout to the planner.
+
+    ``source`` identifies the dataset the DataFrame was derived from
+    (e.g. the sf_dir path): it is folded into both the cache key and the
+    table/path name, so the same logical name run against a second
+    dataset in one session materializes a second table instead of
+    silently reusing the first one's buckets."""
+    tag = hashlib.md5(source.encode()).hexdigest()[:8] if source else "default"
+    name = f"{name}_{tag}"
     cache_key = (id(spark.sparkContext), name, key, n_buckets)
     if cache_key not in _PREPARED:
         path = os.path.join(

@@ -69,3 +69,132 @@ def load_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     adj = load_adjacency(spark, path)
     meta = spark.read.parquet(os.path.join(path, "meta")).head().asDict()
     return adj, meta
+
+
+# --- reference BINARY interop ------------------------------------------------
+#
+# The reference persists indexes in its own little-endian uint32 stream, not
+# Parquet. A user holding C++-built RoarGraph index files needs these to move
+# between engines without a rebuild:
+#
+# - projection graph (SaveProjectionGraph/LoadProjectionGraph,
+#   src/index_bipartite.cpp:2606-2619 / :2097-2117):
+#       ep:u32, npts:u32, then per node: deg:u32, nbrs[deg]:u32
+# - bipartite graph (Save/Load, src/index_bipartite.cpp:2045-2071):
+#       npts:u32, then per node: deg:u32, nbrs[deg]:u32
+#
+# The stream is a single sequential file — inherently one-writer/one-reader —
+# so these are EXPORT/IMPORT connectors, not the engine's native sink (that
+# stays splittable Parquet). Export streams partition-by-partition through
+# toLocalIterator (driver holds one partition of adjacency at a time, never
+# the whole graph); import parses the file with numpy and hands Spark an
+# arrow-backed DataFrame. Both bound driver memory by the largest single
+# node's adjacency, not the graph.
+
+
+def _write_adjacency_stream(out, adj: DataFrame, npts: int) -> None:
+    """Write per-node ``(deg:u32, nbrs[deg]:u32)`` records for nodes
+    0..npts-1 in order; nodes absent from ``adj`` get degree 0 (the
+    reference emits every node unconditionally)."""
+    import numpy as np
+
+    next_node = 0
+    empty = np.zeros(1, dtype="<u4").tobytes()
+    for row in adj.select("node", "nbrs").orderBy("node").toLocalIterator():
+        node = int(row["node"])
+        if node < 0 or node >= npts:
+            raise ValueError(f"node id {node} outside [0, {npts})")
+        while next_node < node:  # gap → zero-degree records
+            out.write(empty)
+            next_node += 1
+        nbrs = np.asarray(row["nbrs"] or [], dtype="<u4")
+        out.write(np.array([len(nbrs)], dtype="<u4").tobytes())
+        out.write(nbrs.tobytes())
+        next_node = node + 1
+    while next_node < npts:
+        out.write(empty)
+        next_node += 1
+
+
+def _read_adjacency_stream(buf, npts: int):
+    """Parse ``npts`` ``(deg, nbrs[deg])`` records from a uint32 ndarray
+    view positioned at the first record. Returns (degs, flat_nbrs,
+    indptr). The boundary walk is sequential by format design (record i+1
+    starts where record i's neighbor run ends) but is O(npts) integer
+    steps — ~1e6 nodes parse in well under a second."""
+    import numpy as np
+
+    degs = np.empty(npts, dtype=np.int64)
+    starts = np.empty(npts, dtype=np.int64)
+    pos = 0
+    for i in range(npts):
+        degs[i] = int(buf[pos])
+        starts[i] = pos + 1
+        pos += 1 + degs[i]
+    if pos != len(buf):
+        raise ValueError(
+            f"corrupt adjacency stream: consumed {pos} uint32s, file has {len(buf)}"
+        )
+    indptr = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(degs)])
+    flat = np.empty(int(indptr[-1]), dtype=np.int64)
+    for i in range(npts):
+        flat[indptr[i] : indptr[i + 1]] = buf[starts[i] : starts[i] + degs[i]]
+    return degs, flat, indptr
+
+
+def _adjacency_df(spark: SparkSession, degs, flat, indptr) -> DataFrame:
+    import pyarrow as pa
+
+    nbrs = pa.ListArray.from_arrays(pa.array(indptr, type=pa.int32()), pa.array(flat))
+    tbl = pa.table({"node": pa.array(range(len(degs)), type=pa.int64()), "nbrs": nbrs})
+    return spark.createDataFrame(tbl.to_pandas())
+
+
+def save_projection_binary(adj: DataFrame, path: str, *, entry_point: int, npts: int) -> None:
+    """Export adjacency to the reference's projection-graph binary layout
+    (SaveProjectionGraph, src/index_bipartite.cpp:2606-2619):
+    ``ep:u32, npts:u32`` then per-node ``(deg:u32, nbrs[deg]:u32)``."""
+    import numpy as np
+
+    with open(path, "wb") as out:
+        out.write(np.array([entry_point, npts], dtype="<u4").tobytes())
+        _write_adjacency_stream(out, adj, npts)
+
+
+def load_projection_binary(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
+    """Import a reference-written projection-graph binary file
+    (LoadProjectionGraph, src/index_bipartite.cpp:2097-2117). Returns
+    ``(adjacency DataFrame (node, nbrs), entry_point)``."""
+    import numpy as np
+
+    raw = np.fromfile(path, dtype="<u4")
+    if len(raw) < 2:
+        raise ValueError(f"{path}: truncated projection-graph file")
+    ep, npts = int(raw[0]), int(raw[1])
+    degs, flat, indptr = _read_adjacency_stream(raw[2:], npts)
+    return _adjacency_df(spark, degs, flat, indptr), ep
+
+
+def save_bipartite_binary(adj: DataFrame, path: str, *, npts: int) -> None:
+    """Export to the reference's bipartite Save layout
+    (src/index_bipartite.cpp:2045-2056): ``npts:u32`` then per-node
+    ``(deg:u32, nbrs[deg]:u32)`` over the unified id space (base then
+    query nodes)."""
+    import numpy as np
+
+    with open(path, "wb") as out:
+        out.write(np.array([npts], dtype="<u4").tobytes())
+        _write_adjacency_stream(out, adj, npts)
+
+
+def load_bipartite_binary(spark: SparkSession, path: str) -> DataFrame:
+    """Import a reference-written bipartite graph file (Load,
+    src/index_bipartite.cpp:2058-2071) as a ``(node, nbrs)`` DataFrame."""
+    import numpy as np
+
+    raw = np.fromfile(path, dtype="<u4")
+    if len(raw) < 1:
+        raise ValueError(f"{path}: truncated bipartite-graph file")
+    npts = int(raw[0])
+    degs, flat, indptr = _read_adjacency_stream(raw[1:], npts)
+    return _adjacency_df(spark, degs, flat, indptr)

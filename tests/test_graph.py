@@ -339,3 +339,126 @@ def test_insert_rejects_id_clash(spark, emb):
             old.select("vec_id", "embedding"), adj, ep,
             old.select("vec_id", "embedding").limit(5), PARAMS,
         )
+
+
+def test_binary_index_interop_roundtrip(spark, emb, index, tmp_path):
+    """Reference binary format (SaveProjectionGraph/LoadProjectionGraph,
+    src/index_bipartite.cpp:2606-2619/:2097-2117): (a) a hand-packed
+    stream parses to the right adjacency, (b) save->load->save is
+    byte-identical, (c) searching through the imported copy equals
+    searching the original."""
+    import struct
+
+    from mysteryann_spark.sources.graph_io import (
+        load_projection_binary,
+        save_projection_binary,
+    )
+
+    # (a) hand-packed little file: ep=2, npts=3, adj = {0:[1,2], 1:[], 2:[0]}
+    hand = tmp_path / "hand.index"
+    with open(hand, "wb") as f:
+        f.write(struct.pack("<2I", 2, 3))
+        f.write(struct.pack("<I", 2) + struct.pack("<2I", 1, 2))
+        f.write(struct.pack("<I", 0))
+        f.write(struct.pack("<I", 1) + struct.pack("<I", 0))
+    adj_h, ep_h = load_projection_binary(spark, str(hand))
+    assert ep_h == 2
+    assert {r["node"]: list(r["nbrs"]) for r in adj_h.collect()} == {
+        0: [1, 2], 1: [], 2: [0]
+    }
+
+    # (b) byte-level roundtrip of the real built index
+    adj, ep = index
+    p1, p2 = tmp_path / "a.index", tmp_path / "b.index"
+    save_projection_binary(adj, str(p1), entry_point=ep, npts=500)
+    adj2, ep2 = load_projection_binary(spark, str(p1))
+    assert ep2 == ep
+    save_projection_binary(adj2, str(p2), entry_point=ep2, npts=500)
+    assert p1.read_bytes() == p2.read_bytes()
+
+    # (c) search parity through the imported copy
+    q = emb.where("vec_id < 10").select(F.col("vec_id").alias("qid"), "embedding")
+    r1 = sorted(map(tuple, search_graph(q, emb, adj, ep, 5, 20, "l2").collect()))
+    r2 = sorted(
+        map(tuple, search_graph(q, emb, adj2.localCheckpoint(), ep2, 5, 20, "l2").collect())
+    )
+    assert r1 == r2
+
+
+def test_bipartite_binary_interop_roundtrip(spark, tmp_path):
+    """Reference bipartite Save/Load layout (src/index_bipartite.cpp:
+    2045-2071): npts header + per-node (deg, nbrs) records, zero-degree
+    gaps preserved."""
+    from mysteryann_spark.sources.graph_io import (
+        load_bipartite_binary,
+        save_bipartite_binary,
+    )
+
+    rows = [(0, [3, 4]), (2, [0]), (4, [1, 2, 3])]  # nodes 1,3 absent -> deg 0
+    adj = spark.createDataFrame(rows, "node: bigint, nbrs: array<bigint>")
+    p1 = tmp_path / "bip.index"
+    save_bipartite_binary(adj, str(p1), npts=5)
+    back = {r["node"]: list(r["nbrs"]) for r in load_bipartite_binary(spark, str(p1)).collect()}
+    assert back == {0: [3, 4], 1: [], 2: [0], 3: [], 4: [1, 2, 3]}
+
+
+def test_filtered_search_skewed_labels(spark, emb):
+    """Selectivity-aware filtered search on a SKEWED label distribution:
+    a 1%-frequency label must not lose recall to fixed-factor
+    over-retrieval — filtered_search_graph routes it to the exact
+    filtered kNN, so rare-label recall is exact while common labels ride
+    the graph. Gate: mean recall >= 0.95 overall AND >= 0.99 on the rare
+    label alone."""
+    from mysteryann_spark.operators.knn import knn_join
+    from mysteryann_spark.operators.projection import build_roargraph_from_table
+    from mysteryann_spark.queries.graph import filtered_search_graph
+
+    # skew: vec_id < 5 -> rare label 99 (1%), everything else label 0
+    skewed = emb.select(
+        "vec_id", "embedding",
+        F.when(F.col("vec_id") < 5, F.lit(99)).otherwise(F.lit(0)).alias("label"),
+    ).cache()
+    adj, ep = build_roargraph_from_table(spark, skewed, PARAMS)
+    q = skewed.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), "embedding", "label"
+    )
+    res = filtered_search_graph(
+        spark, skewed, adj.localCheckpoint(), ep, q, k=5, l_floor=PARAMS.L_pq,
+        metric="l2",
+    )
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["qid"], set()).add(r["nn_id"])
+    exact = {}
+    for r in knn_join(q, skewed, 5, "l2", exclude_self=True, match_col="label").collect():
+        exact.setdefault(r["qid"], set()).add(r["nn_id"])
+    labels = {r["qid"]: r["label"] for r in q.select("qid", "label").collect()}
+    recalls = {qid: len(got.get(qid, set()) & nn) / len(nn) for qid, nn in exact.items()}
+    rare = [v for qid, v in recalls.items() if labels[qid] == 99]
+    assert rare, "skew fixture must include rare-label queries"
+    assert sum(rare) / len(rare) >= 0.99, f"rare-label recall {sum(rare)/len(rare)}"
+    assert sum(recalls.values()) / len(recalls) >= 0.95, (
+        f"overall recall {sum(recalls.values())/len(recalls)}"
+    )
+
+
+def test_build_reachability_from_medoid(index):
+    """Post-build connectivity audit — the live analog of the reference's
+    (dead) CollectPoints/dfs repair pass (src/index_bipartite.cpp:
+    2521-2604): every base node must be reachable from the entry point,
+    or searches can never return it. The build's connectivity-enhancement
+    phase (G4 phase 4-5) exists precisely to guarantee this."""
+    adj, ep = index
+    nbrs = {r["node"]: r["nbrs"] for r in adj.collect()}
+    seen = {ep}
+    frontier = [ep]
+    while frontier:
+        nxt = []
+        for node in frontier:
+            for nb in nbrs.get(node, []):
+                if nb not in seen:
+                    seen.add(nb)
+                    nxt.append(nb)
+        frontier = nxt
+    unreached = set(nbrs) - seen
+    assert not unreached, f"{len(unreached)} nodes unreachable from medoid {ep}"

@@ -1,41 +1,45 @@
 """Registry-order invariants for the driver's 50-entry correctness window.
 
 The correctness driver gates only the first 50 entries of ``queries()`` in
-iteration order (CORRECTNESS_r01/r02.json both stop at exactly 50 rows).
+iteration order (CORRECTNESS_r01/r02/r03.json all stop at exactly 50 rows).
 These tests pin the ordering contract so adding a query can never silently
-push a not-yet-stable entry past the window again (the r2 regression).
+push a not-yet-stable entry past the window (the r2 regression).
 """
 
 from mysteryann_spark.queries.registry import _BACK, _FRONT, all_queries
 
 DRIVER_WINDOW = 50
 
-# Entries with no driver correctness row in rounds 1-2 (VERDICT r2 missing #1).
-NEVER_VERIFIED = {
-    "events_tumbling",
-    "events_interval_join",
-    "events_sliding",
+# Round-4 must-verify set: the two r3 hash-FAILs whose oracles were fixed,
+# everything new or changed in round 4, and the r2-last-verified floor the
+# window rotates onto (r3 VERDICT "Next round" #3).
+MUST_BE_IN_WINDOW = {
     "events_sessionize",
-    "events_asof_click",
-    "events_pivot",
-    "multimodal_decode",
-    "multimodal_meanpool",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_quantized_topk",
-    "dedup_simhash_pairs",
+    "doc_substring_spans",
+    "roargraph_binary_interop",
+    "multimodal_decode_real",
+    "bucketed_join_revenue",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding",
-    "ann_cosine_topk",
+    "roargraph_sweep",
+    "roargraph_search_filtered",
 }
 
 
-def test_unverified_entries_inside_driver_window():
+def test_must_verify_entries_inside_driver_window():
     names = list(all_queries())
     window = set(names[:DRIVER_WINDOW])
-    missing = NEVER_VERIFIED - window
-    assert not missing, f"never-driver-verified entries outside first 50: {missing}"
+    missing = MUST_BE_IN_WINDOW - window
+    assert not missing, f"round-4 must-verify entries outside first 50: {missing}"
+
+
+def test_rotated_floor_inside_driver_window():
+    """The 31 entries last driver-verified in r2 (whose modules changed in
+    r3) must all sit inside the round-4 window."""
+    names = list(all_queries())
+    window = set(names[:DRIVER_WINDOW])
+    floor = set(_FRONT[19:])  # the rotated-floor section of _FRONT
+    missing = floor - window
+    assert not missing, f"rotated r2-floor entries outside first 50: {missing}"
 
 
 def test_only_stable_back_entries_past_window():

@@ -29,8 +29,10 @@ def _canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # Driver-strict: preserve the int/float distinction (1.0 renders as
+        # "1.0", never "1") so DuckDB HUGEINT/DOUBLE escalations that the
+        # driver's hash catches also fail here.  Rounding only absorbs
+        # double-arithmetic jitter between engines.
         return repr(round(v, 9))
     if isinstance(v, bool):
         return str(int(v))
