@@ -51,17 +51,107 @@ def _prune_merged(
     return prune_candidates(merged, base_df, m, metric)
 
 
+def reachable_from(adj_df: DataFrame, ep: int) -> DataFrame:
+    """Distributed BFS over ``(node, nbrs)`` adjacency from ``ep``:
+    returns the set of reachable nodes as a ``(node)`` DataFrame.
+
+    One frontier-expansion join per round; round count = graph distance
+    from the entry point (tens for beam-search graphs). Each round's
+    frontier is localCheckpointed so lineage stays flat — the same
+    regime as the distributed beam search."""
+    spark = adj_df.sparkSession
+    reached = spark.createDataFrame([(int(ep),)], "node bigint").localCheckpoint(eager=True)
+    frontier = reached
+    while True:
+        nxt = (
+            adj_df.join(frontier, "node", "left_semi")
+            .select(F.explode("nbrs").alias("node"))
+            .distinct()
+            .join(reached, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            return reached
+        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+
+
+def repair_reachability(
+    base_df: DataFrame,
+    adj_df: DataFrame,
+    ep: int,
+    metric: str,
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, int]:
+    """Make every base node reachable from the entry point — the LIVE
+    analog of the reference's dead connectivity-repair pass
+    (CollectPoints/dfs/findroot, src/index_bipartite.cpp:2521-2604,
+    commented out of BuildRoarGraph at :211).
+
+    Clustered data can leave the projection graph with components the
+    medoid-seeded build never bridges (training queries' kNN lists stay
+    in-cluster), and an unreachable node can NEVER be returned by a
+    search. Repair: (1) distributed BFS marks the reached set; (2) each
+    unreached node finds its exact 1-NN *inside the reached set* (a
+    filtered kNN join — cost |unreached| x |reached| GEMM, zero when the
+    audit passes); (3) add the bridge edges r->u and u->r by array_union
+    — append-only, no re-prune, so no existing edge is evicted and the
+    guarantee can't un-make itself. Bridge nodes may exceed the degree
+    cap by the (few) bridges they host; documented, bounded by the
+    component count. Returns (repaired adjacency, n_unreached_before).
+    """
+    from mysteryann_spark.operators.knn import knn_join
+
+    reached = reachable_from(adj_df, ep)
+    unreached = adj_df.select("node").join(reached, "node", "left_anti")
+    n_unreached = unreached.count()
+    if n_unreached == 0:
+        return adj_df, 0
+
+    reached_vecs = base_df.join(
+        reached.select(F.col("node").alias(base_id)), base_id, "left_semi"
+    )
+    u_queries = base_df.join(
+        unreached.select(F.col("node").alias(base_id)), base_id, "left_semi"
+    ).select(F.col(base_id).alias("qid"), vec_col)
+    bridges = knn_join(
+        u_queries, reached_vecs, k=1, metric=metric,
+        query_id="qid", base_id=base_id, vec_col=vec_col,
+    ).select(F.col("nn_id").alias("r"), F.col("qid").alias("u"))
+
+    new_edges = bridges.select(F.col("r").alias("node"), F.col("u").alias("nbr")).unionByName(
+        bridges.select(F.col("u").alias("node"), F.col("r").alias("nbr"))
+    )
+    additions = new_edges.groupBy("node").agg(F.collect_set("nbr").alias("add_nbrs"))
+    repaired = (
+        adj_df.join(additions, "node", "left_outer")
+        .select(
+            "node",
+            F.when(
+                F.col("add_nbrs").isNull(), F.col("nbrs")
+            ).otherwise(F.array_union("nbrs", "add_nbrs")).alias("nbrs"),
+        )
+    )
+    return repaired, n_unreached
+
+
 def build_roargraph(
     base_df: DataFrame,
     queries_df: DataFrame,
     params: IndexParams,
     base_id: str = "vec_id",
     vec_col: str = "embedding",
+    ensure_reachable: bool = False,
+    expand_width: int = 1,
 ) -> tuple[DataFrame, int]:
     """Returns (projection adjacency ``(node, nbrs)``, entry point id).
 
     base_df: ``(vec_id, embedding)`` base vectors; queries_df:
     ``(qid, embedding)`` sampled training queries from the other modality.
+    ``expand_width`` feeds the phase-4 connectivity beam search (1 =
+    reference-strict; wider cuts lockstep rounds for big builds,
+    recall-gated where used).
     """
     metric = params.metric
 
@@ -120,6 +210,7 @@ def build_roargraph(
         metric=metric,
         base_id=base_id,
         vec_col=vec_col,
+        expand_width=expand_width,
     )
     supply_cands = visited.select(
         F.col("qid").alias("node"), F.col("nn_id").alias("cand_id")
@@ -138,6 +229,15 @@ def build_roargraph(
         params.degree_cap,
         metric,
     )
+    if ensure_reachable:
+        # post-build connectivity audit + repair (BFS rounds = graph
+        # distance from the medoid; bridge kNN only when components
+        # exist). Opt-in: testdata graphs are connected (test-asserted),
+        # and the audit costs real wall-clock on every build.
+        merged, _ = repair_reachability(
+            base_df, merged.localCheckpoint(), ep, metric,
+            base_id=base_id, vec_col=vec_col,
+        )
     return merged, ep
 
 
@@ -146,6 +246,8 @@ def build_roargraph_from_table(
     emb_df: DataFrame,
     params: IndexParams,
     n_queries: int | None = None,
+    ensure_reachable: bool = False,
+    expand_width: int = 1,
 ) -> tuple[DataFrame, int]:
     """Convenience split for testdata: every embedding is a base point;
     training queries are a deterministic prefix (vec_id < n_queries) —
@@ -154,7 +256,9 @@ def build_roargraph_from_table(
     q = emb_df.select(F.col("vec_id").alias("qid"), "embedding")
     if n_queries is not None:
         q = q.where(F.col("qid") < n_queries)
-    return build_roargraph(base, q, params)
+    return build_roargraph(
+        base, q, params, ensure_reachable=ensure_reachable, expand_width=expand_width
+    )
 
 
 def insert_into_roargraph(

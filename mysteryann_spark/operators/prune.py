@@ -31,14 +31,30 @@ def occlusion_prune_np(
     cand_vecs: np.ndarray,
     m: int,
     metric: str = "l2",
+    pool_cap: int | None = None,
 ) -> list[int]:
     """Prune one pool. Inputs must exclude the target itself.
 
     cand_ids/cand_dists/cand_vecs are parallel arrays; dists are to the
     target node. Returns <= m kept ids, deterministic.
+
+    ``pool_cap`` (default ``max(8*m, 256)``) bounds the pool considered:
+    after the (dist, id) sort + dedup, only the nearest ``pool_cap``
+    candidates enter the O(pool^2) occlusion pass. The batch build's
+    merged per-target pools are otherwise UNBOUNDED — a hub node that is
+    the 1-NN target of thousands of training queries accumulates
+    thousands of candidates, and the full pairwise-distance matrix on
+    such a pool is the quadratic memory/CPU blowup that stalls (or
+    OOM-kills) workers on clustered data. Truncating to the nearest
+    pool_cap is the standard Vamana/DiskANN regime (prune pools are
+    bounded by the build beam L); occlusion keeps <= m anyway, and the
+    reference's own pools are bounded by construction
+    (src/index_bipartite.cpp:1063-1067 M-truncation per query).
     """
     if len(cand_ids) == 0:
         return []
+    if pool_cap is None:
+        pool_cap = max(8 * m, 256)
     # (dist, id) total order — neighbor.h:29-31 tiebreak.
     order = np.lexsort((cand_ids, cand_dists))
     ids = cand_ids[order]
@@ -50,6 +66,8 @@ def occlusion_prune_np(
     keep_mask[first_idx] = True
     ids, dists, vecs = ids[keep_mask], dists[keep_mask], vecs[keep_mask]
     # re-sort after dedup (np.unique disturbed nothing: mask preserves order)
+    if len(ids) > pool_cap:
+        ids, dists, vecs = ids[:pool_cap], dists[:pool_cap], vecs[:pool_cap]
 
     pair = np_distances(metric, vecs, vecs)  # (n, n) candidate-candidate dists
     kept: list[int] = [0]
@@ -89,8 +107,11 @@ def prune_candidates(
 
     Joins candidate vectors + the node's own vector (two id-equi joins that
     co-partition on the shuffle key), groups by node, and runs the numpy
-    kernel per group. Group fan-in is bounded by the callers (<= slack*M_sq
-    candidates per node), so executor memory per group is O(pool * dim).
+    kernel per group. Pool size is NOT bounded by the callers (a hub node
+    targeted by many training queries can accumulate thousands of
+    candidates on clustered data); the kernel bounds its own quadratic
+    work via pool_cap, so per-group compute is O(pool_cap^2) and memory is
+    O(pool * dim) for the collect_list row itself.
     """
     node_vec = base_df.select(
         F.col(base_id).alias("node"), F.col(vec_col).alias("node_vec")

@@ -94,6 +94,7 @@ def _beam_search_batch(
     l_search: int,
     metric: str,
     exclude_rows: np.ndarray,
+    expand_width: int = 1,
 ) -> tuple[list[list[tuple[float, int]]], np.ndarray, np.ndarray]:
     """Best-first loop for a BATCH of queries in lockstep. Per query the
     state evolution is identical to running the sequential loop alone —
@@ -105,6 +106,14 @@ def _beam_search_batch(
     row-wise einsum call, instead of one numpy call per (query, hop) —
     the per-call overhead was the #1 cost of the graph build's
     connectivity phase.
+
+    ``expand_width`` > 1 expands up to that many unexpanded pool entries
+    per round INSTEAD of the strict best-first one: round count (and with
+    it the per-round Python bookkeeping that dominates long searches at
+    large L) drops ~width-fold, at the cost of scoring some neighbors a
+    strict order would have pruned. Width 1 (default) is bit-identical
+    to the reference's loop; wider is the standard batched-greedy
+    relaxation, recall-gated where used (the 10^5-node rehearsal).
 
     cmps counts post-seed distance evaluations only — the reference
     zeroes its comparison counter after scoring the entry point
@@ -126,20 +135,25 @@ def _beam_search_batch(
         fresh_all: list[int] = []
         for i in live:
             pool, exp = pools[i], expanded[i]
-            cur = next(((d, r) for d, r in pool if r not in exp), None)
-            if cur is None:
+            curs = []
+            for d, r in pool:
+                if r not in exp:
+                    curs.append(r)
+                    if len(curs) >= expand_width:
+                        break
+            if not curs:
                 continue  # pool fully expanded -> query done
             nxt.append(i)
-            exp.add(cur[1])
-            hops[i] += 1
             vis, ex = visited[i], exclude_rows[i]
-            fresh = [
-                n
-                for n in indices[indptr[cur[1]] : indptr[cur[1] + 1]]
-                if n not in vis and n != ex
-            ]
+            fresh: list[int] = []
+            for r in curs:
+                exp.add(r)
+                hops[i] += 1
+                for n in indices[indptr[r] : indptr[r + 1]]:
+                    if n not in vis and n != ex:
+                        vis.add(n)
+                        fresh.append(n)
             if fresh:
-                vis.update(fresh)
                 owners.append((i, len(fresh)))
                 fresh_all.extend(fresh)
         live = nxt
@@ -333,12 +347,15 @@ def search_graph(
     vec_col: str = "embedding",
     exclude_self: bool = False,
     staged: tuple[str, str] | None = None,
+    expand_width: int = 1,
 ) -> DataFrame:
     """Top-k ANN for every query row; returns
     ``(qid, nn_id, dist, rank, cmps, hops)``.
 
     ``staged``: optional ``(base_path, adj_path)`` from ``stage_graph_index``
     — repeated searches over one index (sweeps) stage once and reuse.
+    ``expand_width``: beam entries expanded per lockstep round (1 =
+    reference-strict best-first; see _beam_search_batch).
     """
     if staged is None:
         staged = stage_graph_index(base_df, adj_df, base_id=base_id, vec_col=vec_col)
@@ -373,7 +390,8 @@ def search_graph(
                 else:
                     excl = np.full(len(sub), -1, dtype=np.int64)
                 pools, cmps, hops = _beam_search_batch(
-                    qmat, b_ep, b_indptr, b_indices, b_mat, l_search, metric, excl
+                    qmat, b_ep, b_indptr, b_indices, b_mat, l_search, metric, excl,
+                    expand_width=expand_width,
                 )
                 for j, qid in enumerate(qids):
                     pool = pools[j]

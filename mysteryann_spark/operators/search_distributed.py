@@ -61,10 +61,20 @@ def search_graph_distributed(
     vec_col: str = "embedding",
     exclude_self: bool = False,
     max_rounds: int = 200,
+    expand_width: int = 1,
 ) -> DataFrame:
     """Top-k ANN for every query row without broadcasting the index;
     returns ``(qid, nn_id, dist, rank, cmps, hops)`` — bit-identical to
-    ``search.search_graph`` on the same inputs."""
+    ``search.search_graph`` on the same inputs (at the same
+    ``expand_width``).
+
+    ``expand_width`` is the frontier-BATCHED variant: each round expands
+    up to that many unexpanded pool entries per query instead of the
+    strict best-first one, cutting the dominant cost — driver-synchronized
+    join rounds — ~width-fold at the price of scoring some neighbors a
+    strict order would have pruned. Width 1 (default) keeps exact
+    bit-parity with the broadcast path; wider is recall-gated
+    (tests/test_graph.py)."""
     spark = queries_df.sparkSession
     q = queries_df.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qvec"))
     base = base_df.select(F.col(base_id).alias("nn_id"), F.col(vec_col).alias("bvec"))
@@ -97,7 +107,7 @@ def search_graph_distributed(
         frontier = (
             pool.where(~F.col("expanded"))
             .withColumn("fr", F.row_number().over(pool_w))
-            .where(F.col("fr") == 1)
+            .where(F.col("fr") <= expand_width)
             .select("qid", "nn_id")
             .localCheckpoint(eager=True)
         )

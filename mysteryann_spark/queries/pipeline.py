@@ -705,6 +705,66 @@ FROM w GROUP BY rhash HAVING count(*) >= 2
 """
 
 
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM training-data hygiene
+    step): flag every TRAIN document sharing any token 5-gram with the
+    EVAL set (here the deterministic doc_id % 20 == 0 slice standing in
+    for a benchmark suite). Train-side grams explode into one row per
+    window; the eval gram set is distinct-collapsed and broadcast — at
+    100 TB the eval side is always tiny (benchmarks are MBs), so the
+    contamination join is a broadcast hash join against the full-corpus
+    gram explosion, one shuffle for the per-doc re-aggregation."""
+    d = _docs(spark, sf_dir).withColumn("toks", tokens_col("text"))
+    grams = F.when(
+        F.size("toks") < 5, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 4),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, 5)),
+        )
+    )
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    eval_grams = g.where(F.col("doc_id") % 20 == 0).select("gram").distinct()
+    train = g.where(F.col("doc_id") % 20 != 0)
+    hits = (
+        train.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 20 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+_DECONTAM_SQL = """
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+           FROM documents),
+g AS (SELECT doc_id, unnest(
+        CASE WHEN len(toks) < 5 THEN []
+             ELSE list_transform(generate_series(1, len(toks) - 4),
+                                 i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+        END) AS gram
+      FROM t),
+e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+h AS (SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
+      FROM g JOIN e USING (gram) WHERE g.doc_id % 20 != 0 GROUP BY g.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(CASE WHEN coalesce(h.n_shared, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS contaminated
+FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 20 != 0
+"""
+
+
 def pipeline_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified data mixing: per-source sampling rates
     applied via an md5-derived uniform — the reproducible (re-runnable,
@@ -919,6 +979,7 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_gopher_quality": QuerySpec(doc_gopher_quality, _GOPHER_SQL),
     "doc_substring_spans": QuerySpec(doc_substring_spans, _SUBSTR_SQL),
     "pipeline_mix_sample": QuerySpec(pipeline_mix_sample, _MIX_SQL),
+    "pipeline_decontaminate": QuerySpec(pipeline_decontaminate, _DECONTAM_SQL),
     "dedup_semantic": QuerySpec(dedup_semantic, None),
     "ann_range_search": QuerySpec(ann_range_search, _RANGE_SQL),
     "ann_filtered_topk": QuerySpec(ann_filtered_topk, _ANN_FILTERED_SQL),

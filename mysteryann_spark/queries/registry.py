@@ -68,6 +68,7 @@ _FRONT = [
     # new in round 4
     "roargraph_binary_interop",
     "multimodal_decode_real",
+    "pipeline_decontaminate",
     # changed in round 4 (bucketed source-keying; minhash path test + doc;
     # 56-point sweep; selectivity-aware filtered search; knn match_col
     # validation; similarity zero-norm guard)
@@ -76,9 +77,6 @@ _FRONT = [
     "roargraph_sweep",
     "roargraph_search_filtered",
     "knn_exact",
-    "knn_medoid",
-    "knn_recall_l2_vs_cosine",
-    "knn_rderr_truncated",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
@@ -154,6 +152,11 @@ _BACK = [
     "fbin_roundtrip_norms",
     "vector_normalize",
     "distance_pairs",
+    # knn.py's r4 change is plan-time validation only; knn_exact (in
+    # _FRONT) exercises the changed code path, these three ride behind
+    "knn_medoid",
+    "knn_recall_l2_vs_cosine",
+    "knn_rderr_truncated",
 ]
 
 

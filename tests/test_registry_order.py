@@ -18,6 +18,7 @@ MUST_BE_IN_WINDOW = {
     "doc_substring_spans",
     "roargraph_binary_interop",
     "multimodal_decode_real",
+    "pipeline_decontaminate",
     "bucketed_join_revenue",
     "dedup_minhash_lsh",
     "roargraph_sweep",

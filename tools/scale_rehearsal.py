@@ -1,0 +1,156 @@
+"""Scale rehearsal: build + search + recall-gate the RoarGraph pipeline at
+10^5-10^6 x 64-d — two to three orders of magnitude above the sf0.01
+correctness scale — and record the timings that back the per-operator
+100 TB design claims (r3 VERDICT "What's missing" #3).
+
+Vectors are synthesized DISTRIBUTED (spark.range -> mapInPandas with a
+per-partition seeded RNG): no driver-side materialization at any N, the
+same regime a 1000-executor cluster would use. The distribution is a
+256-center gaussian mixture — deliberately clustered, because clustered
+data is what exposed (and now regression-guards) two real scale hazards:
+unbounded merged prune pools (fixed by the occlusion pool_cap) and
+disconnected graph components (fixed by ensure_reachable's BFS + bridge
+repair, the live analog of the reference's dead CollectPoints pass).
+
+Ground truth for the recall gate is the exact kNN join over a query
+sample — itself one of the operators under rehearsal. Recall is reported
+as an L_pq sweep (the reference's own acceptance protocol); the gate is
+recall@10 >= 0.9 at the widest beam.
+
+Run:   python tools/scale_rehearsal.py [N] [N_QUERY_SAMPLE] [N_TRAIN] [BUILD_WIDTH]
+       (defaults 100_000, 1_000, all, 1; N_TRAIN samples the training
+       query set for the build — the reference's own regime is a sampled
+       query set — and BUILD_WIDTH>1 frontier-batches the connectivity
+       phase; one JSON line per stage — paste into SCALE.md)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+DIM = 64
+N_CENTERS = 256
+CENTER_SCALE = 2.0
+
+
+def synth_embeddings(spark, n: int, dim: int = DIM, seed: int = 7, parts: int = 64):
+    """Deterministic distributed synthesis: clustered gaussians so the
+    graph has real neighborhood structure — uniform noise would make
+    every kNN list arbitrary and recall meaningless."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out_vecs = []
+            for vid in ids:
+                rng = np.random.default_rng(seed * 1_000_003 + int(vid))
+                center_rng = np.random.default_rng(seed + int(vid) % N_CENTERS)
+                center = center_rng.standard_normal(dim) * CENTER_SCALE
+                out_vecs.append(
+                    (center + rng.standard_normal(dim)).astype(np.float32)
+                )
+            yield pd.DataFrame({"vec_id": ids, "embedding": list(out_vecs)})
+
+    return (
+        spark.range(0, n, 1, parts)
+        .mapInPandas(gen, "vec_id bigint, embedding array<float>")
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    nq = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000
+    n_train = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    build_width = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+
+    from pyspark.sql import functions as F
+
+    from mysteryann_spark.operators.evaluate import mean_recall
+    from mysteryann_spark.operators.knn import knn_join_arrays
+    from mysteryann_spark.operators.projection import build_roargraph_from_table
+    from mysteryann_spark.operators.search import search_graph
+    from mysteryann_spark.params import IndexParams
+    from mysteryann_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scale-rehearsal-{n}")
+    params = IndexParams(M_sq=32, M_pjbp=16, L_pjpq=64, k=10, L_pq=100, metric="l2")
+
+    emb = synth_embeddings(spark, n).cache()
+    t0 = time.time()
+    emb.count()
+    t_synth = time.time() - t0
+    print(json.dumps({"stage": "synth", "n": n, "dim": DIM, "sec": round(t_synth, 1)}),
+          flush=True)
+
+    t0 = time.time()
+    adj, ep = build_roargraph_from_table(
+        spark, emb, params, n_queries=n_train, ensure_reachable=True,
+        expand_width=build_width,
+    )
+    adj = adj.localCheckpoint()
+    n_nodes = adj.count()
+    t_build = time.time() - t0
+    degs = adj.select(F.size("nbrs").alias("d")).agg(
+        F.avg("d").alias("avg"), F.max("d").alias("mx")
+    ).collect()[0]
+    print(json.dumps({
+        "stage": "build", "n": n, "sec": round(t_build, 1),
+        "nodes": n_nodes, "avg_degree": round(degs["avg"], 1),
+        "max_degree": degs["mx"],
+        "params": {"M_sq": params.M_sq, "M_pjbp": params.M_pjbp,
+                   "L_pjpq": params.L_pjpq},
+        "n_train": n_train or n, "build_width": build_width,
+    }), flush=True)
+
+    from mysteryann_spark.operators.search import stage_graph_index
+    from mysteryann_spark.session import spread
+
+    # spread: a contiguous vec_id slice of a range-partitioned synth table
+    # lands in ONE partition — unspread, the whole search runs on one core
+    q = spread(
+        emb.where(F.col("vec_id") < nq).select(F.col("vec_id").alias("qid"), "embedding")
+    ).localCheckpoint()
+    t0 = time.time()
+    gt = knn_join_arrays(q, emb, params.k, params.metric)
+    gt = gt.localCheckpoint()
+    gt.count()
+    t_exact = time.time() - t0
+    print(json.dumps({
+        "stage": "exact_gt", "n": n, "n_queries": nq, "sec": round(t_exact, 1),
+    }), flush=True)
+
+    staged = stage_graph_index(emb.select("vec_id", "embedding"), adj)
+    gate_recall = 0.0
+    for L, width in ((100, 1), (100, 4), (200, 1), (200, 4), (400, 4)):
+        t0 = time.time()
+        res = search_graph(q, emb, adj, ep, k=params.k, l_search=L,
+                           metric=params.metric, staged=staged,
+                           expand_width=width)
+        res = res.localCheckpoint()
+        n_res = res.count()
+        t_search = time.time() - t0
+        res_arr = (
+            res.groupBy("qid")
+            .agg(F.array_sort(F.collect_list(F.struct("rank", "nn_id"))).alias("t"))
+            .select("qid", F.transform("t", lambda x: x["nn_id"]).alias("nn"))
+        )
+        recall = mean_recall(res_arr, gt, params.k)
+        gate_recall = max(gate_recall, recall)
+        print(json.dumps({
+            "stage": "search", "n": n, "n_queries": nq, "k": params.k,
+            "L_pq": L, "expand_width": width, "sec": round(t_search, 1),
+            "qps": round(nq / t_search, 1), "rows": n_res,
+            "recall_at_k": round(recall, 4),
+        }), flush=True)
+    assert gate_recall >= 0.9, f"recall gate failed at N={n}: {gate_recall}"
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
