@@ -326,3 +326,273 @@ def lsh_cosine_topk(
         .where(F.col("rank") <= k)
         .select("qid", "nn_id", "dist", "rank")
     )
+
+
+def train_pq_codebooks(
+    base_df: DataFrame,
+    m: int,
+    n_codes: int,
+    max_iter: int,
+    seed: int,
+    train_sample: int,
+    base_id: str,
+    vec_col: str,
+):
+    """Broadcast of per-subspace PQ codebooks (m, n_codes, dim/m), trained
+    by seeded k-means on a bounded hash-sample of L2-NORMALIZED base
+    vectors (the FAISS ``ProductQuantizer::train`` protocol). Like IVF
+    centroids, the codebooks are a tiny model — the one driver collect is
+    bounded by ``train_sample``, never the data size."""
+    n_base = base_df.count()
+    rate = max(1, int(np.ceil(n_base / float(train_sample))))
+    sample_pdf = (
+        base_df.where(F.pmod(F.xxhash64(F.col(base_id)), F.lit(rate)) == 0)
+        .select(F.col(vec_col).alias("v"))
+        .toPandas()
+    )
+    mat = _unit(sample_pdf["v"])
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    books = np.stack(
+        [
+            _sample_kmeans(mat[:, j * dsub : (j + 1) * dsub], n_codes, max_iter, seed + j)
+            for j in range(m)
+        ]
+    )
+    return base_df.sparkSession.sparkContext.broadcast(books)
+
+
+def pq_encode_udf(bc):
+    """Arrow-batched PQ encoder: ARRAY<numeric> -> m uint8-range codes.
+
+    Per batch: normalize, then for each subspace one (batch x n_codes)
+    distance GEMM against the broadcast codebook — the whole encode is
+    m small GEMMs, no per-row Python. The codes array is the PERSISTED
+    index form: m bytes/vector vs 4*dim for float32 (32x at 64-d, m=8) —
+    the difference between the index living in executor memory or not."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        books = bc.value  # (m, n_codes, dsub)
+        mat = _unit(vecs)
+        m_sub, _, dsub = books.shape
+        codes = np.empty((len(mat), m_sub), dtype=np.int32)
+        for j in range(m_sub):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin drops ||x||^2
+            d = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_decode_udf(bc):
+    """Arrow-batched PQ reconstruction: codes -> concatenated codewords.
+
+    dot(q, reconstruct(x)) == the classic ADC lookup-table sum (the LUT
+    entry for subspace j, code c IS dot(q_j, codebook[j][c])), so running
+    the reconstruction through the blocked-GEMM kNN join scores exactly
+    what a hand-rolled ADC scan would — one BLAS call per batch instead
+    of per-row byte gathers."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def decode(codes: pd.Series) -> pd.Series:
+        books = bc.value
+        c = np.stack([np.asarray(v, dtype=np.int64) for v in codes])  # (n, m)
+        m_sub = c.shape[1]
+        out = np.concatenate([books[j][c[:, j]] for j in range(m_sub)], axis=1)
+        return pd.Series(list(out))
+
+    return decode
+
+
+def pq_cosine_topk(
+    queries_df: DataFrame,
+    base_df: DataFrame,
+    k: int,
+    m: int = 8,
+    n_codes: int = 64,
+    refine: int = 20,
+    max_iter: int = 8,
+    seed: int = 42,
+    train_sample: int = 4096,
+    query_id: str = "qid",
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Product-quantized approximate cosine top-k with exact refine.
+
+    The reference reserves a PQ metric slot it never implements
+    (include/efanna2e/distance.h:15, ``PQ=3``); this is that scale path
+    done properly: train m per-subspace codebooks on a bounded sample,
+    encode the base to m-byte codes, score queries against the
+    RECONSTRUCTION (== ADC table lookups, see pq_decode_udf) with the
+    staged blocked-GEMM kNN join, keep ``k*refine`` PQ candidates per
+    query, then exact-rerank only those against the true vectors.
+
+    Scale shape: codes are the persisted index (32x smaller at 64-d,
+    m=8); the PQ scan is the same no-base-shuffle blocked GEMM as
+    knn_exact; the refine join touches k*refine true vectors per query —
+    the full-precision side is read once for encoding and once for the
+    (tiny) refine, never scanned per query. Returns (qid, nn_id, dist,
+    rank) like knn_join; recall vs cosine_topk is gated in tests.
+    """
+    bc = train_pq_codebooks(
+        base_df, m, n_codes, max_iter, seed, train_sample, base_id, vec_col
+    )
+    encode = pq_encode_udf(bc)
+    decode = pq_decode_udf(bc)
+
+    recon = base_df.select(
+        F.col(base_id),
+        decode(encode(F.col(vec_col))).alias(vec_col),
+    )
+    cand = knn_join(
+        queries_df,
+        recon,
+        k * refine,
+        "cosine",
+        query_id=query_id,
+        base_id=base_id,
+        vec_col=vec_col,
+        exclude_self=exclude_self,
+    ).select("qid", "nn_id")
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def pq_cos_dist(qv: pd.Series, nv: pd.Series) -> pd.Series:
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+        bm = np.stack([np.asarray(v, dtype=np.float64) for v in nv])
+        num = np.einsum("ij,ij->i", a, bm)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(bm, axis=1)
+        den[den == 0] = 1.0
+        return pd.Series(1.0 - num / den)
+
+    scored = (
+        cand.join(
+            queries_df.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")),
+            "qid",
+        )
+        .join(
+            base_df.select(F.col(base_id).alias("nn_id"), F.col(vec_col).alias("nv")),
+            "nn_id",
+        )
+        .select("qid", "nn_id", pq_cos_dist("qv", "nv").alias("dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nn_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nn_id", "dist", "rank")
+    )
+
+
+def ivfpq_cosine_topk(
+    queries_df: DataFrame,
+    base_df: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    m: int = 8,
+    n_codes: int = 64,
+    refine: int = 20,
+    max_iter: int = 8,
+    seed: int = 42,
+    train_sample: int = 4096,
+    query_id: str = "qid",
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ: coarse inverted lists + PQ codes + exact refine — the
+    composition FAISS ships as ``IndexIVFPQ``, i.e. the index layout you
+    actually persist at 100 TB: data partitioned (bucketed) by coarse
+    centroid id, each row carrying only its m-byte PQ code; a query
+    touches n_probe/n_centroids of the data and scores it by ADC, and
+    full-precision vectors are read only for the final k*refine rerank.
+
+    Composition of the two tested parts: ``train_centroids``/IVF routing
+    (one base shuffle on centroid id) and ``pq_encode/decode`` (ADC ==
+    reconstruction dot, see pq_decode_udf). All candidate scoring inside
+    the probed lists is one Arrow-batched einsum; nothing quadratic,
+    nothing collected.
+    """
+    bc_cent = train_centroids(
+        base_df, n_centroids, max_iter, seed, train_sample, base_id, vec_col
+    )
+    bc_books = train_pq_codebooks(
+        base_df, m, n_codes, max_iter, seed + 1000, train_sample, base_id, vec_col
+    )
+    encode = pq_encode_udf(bc_books)
+    decode = pq_decode_udf(bc_books)
+    l2norm = l2norm_udf()
+
+    # the persisted index shape: (cid, nn_id, code); reconstruction is
+    # done on the fly per Arrow batch at scoring time
+    assigned = base_df.select(
+        F.col(base_id).alias("nn_id"),
+        F.element_at(nearest_centroids_udf(bc_cent, 1)(F.col(vec_col)), 1).alias("cid"),
+        decode(encode(F.col(vec_col))).alias("rvec"),
+    )
+    probes = queries_df.select(
+        F.col(query_id).alias("qid"),
+        l2norm(F.col(vec_col)).alias("qvec"),
+        F.explode(nearest_centroids_udf(bc_cent, n_probe)(F.col(vec_col))).alias("cid"),
+    )
+    cand = probes.join(assigned, "cid").select("qid", "nn_id", "qvec", "rvec")
+    if exclude_self:
+        cand = cand.where(F.col("qid") != F.col("nn_id"))
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def adc_dist(qv: pd.Series, rv: pd.Series) -> pd.Series:
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+        r = np.stack([np.asarray(v, dtype=np.float64) for v in rv])
+        # query is unit, reconstruction approximates a unit vector:
+        # ADC inner product stands in for cosine
+        return pd.Series(1.0 - np.einsum("ij,ij->i", a, r))
+
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nn_id").asc())
+    pq_top = (
+        cand.select("qid", "nn_id", adc_dist("qvec", "rvec").alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k * refine)
+        .select("qid", "nn_id")
+    )
+
+    @pandas_udf(DoubleType())
+    def exact_cos(qv: pd.Series, nv: pd.Series) -> pd.Series:
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+        bm = np.stack([np.asarray(v, dtype=np.float64) for v in nv])
+        num = np.einsum("ij,ij->i", a, bm)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(bm, axis=1)
+        den[den == 0] = 1.0
+        return pd.Series(1.0 - num / den)
+
+    scored = (
+        pq_top.join(
+            queries_df.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")),
+            "qid",
+        )
+        .join(
+            base_df.select(F.col(base_id).alias("nn_id"), F.col(vec_col).alias("nv")),
+            "nn_id",
+        )
+        .select("qid", "nn_id", exact_cos("qv", "nv").alias("dist"))
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nn_id", "dist", "rank")
+    )

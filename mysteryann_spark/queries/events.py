@@ -223,8 +223,63 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_tumbling_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRUE Structured Streaming tumbling aggregation, hash-oracled:
+    readStream over the events feed -> watermarked window agg -> memory
+    sink (availableNow), returning the materialized complete-mode result.
+    Batch parity is not just tested here — the driver hash-compares the
+    STREAMING output against the same DuckDB oracle the batch twin
+    (events_tumbling) uses, making the streaming path a first-class
+    verified operator rather than a test-only analog."""
+    from mysteryann_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        stream_tumbling_counts,
+    )
+
+    ensure_utc(spark)
+    out = run_stream_to_memory(
+        stream_tumbling_counts(read_events_stream(spark, sf_dir)),
+        "stream_tumbling_reg",
+        output_mode="complete",
+    )
+    return out
+
+
+def stream_dedup_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under at-least-once delivery, hash-oracled:
+    the events feed is delivered TWICE in separate micro-batches (the
+    Kafka-redelivery stand-in) and dropDuplicatesWithinWatermark must
+    emit each event exactly once — so the streaming output equals plain
+    SELECT-from-events, which is exactly what the oracle checks. State is
+    keyed on event_id and expires with the watermark (O(window), not
+    O(stream))."""
+    from mysteryann_spark.streaming.windows import (
+        read_events_stream_duplicated,
+        run_stream_to_memory,
+        stream_dedup_exact,
+    )
+
+    ensure_utc(spark)
+    out = run_stream_to_memory(
+        stream_dedup_exact(read_events_stream_duplicated(spark, sf_dir)),
+        "stream_dedup_reg",
+        output_mode="append",
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, round(value, 6) AS value FROM events
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_approx_distinct": QuerySpec(events_approx_distinct, None),
+    "stream_tumbling_oracled": QuerySpec(stream_tumbling_oracled, _TUMBLING_SQL),
+    "stream_dedup_oracled": QuerySpec(stream_dedup_oracled, _STREAM_DEDUP_SQL),
     "events_tumbling": QuerySpec(events_tumbling, _TUMBLING_SQL),
     "events_interval_join": QuerySpec(events_interval_join, _INTERVAL_SQL),
     "events_sliding": QuerySpec(events_sliding, _SLIDING_SQL),

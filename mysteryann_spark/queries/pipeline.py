@@ -950,6 +950,269 @@ FROM f
 """
 
 
+# --- retrieval ranking ------------------------------------------------------
+
+# Fixed literal query set over the synthetic corpus vocabulary — identical
+# in the Spark plan and the oracle, so scores hash-match exactly.
+_BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "vector"), (0, "hash"), (0, "join"),
+    (1, "stream"), (1, "batch"), (1, "window"),
+    (2, "customer"), (2, "order"), (2, "filter"),
+)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical ranking: top-10 documents per query (Okapi BM25,
+    k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5))).
+
+    Plan shape: one token explode filtered DOWN TO THE QUERY TERMS before
+    any aggregation (at 100 TB the term list is a broadcast semi-join, so
+    the tf groupBy only ever shuffles rows that can score), plus two
+    scalar corpus statistics (N, avgdl) from one map-side-combined agg.
+    No cross join, no full-vocabulary state. Ranks order by the ROUNDED
+    score so cross-engine double jitter cannot flip a boundary rank."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", tokens_col("text").alias("toks"))
+    stats = d.select(
+        F.count("*").alias("n"), F.avg(F.size("toks")).alias("avgdl")
+    ).head()
+    n_docs, avgdl = stats["n"], float(stats["avgdl"])
+
+    terms = spark.createDataFrame(list(_BM25_QUERIES), "qid INT, token STRING")
+    toks = d.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("token")
+    ).join(F.broadcast(terms.select("token").distinct()), "token")
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = tf.join(dfreq, "token").join(F.broadcast(terms), "token").select(
+        "qid",
+        "doc_id",
+        (
+            idf
+            * (F.col("tf") * (_BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
+            )
+        ).alias("c"),
+    )
+    scored = contrib.groupBy("qid", "doc_id").agg(
+        stable_round(F.sum("c"), 6).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("qid", "doc_id", "score", "rk")
+    )
+
+
+_BM25_SQL = """
+WITH q(qid, token) AS (VALUES
+    (0, 'vector'), (0, 'hash'), (0, 'join'),
+    (1, 'stream'), (1, 'batch'), (1, 'window'),
+    (2, 'customer'), (2, 'order'), (2, 'filter')),
+d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents),
+stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM d),
+t AS (SELECT doc_id, len(w) AS dl, unnest(w) AS token FROM d),
+tf AS (SELECT doc_id, token, count(*) AS tf, min(dl) AS dl FROM t
+       WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+contrib AS (SELECT q.qid, tf.doc_id,
+                   ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * (tf.tf * (1.2 + 1.0))
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS c
+            FROM tf JOIN dfreq USING (token) JOIN q USING (token) CROSS JOIN stats),
+scored AS (SELECT qid, doc_id, round(sum(c) + 1e-9, 6) AS score
+           FROM contrib GROUP BY qid, doc_id),
+rk AS (SELECT qid, doc_id, score,
+              CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INT) AS rk
+       FROM scored)
+SELECT qid, doc_id, score, rk FROM rk WHERE rk <= 10
+"""
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: for query docs
+    (id < 5), fuse (a) exact embedding-cosine ranks with (b) token-set
+    Jaccard lexical ranks as sum of 1/(60+rank), top-10 per query — the
+    standard RRF fusion (Cormack et al., SIGIR'09) every RAG ingest
+    pipeline runs.
+
+    Both retriever lists are top-20 per query, so the fusion join carries
+    <=40 rows/query regardless of corpus size; the lexical side
+    broadcast-joins 5 tiny query token sets against the corpus (one scan,
+    no pairwise blowup); the dense side is the staged blocked-GEMM kNN.
+    RRF sums are sums of reciprocals of small ints — bit-identical across
+    engines, so the entry is fully hash-oracled (rare for a fusion op)."""
+    from pyspark.sql import Window
+
+    list_k, fuse_c, out_k = 20, 60, 10
+
+    e = _emb(spark, sf_dir)
+    q_e = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+    dense = cosine_topk(q_e, e, list_k).select(
+        "qid", F.col("nn_id").alias("doc_id"), F.col("rank").alias("r_dense")
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(tokens_col("text")).alias("toks")
+    )
+    q_d = d.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("qid"), F.col("toks").alias("qtoks")
+    )
+    jac = (
+        F.broadcast(q_d)
+        .crossJoin(d)
+        .where(F.col("qid") != F.col("doc_id"))
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.size(F.array_intersect("qtoks", "toks")).cast("double")
+                / F.size(F.array_union("qtoks", "toks"))
+            ).alias("jac"),
+        )
+    )
+    w_jac = Window.partitionBy("qid").orderBy(F.col("jac").desc(), F.col("doc_id").asc())
+    lexical = (
+        jac.withColumn("r_lex", F.row_number().over(w_jac))
+        .where(F.col("r_lex") <= list_k)
+        .select("qid", "doc_id", "r_lex")
+    )
+
+    fused = (
+        dense.join(lexical, ["qid", "doc_id"], "full_outer")
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.when(F.col("r_dense").isNotNull(), 1.0 / (fuse_c + F.col("r_dense"))).otherwise(0.0)
+                + F.when(F.col("r_lex").isNotNull(), 1.0 / (fuse_c + F.col("r_lex"))).otherwise(0.0)
+            ).alias("rrf"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= out_k)
+        .select("qid", "doc_id", stable_round("rrf", 6).alias("rrf"), "rk")
+    )
+
+
+_RRF_SQL = """
+WITH qe AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+u AS (SELECT qe.qid, b.vec_id AS doc_id,
+             CAST(unnest(qe.qe) AS DOUBLE) AS xa, CAST(unnest(b.embedding) AS DOUBLE) AS xb
+      FROM qe CROSS JOIN embeddings b WHERE b.vec_id != qe.qid),
+cd AS (SELECT qid, doc_id,
+              -(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb)))) AS dist
+       FROM u GROUP BY qid, doc_id),
+dense AS (SELECT qid, doc_id, r_dense FROM (
+            SELECT qid, doc_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY dist, doc_id) AS r_dense
+            FROM cd) WHERE r_dense <= 20),
+dt AS (SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS toks
+       FROM documents),
+qd AS (SELECT doc_id AS qid, toks AS qtoks FROM dt WHERE doc_id < 5),
+jac AS (SELECT qd.qid, dt.doc_id,
+               CAST(len(list_intersect(qd.qtoks, dt.toks)) AS DOUBLE)
+               / (len(qd.qtoks) + len(dt.toks) - len(list_intersect(qd.qtoks, dt.toks))) AS jac
+        FROM qd CROSS JOIN dt WHERE qd.qid != dt.doc_id),
+lexical AS (SELECT qid, doc_id, r_lex FROM (
+              SELECT qid, doc_id,
+                     row_number() OVER (PARTITION BY qid ORDER BY jac DESC, doc_id ASC) AS r_lex
+              FROM jac) WHERE r_lex <= 20),
+fused AS (SELECT coalesce(dense.qid, lexical.qid) AS qid,
+                 coalesce(dense.doc_id, lexical.doc_id) AS doc_id,
+                 coalesce(1.0 / (60 + r_dense), 0.0) + coalesce(1.0 / (60 + r_lex), 0.0) AS rrf
+          FROM dense FULL OUTER JOIN lexical
+            ON dense.qid = lexical.qid AND dense.doc_id = lexical.doc_id),
+rk AS (SELECT qid, doc_id, rrf,
+              CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) AS INT) AS rk
+       FROM fused)
+SELECT qid, doc_id, round(rrf + 1e-9, 6) AS rrf, rk FROM rk WHERE rk <= 10
+"""
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-trainer statistics: global adjacent-token-pair frequencies,
+    top-50 — the merge-candidate count that drives one round of BPE
+    vocabulary training (Sennrich et al.). One explode of zipped
+    (w[i], w[i+1]) slices + one groupBy: the same map-side-combined
+    count(*) shape at 100 TB, with the top-50 a tiny final window."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(tokens_col("text").alias("w"))
+    pairs = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.size("w") - 1),
+                F.slice("w", 2, F.size("w") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 50)
+        .select("pair", "cnt", "rk")
+    )
+
+
+_BPE_PAIRS_SQL = """
+WITH d AS (SELECT list_filter(string_split(text, ' '), x -> x != '') AS w FROM documents),
+p AS (SELECT w[i] || ' ' || w[i + 1] AS pair
+      FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM d)),
+c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY pair),
+rk AS (SELECT pair, cnt,
+              CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS INT) AS rk
+       FROM c)
+SELECT pair, cnt, rk FROM rk WHERE rk <= 50
+"""
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized cosine top-k (m=8 subspaces, 16 codes, exact
+    refine) — the reference's reserved-but-unimplemented PQ metric
+    (distance.h:15) realized as the 32x-memory-cut scale path. Rows-only
+    (seeded k-means codebooks aren't SQL-expressible); recall vs the
+    exact baseline gated in tests."""
+    from mysteryann_spark.operators.similarity import pq_cosine_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
+    return pq_cosine_topk(q, e, 5).select(
+        "qid", "nn_id", F.round("dist", 6).alias("dist"), "rank"
+    )
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ cosine top-k (FAISS IndexIVFPQ shape): coarse inverted
+    lists route the query to n_probe/n_centroids of the base, PQ codes
+    ADC-score the candidates, exact refine finishes — the persisted
+    100 TB index layout (bucket by centroid id, store m-byte codes).
+    Rows-only; recall vs the exact baseline gated in tests."""
+    from mysteryann_spark.operators.similarity import ivfpq_cosine_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
+    return ivfpq_cosine_topk(q, e, 5, n_centroids=16, n_probe=6).select(
+        "qid", "nn_id", F.round("dist", 6).alias("dist"), "rank"
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_tfidf_topterms": QuerySpec(doc_tfidf_topterms, _TFIDF_SQL),
     "doc_token_stats": QuerySpec(doc_token_stats, _TOKEN_STATS_SQL),
@@ -986,4 +1249,9 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_pack_sequences": QuerySpec(pipeline_pack_sequences, _PACK_SQL),
     "pipeline_profile": QuerySpec(pipeline_profile, _PROFILE_SQL),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, _FRAME_SAMPLE_SQL),
+    "doc_bm25_topk": QuerySpec(doc_bm25_topk, _BM25_SQL),
+    "hybrid_rrf_topk": QuerySpec(hybrid_rrf_topk, _RRF_SQL),
+    "bpe_pair_counts": QuerySpec(bpe_pair_counts, _BPE_PAIRS_SQL),
+    "ann_pq_topk": QuerySpec(ann_pq_topk, None),
+    "ann_ivfpq_topk": QuerySpec(ann_ivfpq_topk, None),
 }

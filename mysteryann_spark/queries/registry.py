@@ -69,19 +69,25 @@ _FRONT = [
     "roargraph_binary_interop",
     "multimodal_decode_real",
     "pipeline_decontaminate",
+    "doc_bm25_topk",
+    "hybrid_rrf_topk",
+    "bpe_pair_counts",
+    "ann_pq_topk",
+    "stream_tumbling_oracled",
+    "stream_dedup_oracled",
+    "ann_ivfpq_topk",
     # changed in round 4 (bucketed source-keying; minhash path test + doc;
-    # 56-point sweep; selectivity-aware filtered search; knn match_col
-    # validation; similarity zero-norm guard)
+    # 56-point sweep; selectivity-aware filtered search; similarity
+    # zero-norm guard).  knn_exact / ann_cosine_topk were r3-green and the
+    # r4 edits (match_col validation, _unit guard) are off their executed
+    # paths — demoted to _BACK to make room for the four new entries.
+    # ann_quantized_topk / ann_range_search likewise demoted (r3-green,
+    # r4 edits off their executed paths) for the two streaming entries.
     "bucketed_join_revenue",
     "dedup_minhash_lsh",
     "roargraph_sweep",
     "roargraph_search_filtered",
-    "knn_exact",
-    "ann_cosine_topk",
     "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_quantized_topk",
-    "ann_range_search",
     "ann_filtered_topk",
     "dedup_semantic",
     # last driver-verified in r2; modules changed in r3 — rotate back in
@@ -119,6 +125,15 @@ _FRONT = [
 ]
 _BACK = [
     # green in the r3 driver window (hash or rows-ran) and untouched in r4
+    # (knn_exact/ann_cosine_topk/ann_quantized_topk/ann_range_search:
+    # r4 edits are off their executed paths)
+    "knn_exact",
+    "ann_cosine_topk",
+    "ann_quantized_topk",
+    "ann_range_search",
+    # ann_lsh_topk: rows-only, r3-ran-clean, pytest recall gate; demoted
+    # for the new IVF-PQ entry
+    "ann_lsh_topk",
     "events_tumbling",
     "events_interval_join",
     "events_sliding",

@@ -251,6 +251,50 @@ def test_ivf_ann_recall_and_determinism(spark, emb):
     assert a == again
 
 
+def test_pq_ann_recall_determinism_and_code_range(spark, emb):
+    """PQ (ADC-equivalent reconstruction scan + exact refine) must hold
+    high recall at 64-d, rerun identically (seeded codebooks), and emit
+    codes inside [0, n_codes) — the persisted-index compression contract."""
+    from mysteryann_spark.operators.similarity import (
+        pq_cosine_topk,
+        pq_encode_udf,
+        train_pq_codebooks,
+    )
+
+    q = emb.where("vec_id < 50").select(F.col("vec_id").alias("qid"), "embedding")
+    exact = knn_join(q, emb, 5, "cosine", exclude_self=True)
+    approx = pq_cosine_topk(q, emb, 5)
+    e = {(r["qid"], r["nn_id"]) for r in exact.collect()}
+    rows = approx.collect()
+    a = {(r["qid"], r["nn_id"]) for r in rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"PQ recall {recall}"
+    again = {(r["qid"], r["nn_id"]) for r in pq_cosine_topk(q, emb, 5).collect()}
+    assert a == again
+    bc = train_pq_codebooks(emb, 8, 64, 8, 42, 4096, "vec_id", "embedding")
+    codes = emb.select(pq_encode_udf(bc)(F.col("embedding")).alias("c")).collect()
+    for r in codes:
+        assert len(r["c"]) == 8 and all(0 <= v < 64 for v in r["c"])
+
+
+def test_ivfpq_ann_recall_and_determinism(spark, emb):
+    """IVF routing + PQ ADC scoring + exact refine (the IndexIVFPQ
+    composition) must hold recall and rerun identically."""
+    from mysteryann_spark.operators.similarity import ivfpq_cosine_topk
+
+    q = emb.where("vec_id < 50").select(F.col("vec_id").alias("qid"), "embedding")
+    exact = knn_join(q, emb, 5, "cosine", exclude_self=True)
+    approx = ivfpq_cosine_topk(q, emb, 5, n_centroids=16, n_probe=6)
+    e = {(r["qid"], r["nn_id"]) for r in exact.collect()}
+    a = {(r["qid"], r["nn_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # bounded below by the IVF routing loss (same probes as the IVF gate)
+    assert recall >= 0.7, f"IVF-PQ recall {recall}"
+    again = {(r["qid"], r["nn_id"]) for r in ivfpq_cosine_topk(
+        q, emb, 5, n_centroids=16, n_probe=6).collect()}
+    assert a == again
+
+
 def test_connected_components_known_graph(spark):
     """Hand-checked fixture: two triangles bridged to nothing + a chain +
     isolated nodes."""

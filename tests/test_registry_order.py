@@ -19,6 +19,13 @@ MUST_BE_IN_WINDOW = {
     "roargraph_binary_interop",
     "multimodal_decode_real",
     "pipeline_decontaminate",
+    "doc_bm25_topk",
+    "hybrid_rrf_topk",
+    "bpe_pair_counts",
+    "ann_pq_topk",
+    "stream_tumbling_oracled",
+    "stream_dedup_oracled",
+    "ann_ivfpq_topk",
     "bucketed_join_revenue",
     "dedup_minhash_lsh",
     "roargraph_sweep",
