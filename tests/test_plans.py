@@ -99,3 +99,35 @@ def test_new_entries_prune_and_avoid_cartesian(spark):
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round4_retrieval_entries_plan_shape(spark):
+    """BM25/RRF/BPE-pairs: scans read only the referenced columns; the
+    BM25 term filter lands before the tf aggregation (a join against the
+    broadcast term list — no full-vocabulary shuffle); the RRF lexical
+    side broadcasts the 5-row query set (the intended tiny-side
+    nested-loop, bounded by |queries|, never |corpus|^2)."""
+    from mysteryann_spark.plans.inspect import formatted_plan, scan_read_schemas
+    from mysteryann_spark.queries.pipeline import (
+        bpe_pair_counts,
+        doc_bm25_topk,
+        hybrid_rrf_topk,
+    )
+    from tests.conftest import SF_DIR
+
+    b = doc_bm25_topk(spark, SF_DIR)
+    for cols in scan_read_schemas(b):
+        assert set(cols) <= {"doc_id", "text"}, cols
+    plan = formatted_plan(b)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    p = bpe_pair_counts(spark, SF_DIR)
+    for cols in scan_read_schemas(p):
+        assert set(cols) <= {"text"}, cols
+
+    r = hybrid_rrf_topk(spark, SF_DIR)
+    rplan = formatted_plan(r)
+    # the only nested-loop allowed is the broadcast of the <=5-row query
+    # token sets; a non-broadcast cartesian would be the corpus-squared bug
+    assert "CartesianProduct" not in rplan
