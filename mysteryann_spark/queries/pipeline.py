@@ -1198,6 +1198,97 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingest chunking: split each document into overlapping token
+    windows (size 40, stride 30 — 10-token overlap), emitting
+    (doc_id, chunk_idx, n_tokens, chunk_text). Pure per-row expressions
+    (sequence + transform + slice): no shuffle at all — the one operator
+    in an ingest DAG that should NEVER cost a shuffle, since chunking is
+    embarrassingly row-local at any scale."""
+    size, stride = 40, 30
+    d = _docs(spark, sf_dir).select("doc_id", tokens_col("text").alias("w"))
+    # chunk starts: 0, stride, 2*stride, ... while start < len(w)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("w") - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice("w", s + 1, size))
+        ).alias("chunk_idx", "toks"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", "toks").alias("chunk_text"),
+    )
+
+
+_CHUNK_SQL = """
+WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+           FROM documents),
+s AS (SELECT doc_id, w, unnest(generate_series(0, greatest(len(w) - 1, 0), 30)) AS st
+      FROM d),
+c AS (SELECT doc_id, CAST(st / 30 AS INTEGER) AS chunk_idx, w[st + 1 : st + 40] AS toks
+      FROM s)
+SELECT doc_id, chunk_idx, CAST(len(toks) AS BIGINT) AS n_tokens,
+       list_aggregate(toks, 'string_agg', ' ') AS chunk_text
+FROM c
+"""
+
+
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: per-document mean negative log
+    probability under the corpus's own unigram distribution — the
+    KenLM-style perplexity-proxy quality filter (CCNet et al.) reduced
+    to its scalable core. Two aggregations (corpus unigram counts, then
+    per-doc score via a token->count join); the unigram table is the
+    only broadcast-size model state. Lower = more typical text; the
+    registered output is the 100 least-typical docs (what a filter
+    would drop first)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    uni = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = uni.agg(F.sum("cnt")).head()[0]
+    scored = (
+        toks.join(uni, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            stable_round(
+                -F.avg(F.log(F.col("cnt") / F.lit(float(total)))), 6
+            ).alias("nll"),
+        )
+    )
+    w = Window.orderBy(F.col("nll").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 100)
+        .select("doc_id", "n_tokens", "nll", "rk")
+    )
+
+
+_UNIGRAM_SQL = """
+WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+           FROM documents),
+uni AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+tot AS (SELECT sum(cnt) AS total FROM uni),
+scored AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  round(-avg(ln(uni.cnt / tot.total)) + 1e-9, 6) AS nll
+           FROM t JOIN uni USING (token) CROSS JOIN tot
+           GROUP BY t.doc_id),
+rk AS (SELECT doc_id, n_tokens, nll,
+              CAST(row_number() OVER (ORDER BY nll DESC, doc_id ASC) AS INT) AS rk
+       FROM scored)
+SELECT doc_id, n_tokens, nll, rk FROM rk WHERE rk <= 100
+"""
+
+
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ cosine top-k (FAISS IndexIVFPQ shape): coarse inverted
     lists route the query to n_probe/n_centroids of the base, PQ codes
@@ -1254,4 +1345,6 @@ QUERIES: dict[str, QuerySpec] = {
     "bpe_pair_counts": QuerySpec(bpe_pair_counts, _BPE_PAIRS_SQL),
     "ann_pq_topk": QuerySpec(ann_pq_topk, None),
     "ann_ivfpq_topk": QuerySpec(ann_ivfpq_topk, None),
+    "pipeline_chunk_documents": QuerySpec(pipeline_chunk_documents, _CHUNK_SQL),
+    "doc_unigram_logprob": QuerySpec(doc_unigram_logprob, _UNIGRAM_SQL),
 }

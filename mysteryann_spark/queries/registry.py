@@ -76,6 +76,8 @@ _FRONT = [
     "stream_tumbling_oracled",
     "stream_dedup_oracled",
     "ann_ivfpq_topk",
+    "pipeline_chunk_documents",
+    "doc_unigram_logprob",
     # changed in round 4 (bucketed source-keying; minhash path test + doc;
     # 56-point sweep; selectivity-aware filtered search; similarity
     # zero-norm guard).  knn_exact / ann_cosine_topk were r3-green and the
@@ -114,11 +116,9 @@ _FRONT = [
     "rollup_customer_balance",
     "cube_orders",
     "setops_nations",
-    "string_functions",
     "date_functions",
     "json_events",
     "case_buckets",
-    "math_functions",
     "grouping_sets_sales",
     "funnel_steps",
     "above_avg_balance",
@@ -126,7 +126,11 @@ _FRONT = [
 _BACK = [
     # green in the r3 driver window (hash or rows-ran) and untouched in r4
     # (knn_exact/ann_cosine_topk/ann_quantized_topk/ann_range_search:
-    # r4 edits are off their executed paths)
+    # r4 edits are off their executed paths; string/math_functions:
+    # r1+r2 driver-green scalar-expression entries, untouched, demoted
+    # for the chunking + unigram-LM entries — strict-local verified)
+    "string_functions",
+    "math_functions",
     "knn_exact",
     "ann_cosine_topk",
     "ann_quantized_topk",

@@ -26,6 +26,8 @@ MUST_BE_IN_WINDOW = {
     "stream_tumbling_oracled",
     "stream_dedup_oracled",
     "ann_ivfpq_topk",
+    "pipeline_chunk_documents",
+    "doc_unigram_logprob",
     "bucketed_join_revenue",
     "dedup_minhash_lsh",
     "roargraph_sweep",
@@ -45,7 +47,7 @@ def test_rotated_floor_inside_driver_window():
     r3) must all sit inside the round-4 window."""
     names = list(all_queries())
     window = set(names[:DRIVER_WINDOW])
-    floor = set(_FRONT[19:])  # the rotated-floor section of _FRONT
+    floor = set(_FRONT[_FRONT.index("dedup_fingerprint"):])  # rotated-floor section
     missing = floor - window
     assert not missing, f"rotated r2-floor entries outside first 50: {missing}"
 
