@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -235,6 +236,109 @@ def decode_frames(media: DataFrame, real_decode: bool = False) -> DataFrame:
     return media.select("media_id", "payload", "n_frames").mapInPandas(
         _decode_batch, _DECODE_SCHEMA
     )
+
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_pixels", LongType(), False),
+        StructField("mean_r_micro", LongType(), False),
+        StructField("mean_g_micro", LongType(), False),
+        StructField("mean_b_micro", LongType(), False),
+        StructField("grad_energy", LongType(), False),
+    ]
+)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Feature-extract DECODED rasters: per-channel means and gradient
+    energy (sum |flat[i+3] - flat[i]| over the row-major RGB buffer — a
+    1-D Sobel-lite texture statistic). Runs the real PPM/BMP decoder on
+    every payload; because the synthetic rasters follow the exact integer
+    formula pix[i] = (i*31 + id*131 + 7) mod 256, a DuckDB oracle
+    recomputes every output from generate_series without seeing a byte —
+    so the decode + feature math is hash-verified end-to-end.
+
+    Scale: pure Arrow-batched map, no shuffle; means are exact (integer
+    sums < 2^53) and emitted as floor(mean * 1e6) micro-unit BIGINTs —
+    floor of an identical IEEE double is tie-free across engines, unlike
+    round()'s half-even (Python) vs half-away (DuckDB) split."""
+    import numpy as np
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in _FEATURES_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image(bytes(payload))
+                flat = arr.reshape(-1).astype(np.int64)
+                out["media_id"].append(mid)
+                out["n_pixels"].append(arr.shape[0] * arr.shape[1])
+                out["mean_r_micro"].append(int(np.floor(arr[:, :, 0].mean() * 1e6)))
+                out["mean_g_micro"].append(int(np.floor(arr[:, :, 1].mean() * 1e6)))
+                out["mean_b_micro"].append(int(np.floor(arr[:, :, 2].mean() * 1e6)))
+                out["grad_energy"].append(int(np.abs(flat[3:] - flat[:-3]).sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(_feat, _FEATURES_SCHEMA)
+
+
+def resize_bilinear(arr, out_h: int, out_w: int):
+    """(h, w, 3) uint8 -> (out_h, out_w, 3) uint8 bilinear resize with
+    half-pixel centers (the align_corners=False convention used by ML
+    preprocessing). Pure vectorized numpy — no loops over pixels."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    a = arr[np.ix_(y0, x0)].astype(np.float64)
+    b = arr[np.ix_(y0, x1)].astype(np.float64)
+    c = arr[np.ix_(y1, x0)].astype(np.float64)
+    d = arr[np.ix_(y1, x1)].astype(np.float64)
+    top = a * (1 - wx) + b * wx
+    bot = c * (1 - wx) + d * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("out_w", IntegerType(), False),
+        StructField("out_h", IntegerType(), False),
+        StructField("resized_md5", StringType(), False),
+        StructField("resized_mean", DoubleType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, out_h: int = 12, out_w: int = 12) -> DataFrame:
+    """Decode -> bilinear-resize to a fixed shape -> fingerprint: the
+    uniform-shape preprocessing step every vision pipeline runs before
+    batching into a model. Not SQL-expressible (interpolation) —
+    registered rows-only; interpolation invariants (constant images stay
+    constant, identity resize is exact, means are preserved within
+    rounding) are gated in tests."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in _RESIZE_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = resize_bilinear(decode_image(bytes(payload)), out_h, out_w)
+                out["media_id"].append(mid)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["resized_md5"].append(hashlib.md5(arr.tobytes()).hexdigest())
+                out["resized_mean"].append(round(float(arr.mean()), 6))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(_resize, _RESIZE_SCHEMA)
 
 
 def mean_pool_embeddings(

@@ -1304,6 +1304,111 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-4 multimodal extensions: feature-extract, resize, audio ----------
+
+
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode + feature extraction, hash-oracled: the Spark side
+    decodes actual PPM/BMP wire bytes and computes channel means + gradient
+    energy from the raster; the DuckDB oracle recomputes the identical
+    numbers from the generative pixel formula via generate_series — any
+    decode bug (row order, BGR swap, padding) breaks the hash."""
+    from mysteryann_spark.operators.multimodal import (
+        extract_image_features,
+        synth_real_media_from_documents,
+    )
+
+    media = synth_real_media_from_documents(_docs(spark, sf_dir))
+    return extract_image_features(media)
+
+
+_IMG_FEAT_SQL = """
+WITH p AS (SELECT doc_id AS media_id,
+                  8 + (n_chars % 17) AS w,
+                  8 + (doc_id % 11) AS h
+           FROM documents),
+i AS (SELECT media_id, w, h, unnest(generate_series(0, h * w * 3 - 1)) AS idx FROM p),
+v AS (SELECT media_id, w, h, idx,
+             (idx * 31 + media_id * 131 + 7) % 256 AS pv
+      FROM i),
+g AS (SELECT media_id, w, h, idx, pv,
+             lead(pv, 3) OVER (PARTITION BY media_id ORDER BY idx) AS nxt
+      FROM v)
+SELECT media_id,
+       CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+       CAST(floor(avg(CASE WHEN idx % 3 = 0 THEN pv END) * 1e6) AS BIGINT) AS mean_r_micro,
+       CAST(floor(avg(CASE WHEN idx % 3 = 1 THEN pv END) * 1e6) AS BIGINT) AS mean_g_micro,
+       CAST(floor(avg(CASE WHEN idx % 3 = 2 THEN pv END) * 1e6) AS BIGINT) AS mean_b_micro,
+       CAST(sum(CASE WHEN nxt IS NOT NULL THEN abs(nxt - pv) ELSE 0 END) AS BIGINT)
+         AS grad_energy
+FROM g
+GROUP BY media_id
+"""
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> bilinear resize to 12x12 -> fingerprint. Rows-only
+    (interpolation is not SQL-expressible); invariants gated in
+    tests/test_multimodal_audio.py."""
+    from mysteryann_spark.operators.multimodal import (
+        resize_images,
+        synth_real_media_from_documents,
+    )
+
+    media = synth_real_media_from_documents(_docs(spark, sf_dir))
+    return resize_images(media, out_h=12, out_w=12)
+
+
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV parse + time-domain features, hash-oracled: Spark decodes
+    actual RIFF/PCM bytes (header-derived sample_rate included in the
+    output); DuckDB recomputes rms / mean_abs / peak / zero crossings from
+    the integer waveform formula. Exact integer arithmetic end-to-end."""
+    from mysteryann_spark.operators.audio import audio_stats, synth_audio_from_documents
+
+    audio = synth_audio_from_documents(_docs(spark, sf_dir))
+    return audio_stats(audio)
+
+
+_AUDIO_STATS_SQL = """
+WITH p AS (SELECT doc_id AS media_id,
+                  4000 + (doc_id % 4) * 2000 AS sr,
+                  1024 + (n_chars % 7) * 128 AS n
+           FROM documents),
+s AS (SELECT media_id, sr, n, unnest(generate_series(0, n - 1)) AS k FROM p),
+x AS (SELECT media_id, sr, n, k,
+             ((k * k * 31 + k * 17 + media_id * 131 + 7) % 2048) - 1024 AS v
+      FROM s),
+w AS (SELECT media_id, sr, n, v,
+             lead(v) OVER (PARTITION BY media_id ORDER BY k) AS nxt
+      FROM x)
+SELECT media_id,
+       CAST(max(sr) AS INT) AS sample_rate,
+       CAST(max(n) AS INT) AS n_samples,
+       CAST(floor(sqrt(CAST(sum(v * v) AS DOUBLE) / max(n)) * 1e6) AS BIGINT) AS rms_micro,
+       CAST(floor(CAST(sum(abs(v)) AS DOUBLE) / max(n) * 1e6) AS BIGINT) AS mean_abs_micro,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       CAST(sum(CASE WHEN nxt IS NOT NULL AND v * nxt < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_cross
+FROM w
+GROUP BY media_id
+"""
+
+
+def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio features over a real rfft of the parsed
+    samples. Rows-only (FFT is not SQL-expressible); the physics is gated
+    in tests/test_multimodal_audio.py (pure sine -> dominant bin at its
+    frequency)."""
+    from mysteryann_spark.operators.audio import (
+        audio_spectral,
+        synth_audio_from_documents,
+    )
+
+    audio = synth_audio_from_documents(_docs(spark, sf_dir))
+    return audio_spectral(audio)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_tfidf_topterms": QuerySpec(doc_tfidf_topterms, _TFIDF_SQL),
     "doc_token_stats": QuerySpec(doc_token_stats, _TOKEN_STATS_SQL),
@@ -1347,4 +1452,8 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_ivfpq_topk": QuerySpec(ann_ivfpq_topk, None),
     "pipeline_chunk_documents": QuerySpec(pipeline_chunk_documents, _CHUNK_SQL),
     "doc_unigram_logprob": QuerySpec(doc_unigram_logprob, _UNIGRAM_SQL),
+    "multimodal_image_features": QuerySpec(multimodal_image_features, _IMG_FEAT_SQL),
+    "multimodal_resize": QuerySpec(multimodal_resize, None),
+    "multimodal_audio_stats": QuerySpec(multimodal_audio_stats, _AUDIO_STATS_SQL),
+    "multimodal_audio_spectral": QuerySpec(multimodal_audio_spectral, None),
 }

@@ -78,6 +78,10 @@ _FRONT = [
     "ann_ivfpq_topk",
     "pipeline_chunk_documents",
     "doc_unigram_logprob",
+    "multimodal_image_features",
+    "multimodal_audio_stats",
+    "multimodal_resize",
+    "multimodal_audio_spectral",
     # changed in round 4 (bucketed source-keying; minhash path test + doc;
     # 56-point sweep; selectivity-aware filtered search; similarity
     # zero-norm guard).  knn_exact / ann_cosine_topk were r3-green and the
@@ -115,13 +119,9 @@ _FRONT = [
     "distinct_agg",
     "rollup_customer_balance",
     "cube_orders",
-    "setops_nations",
-    "date_functions",
     "json_events",
-    "case_buckets",
     "grouping_sets_sales",
     "funnel_steps",
-    "above_avg_balance",
 ]
 _BACK = [
     # green in the r3 driver window (hash or rows-ran) and untouched in r4
@@ -131,6 +131,12 @@ _BACK = [
     # for the chunking + unigram-LM entries — strict-local verified)
     "string_functions",
     "math_functions",
+    # scalar/set relational entries, r1+r2 driver-green, untouched since,
+    # strict-local verified — demoted for the four new multimodal entries
+    "date_functions",
+    "case_buckets",
+    "setops_nations",
+    "above_avg_balance",
     "knn_exact",
     "ann_cosine_topk",
     "ann_quantized_topk",

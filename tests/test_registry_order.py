@@ -28,6 +28,10 @@ MUST_BE_IN_WINDOW = {
     "ann_ivfpq_topk",
     "pipeline_chunk_documents",
     "doc_unigram_logprob",
+    "multimodal_image_features",
+    "multimodal_audio_stats",
+    "multimodal_resize",
+    "multimodal_audio_spectral",
     "bucketed_join_revenue",
     "dedup_minhash_lsh",
     "roargraph_sweep",
