@@ -496,35 +496,27 @@ def pq_cosine_topk(
     )
 
 
-def ivfpq_cosine_topk(
-    queries_df: DataFrame,
+def build_ivfpq_index(
     base_df: DataFrame,
-    k: int,
     n_centroids: int = 16,
-    n_probe: int = 6,
     m: int = 8,
     n_codes: int = 64,
-    refine: int = 20,
     max_iter: int = 8,
     seed: int = 42,
     train_sample: int = 4096,
-    query_id: str = "qid",
     base_id: str = "vec_id",
     vec_col: str = "embedding",
-    exclude_self: bool = True,
-) -> DataFrame:
-    """IVF-PQ: coarse inverted lists + PQ codes + exact refine — the
-    composition FAISS ships as ``IndexIVFPQ``, i.e. the index layout you
-    actually persist at 100 TB: data partitioned (bucketed) by coarse
-    centroid id, each row carrying only its m-byte PQ code; a query
-    touches n_probe/n_centroids of the data and scores it by ADC, and
-    full-precision vectors are read only for the final k*refine rerank.
+) -> dict:
+    """Build the IVF-PQ index as data + model, separated so the data part
+    can be PERSISTED (sources/ann_index_io.py) and searched later without
+    retraining:
 
-    Composition of the two tested parts: ``train_centroids``/IVF routing
-    (one base shuffle on centroid id) and ``pq_encode/decode`` (ADC ==
-    reconstruction dot, see pq_decode_udf). All candidate scoring inside
-    the probed lists is one Arrow-batched einsum; nothing quadratic,
-    nothing collected.
+    - ``lists``: DataFrame (cid, nn_id, code ARRAY<INT>) — the inverted
+      lists, m bytes of PQ code per vector. At 100 TB this is what you
+      write out partitioned by cid: a probe then reads n_probe/n_centroids
+      of the files and nothing else (partition pruning does the routing).
+    - ``centroids`` (n_centroids, dim) / ``books`` (m, n_codes, dim/m):
+      the trained model, kilobytes — broadcast at search time.
     """
     bc_cent = train_centroids(
         base_df, n_centroids, max_iter, seed, train_sample, base_id, vec_col
@@ -533,40 +525,84 @@ def ivfpq_cosine_topk(
         base_df, m, n_codes, max_iter, seed + 1000, train_sample, base_id, vec_col
     )
     encode = pq_encode_udf(bc_books)
-    decode = pq_decode_udf(bc_books)
-    l2norm = l2norm_udf()
-
-    # the persisted index shape: (cid, nn_id, code); reconstruction is
-    # done on the fly per Arrow batch at scoring time
-    assigned = base_df.select(
+    lists = base_df.select(
         F.col(base_id).alias("nn_id"),
         F.element_at(nearest_centroids_udf(bc_cent, 1)(F.col(vec_col)), 1).alias("cid"),
-        decode(encode(F.col(vec_col))).alias("rvec"),
+        encode(F.col(vec_col)).alias("code"),
     )
+    return {
+        "lists": lists,
+        "centroids": np.asarray(bc_cent.value, dtype=np.float64),
+        "books": np.asarray(bc_books.value, dtype=np.float64),
+        "meta": {
+            "metric": "cosine",
+            "dim": int(bc_cent.value.shape[1]),
+            "n_centroids": int(bc_cent.value.shape[0]),
+            "m": int(bc_books.value.shape[0]),
+            "n_codes": int(bc_books.value.shape[1]),
+        },
+    }
+
+
+def search_ivfpq_index(
+    queries_df: DataFrame,
+    index: dict,
+    k: int,
+    n_probe: int = 6,
+    refine: int = 20,
+    base_df: DataFrame | None = None,
+    query_id: str = "qid",
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Search a built (or loaded) IVF-PQ index: probe n_probe inverted
+    lists, ADC-score the PQ codes (decoded per Arrow batch from the
+    broadcast codebooks), keep k*refine, exact-rerank against ``base_df``
+    full-precision vectors (skipped when base_df is None — pure-ADC
+    distances are returned, the regime where only the index survives).
+
+    All candidate scoring is one equi-join on cid plus Arrow-batched
+    einsums; nothing quadratic, nothing collected at the driver."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    spark_sc = queries_df.sparkSession.sparkContext
+    bc_cent = spark_sc.broadcast(index["centroids"])
+    bc_books = spark_sc.broadcast(index["books"])
+    l2norm = l2norm_udf()
+
     probes = queries_df.select(
         F.col(query_id).alias("qid"),
         l2norm(F.col(vec_col)).alias("qvec"),
         F.explode(nearest_centroids_udf(bc_cent, n_probe)(F.col(vec_col))).alias("cid"),
     )
-    cand = probes.join(assigned, "cid").select("qid", "nn_id", "qvec", "rvec")
+    cand = probes.join(index["lists"], "cid").select("qid", "nn_id", "qvec", "code")
     if exclude_self:
         cand = cand.where(F.col("qid") != F.col("nn_id"))
 
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import DoubleType
-
     @pandas_udf(DoubleType())
-    def adc_dist(qv: pd.Series, rv: pd.Series) -> pd.Series:
+    def adc_dist(qv: pd.Series, codes: pd.Series) -> pd.Series:
+        books = bc_books.value
         a = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
-        r = np.stack([np.asarray(v, dtype=np.float64) for v in rv])
+        c = np.stack([np.asarray(v, dtype=np.int64) for v in codes])
+        m_sub = c.shape[1]
+        r = np.concatenate([books[j][c[:, j]] for j in range(m_sub)], axis=1)
         # query is unit, reconstruction approximates a unit vector:
         # ADC inner product stands in for cosine
         return pd.Series(1.0 - np.einsum("ij,ij->i", a, r))
 
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nn_id").asc())
+    pq_scored = cand.select("qid", "nn_id", adc_dist("qvec", "code").alias("dist"))
+    if base_df is None:
+        return (
+            pq_scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "nn_id", "dist", "rank")
+        )
+
     pq_top = (
-        cand.select("qid", "nn_id", adc_dist("qvec", "rvec").alias("dist"))
-        .withColumn("rank", F.row_number().over(w))
+        pq_scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k * refine)
         .select("qid", "nn_id")
     )
@@ -595,4 +631,42 @@ def ivfpq_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("qid", "nn_id", "dist", "rank")
+    )
+
+
+def ivfpq_cosine_topk(
+    queries_df: DataFrame,
+    base_df: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    m: int = 8,
+    n_codes: int = 64,
+    refine: int = 20,
+    max_iter: int = 8,
+    seed: int = 42,
+    train_sample: int = 4096,
+    query_id: str = "qid",
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ: coarse inverted lists + PQ codes + exact refine — the
+    composition FAISS ships as ``IndexIVFPQ``, i.e. the index layout you
+    actually persist at 100 TB: data partitioned (bucketed) by coarse
+    centroid id, each row carrying only its m-byte PQ code; a query
+    touches n_probe/n_centroids of the data and scores it by ADC, and
+    full-precision vectors are read only for the final k*refine rerank.
+
+    Thin composition of ``build_ivfpq_index`` + ``search_ivfpq_index`` —
+    the same two halves the persisted path (sources/ann_index_io.py)
+    round-trips through parquet, so in-memory and save/load searches are
+    bit-identical by construction (parity-gated in tests)."""
+    index = build_ivfpq_index(
+        base_df, n_centroids, m, n_codes, max_iter, seed, train_sample, base_id, vec_col
+    )
+    return search_ivfpq_index(
+        queries_df, index, k, n_probe, refine, base_df,
+        query_id=query_id, base_id=base_id, vec_col=vec_col,
+        exclude_self=exclude_self,
     )

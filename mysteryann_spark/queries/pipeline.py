@@ -1409,6 +1409,29 @@ def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_spectral(audio)
 
 
+def ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full index lifecycle: build IVF-PQ -> save as cid-partitioned
+    parquet (sources/ann_index_io.py) -> load -> search through the
+    LOADED index with exact refine. Rows-only; bit-parity with the
+    in-memory ann_ivfpq_topk path is gated in tests/test_ann_index_io.py."""
+    import hashlib as _hashlib
+
+    from mysteryann_spark.operators.similarity import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from mysteryann_spark.sources.ann_index_io import load_ivfpq, save_ivfpq
+
+    e = _emb(spark, sf_dir)
+    path = f"/tmp/mysteryann_ivfpq_{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    save_ivfpq(build_ivfpq_index(e, n_centroids=16, m=8, n_codes=64), path)
+    loaded = load_ivfpq(spark, path)
+    q = e.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
+    return search_ivfpq_index(q, loaded, 5, n_probe=6, refine=20, base_df=e).select(
+        "qid", "nn_id", F.round("dist", 6).alias("dist"), "rank"
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_tfidf_topterms": QuerySpec(doc_tfidf_topterms, _TFIDF_SQL),
     "doc_token_stats": QuerySpec(doc_token_stats, _TOKEN_STATS_SQL),
@@ -1456,4 +1479,5 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_resize": QuerySpec(multimodal_resize, None),
     "multimodal_audio_stats": QuerySpec(multimodal_audio_stats, _AUDIO_STATS_SQL),
     "multimodal_audio_spectral": QuerySpec(multimodal_audio_spectral, None),
+    "ann_ivfpq_persisted": QuerySpec(ann_ivfpq_persisted, None),
 }

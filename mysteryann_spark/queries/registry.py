@@ -82,6 +82,7 @@ _FRONT = [
     "multimodal_audio_stats",
     "multimodal_resize",
     "multimodal_audio_spectral",
+    "ann_ivfpq_persisted",
     # changed in round 4 (bucketed source-keying; minhash path test + doc;
     # 56-point sweep; selectivity-aware filtered search; similarity
     # zero-norm guard).  knn_exact / ann_cosine_topk were r3-green and the
@@ -121,7 +122,6 @@ _FRONT = [
     "cube_orders",
     "json_events",
     "grouping_sets_sales",
-    "funnel_steps",
 ]
 _BACK = [
     # green in the r3 driver window (hash or rows-ran) and untouched in r4
@@ -137,6 +137,7 @@ _BACK = [
     "case_buckets",
     "setops_nations",
     "above_avg_balance",
+    "funnel_steps",
     "knn_exact",
     "ann_cosine_topk",
     "ann_quantized_topk",

@@ -1,0 +1,90 @@
+"""IVF-PQ index persistence: the similarity-search analog of graph_io.
+
+The reference persists its graph indexes and reloads them for serving
+(SaveProjectionGraph/LoadProjectionGraph, src/index_bipartite.cpp:2606-2619,
+2097-2117); this module gives the IVF-PQ vector index the same build-once /
+search-many lifecycle, in the layout you'd actually use at 100 TB:
+
+- ``<path>/lists/``  — the inverted lists (cid, nn_id, code ARRAY<INT>)
+  written ``partitionBy("cid")``: a probe of n_probe lists reads exactly
+  n_probe partition directories (Spark's partition pruning does the
+  routing; the scan never touches the other 1 - n_probe/n_centroids of
+  the data).
+- ``<path>/centroids/`` — (cid, centroid ARRAY<DOUBLE>), kilobytes.
+- ``<path>/books/``     — (subspace, code, codeword ARRAY<DOUBLE>).
+- ``<path>/meta/``      — one-row parquet (metric, dim, m, n_codes,
+  n_centroids): parquet rather than a JSON side-file so the whole index
+  round-trips through any Hadoop-compatible filesystem with one API.
+
+Model parts are driver-size by construction (the k-means/PQ training
+collect is bounded by train_sample, never the data); only ``lists`` scales
+with the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def save_ivfpq(index: dict, path: str) -> None:
+    """Persist a ``build_ivfpq_index`` result. ``lists`` is the only
+    data-scale write; cid-partitioning makes later probes partition-pruned
+    scans."""
+    spark = index["lists"].sparkSession
+    index["lists"].write.mode("overwrite").partitionBy("cid").parquet(f"{path}/lists")
+
+    cent = index["centroids"]
+    spark.createDataFrame(
+        [(i, [float(x) for x in cent[i]]) for i in range(len(cent))],
+        "cid int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    books = index["books"]
+    rows = [
+        (j, c, [float(x) for x in books[j, c]])
+        for j in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, codeword array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+
+    m = index["meta"]
+    spark.createDataFrame(
+        [(m["metric"], m["dim"], m["n_centroids"], m["m"], m["n_codes"])],
+        "metric string, dim int, n_centroids int, m int, n_codes int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_ivfpq(spark: SparkSession, path: str) -> dict:
+    """Load a persisted IVF-PQ index back into the ``search_ivfpq_index``
+    shape. The model parts are collected (kilobytes); ``lists`` stays a
+    lazy partition-pruned scan."""
+    meta_row = spark.read.parquet(f"{path}/meta").head()
+    meta = {
+        "metric": meta_row["metric"],
+        "dim": int(meta_row["dim"]),
+        "n_centroids": int(meta_row["n_centroids"]),
+        "m": int(meta_row["m"]),
+        "n_codes": int(meta_row["n_codes"]),
+    }
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    if [r["cid"] for r in cent_rows] != list(range(meta["n_centroids"])):
+        raise ValueError(f"corrupt index at {path}: centroid ids not contiguous")
+    centroids = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
+
+    book_rows = spark.read.parquet(f"{path}/books").orderBy("subspace", "code").collect()
+    if len(book_rows) != meta["m"] * meta["n_codes"]:
+        raise ValueError(f"corrupt index at {path}: codebook row count mismatch")
+    dsub = meta["dim"] // meta["m"]
+    books = np.asarray([r["codeword"] for r in book_rows], dtype=np.float64).reshape(
+        meta["m"], meta["n_codes"], dsub
+    )
+
+    lists = spark.read.parquet(f"{path}/lists").select(
+        F.col("cid").cast("int"), "nn_id", "code"
+    )
+    return {"lists": lists, "centroids": centroids, "books": books, "meta": meta}

@@ -32,6 +32,7 @@ MUST_BE_IN_WINDOW = {
     "multimodal_audio_stats",
     "multimodal_resize",
     "multimodal_audio_spectral",
+    "ann_ivfpq_persisted",
     "bucketed_join_revenue",
     "dedup_minhash_lsh",
     "roargraph_sweep",
