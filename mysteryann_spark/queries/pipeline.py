@@ -1409,6 +1409,30 @@ def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_spectral(audio)
 
 
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest of the deterministic training-shard sink
+    (sources/shards.py): md5-routed 16-way sharding of the documents
+    table with doc/token counts and id ranges — the routing arithmetic is
+    engine-portable, so the sink's placement logic is fully hash-oracled
+    without writing a byte."""
+    from mysteryann_spark.sources.shards import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir), 16, "doc_id", token_count("text"))
+
+
+_SHARD_MANIFEST_SQL = """
+SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16
+            AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(len(list_filter(string_split(text, ' '), t -> t != ''))) AS BIGINT)
+         AS n_tokens,
+       min(doc_id) AS min_key,
+       max(doc_id) AS max_key
+FROM documents
+GROUP BY 1
+"""
+
+
 def ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full index lifecycle: build IVF-PQ -> save as cid-partitioned
     parquet (sources/ann_index_io.py) -> load -> search through the
@@ -1480,4 +1504,5 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_audio_stats": QuerySpec(multimodal_audio_stats, _AUDIO_STATS_SQL),
     "multimodal_audio_spectral": QuerySpec(multimodal_audio_spectral, None),
     "ann_ivfpq_persisted": QuerySpec(ann_ivfpq_persisted, None),
+    "pipeline_shard_manifest": QuerySpec(pipeline_shard_manifest, _SHARD_MANIFEST_SQL),
 }

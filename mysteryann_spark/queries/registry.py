@@ -83,6 +83,7 @@ _FRONT = [
     "multimodal_resize",
     "multimodal_audio_spectral",
     "ann_ivfpq_persisted",
+    "pipeline_shard_manifest",
     # changed in round 4 (bucketed source-keying; minhash path test + doc;
     # 56-point sweep; selectivity-aware filtered search; similarity
     # zero-norm guard).  knn_exact / ann_cosine_topk were r3-green and the
@@ -121,7 +122,6 @@ _FRONT = [
     "rollup_customer_balance",
     "cube_orders",
     "json_events",
-    "grouping_sets_sales",
 ]
 _BACK = [
     # green in the r3 driver window (hash or rows-ran) and untouched in r4
@@ -138,6 +138,7 @@ _BACK = [
     "setops_nations",
     "above_avg_balance",
     "funnel_steps",
+    "grouping_sets_sales",
     "knn_exact",
     "ann_cosine_topk",
     "ann_quantized_topk",

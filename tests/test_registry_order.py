@@ -33,6 +33,7 @@ MUST_BE_IN_WINDOW = {
     "multimodal_resize",
     "multimodal_audio_spectral",
     "ann_ivfpq_persisted",
+    "pipeline_shard_manifest",
     "bucketed_join_revenue",
     "dedup_minhash_lsh",
     "roargraph_sweep",
