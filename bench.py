@@ -86,6 +86,10 @@ def main() -> None:
         "doc_quality",
         "ann_ivf_topk",
         "events_interval_join",
+        # round-4 surface: real image decode + feature extract at sf0.1
+        # (5k encoded PPM/BMP payloads), and the sharding-sink manifest
+        "multimodal_image_features",
+        "pipeline_shard_manifest",
     ):
         fn = registry[qname].fn
         run(qname, lambda fn=fn: fn(spark, SF_DIR).count())

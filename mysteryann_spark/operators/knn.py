@@ -43,6 +43,16 @@ from mysteryann_spark.sources.staging import (
     table_matrix,
 )
 
+# Per-worker cap on the transient (query-chunk x arrow-batch) float64
+# distance block inside the GEMM kernels. 256 MB x 32 local workers = 8 GB
+# of in-flight distance blocks worst case; tune down via env on smaller
+# executors. Chunking is exact (per-query results are row-independent).
+import os as _os
+
+_DMAT_BUDGET_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_DMAT_BUDGET_MB", "256")
+) * 1024 * 1024
+
 _CAND_SCHEMA = StructType(
     [
         StructField("qid", LongType(), False),
@@ -165,23 +175,37 @@ def knn_join(
                     continue
                 bids = pdf[base_id].to_numpy(dtype=np.int64)
                 bmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-                dmat = np_distances(metric, b_qmat, bmat)  # (n_q, n_batch)
-                if b_qmatch is not None:
-                    bm = pdf[match_col].to_numpy(dtype=np.int64)
-                    dmat[b_qmatch[:, None] != bm[None, :]] = np.inf
-                if exclude_self:
-                    # mask before the local top-k, or a batch owning the
-                    # query's own row would surrender a candidate slot
-                    dmat[b_qids[:, None] == bids[None, :]] = np.inf
-                m = min(k, dmat.shape[1])
-                # local top-m per query: argpartition, exact sort later
-                part = np.argpartition(dmat, m - 1, axis=1)[:, :m]
-                rows_q = np.repeat(np.arange(dmat.shape[0]), m)
-                cand_ids = bids[part.ravel()]
-                cand_d = dmat[rows_q, part.ravel()]
-                yield pd.DataFrame(
-                    {"qid": b_qids[rows_q], "nn_id": cand_ids, "dist": cand_d}
+                bm = (
+                    pdf[match_col].to_numpy(dtype=np.int64)
+                    if b_qmatch is not None
+                    else None
                 )
+                # Bound the worker-resident distance block. An unchunked
+                # (n_staged_q x n_batch) float64 matrix scales with the
+                # staged-query count: at 60k queries x ~5k-row batches
+                # that is ~2.3 GB per in-flight batch, and cores x workers
+                # of those OOM-killed the 300k scale rehearsal. Per-query
+                # top-k is row-independent, so chunking the query axis is
+                # exact — only the transient block size changes.
+                q_chunk = max(1, int(_DMAT_BUDGET_BYTES // max(1, 8 * len(bids))))
+                for s in range(0, len(b_qids), q_chunk):
+                    qids_c = b_qids[s : s + q_chunk]
+                    dmat = np_distances(metric, b_qmat[s : s + q_chunk], bmat)
+                    if bm is not None:
+                        dmat[b_qmatch[s : s + q_chunk, None] != bm[None, :]] = np.inf
+                    if exclude_self:
+                        # mask before the local top-k, or a batch owning
+                        # the query's own row would surrender a slot
+                        dmat[qids_c[:, None] == bids[None, :]] = np.inf
+                    m = min(k, dmat.shape[1])
+                    # local top-m per query: argpartition, exact sort later
+                    part = np.argpartition(dmat, m - 1, axis=1)[:, :m]
+                    rows_q = np.repeat(np.arange(dmat.shape[0]), m)
+                    cand_ids = bids[part.ravel()]
+                    cand_d = dmat[rows_q, part.ravel()]
+                    yield pd.DataFrame(
+                        {"qid": qids_c[rows_q], "nn_id": cand_ids, "dist": cand_d}
+                    )
 
         b_cols = [base_id, vec_col] + ([match_col] if match_col else [])
         return base_df.select(*b_cols).mapInPandas(local_topk, _CAND_SCHEMA)
@@ -297,14 +321,19 @@ def range_join(
                 continue
             bids = pdf[base_id].to_numpy(dtype=np.int64)
             bmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            dmat = np_distances(metric, b_qmat, bmat)  # (n_q, n_batch)
-            if exclude_self:
-                dmat[b_qids[:, None] == bids[None, :]] = np.inf
-            qi, bi = np.nonzero(dmat <= r)
-            if len(qi) == 0:
-                continue
-            yield pd.DataFrame(
-                {"qid": b_qids[qi], "nn_id": bids[bi], "dist": dmat[qi, bi]}
-            )
+            # same bounded-distance-block regime as knn_join — the radius
+            # predicate is per-pair, so query-axis chunking is exact
+            q_chunk = max(1, int(_DMAT_BUDGET_BYTES // max(1, 8 * len(bids))))
+            for s in range(0, len(b_qids), q_chunk):
+                qids_c = b_qids[s : s + q_chunk]
+                dmat = np_distances(metric, b_qmat[s : s + q_chunk], bmat)
+                if exclude_self:
+                    dmat[qids_c[:, None] == bids[None, :]] = np.inf
+                qi, bi = np.nonzero(dmat <= r)
+                if len(qi) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {"qid": qids_c[qi], "nn_id": bids[bi], "dist": dmat[qi, bi]}
+                )
 
     return base_df.select(base_id, vec_col).mapInPandas(in_range, _CAND_SCHEMA)
