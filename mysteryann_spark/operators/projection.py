@@ -28,7 +28,7 @@ groupBy(dst) shuffle — lock-free by construction:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mysteryann_spark.operators.knn import knn_join_arrays, medoid
@@ -83,6 +83,8 @@ def repair_reachability(
     metric: str,
     base_id: str = "vec_id",
     vec_col: str = "embedding",
+    bridge_candidates: int = 8,
+    max_bridges_per_host: int = 64,
 ) -> tuple[DataFrame, int]:
     """Make every base node reachable from the entry point — the LIVE
     analog of the reference's dead connectivity-repair pass
@@ -93,13 +95,20 @@ def repair_reachability(
     medoid-seeded build never bridges (training queries' kNN lists stay
     in-cluster), and an unreachable node can NEVER be returned by a
     search. Repair: (1) distributed BFS marks the reached set; (2) each
-    unreached node finds its exact 1-NN *inside the reached set* (a
-    filtered kNN join — cost |unreached| x |reached| GEMM, zero when the
-    audit passes); (3) add the bridge edges r->u and u->r by array_union
-    — append-only, no re-prune, so no existing edge is evicted and the
-    guarantee can't un-make itself. Bridge nodes may exceed the degree
-    cap by the (few) bridges they host; documented, bounded by the
-    component count. Returns (repaired adjacency, n_unreached_before).
+    unreached node finds its ``bridge_candidates`` nearest reached nodes
+    (a filtered kNN join — cost |unreached| x |reached| GEMM, zero when
+    the audit passes); (3) bridges are assigned CAPACITY-CAPPED — at most
+    ``max_bridges_per_host`` per reached host, filled closest-first
+    across candidate ranks, with an uncapped nearest-host fallback so the
+    guarantee never fails. The cap exists because the naive 1-NN
+    assignment funnels a whole under-covered region through the single
+    boundary node nearest it (the 300k scale rehearsal produced a
+    12,491-degree hub that both stalled searches — every beam expansion
+    touching it scans 12k neighbors — and over-concentrated entry into
+    the region); (4) add the bridge edges r->u and u->r by array_union —
+    append-only, no re-prune, so no existing edge is evicted and the
+    guarantee can't un-make itself. Returns (repaired adjacency,
+    n_unreached_before).
     """
     from mysteryann_spark.operators.knn import knn_join
 
@@ -115,10 +124,75 @@ def repair_reachability(
     u_queries = base_df.join(
         unreached.select(F.col("node").alias(base_id)), base_id, "left_semi"
     ).select(F.col(base_id).alias("qid"), vec_col)
-    bridges = knn_join(
-        u_queries, reached_vecs, k=1, metric=metric,
+    # Auto-widen the candidate pool toward the needed capacity: a far
+    # unreached cluster sees nearly the SAME nearest hosts from every
+    # node, so k candidates expose at most ~k distinct hosts — k must
+    # grow with n_unreached / cap or the cap can't be honored.
+    import math
+
+    bridge_candidates = min(
+        64, max(bridge_candidates, math.ceil(n_unreached / max_bridges_per_host))
+    )
+    cand = knn_join(
+        u_queries, reached_vecs, k=bridge_candidates, metric=metric,
         query_id="qid", base_id=base_id, vec_col=vec_col,
-    ).select(F.col("nn_id").alias("r"), F.col("qid").alias("u"))
+    ).select(
+        F.col("qid").alias("u"), F.col("nn_id").alias("r"), "dist", "rank"
+    ).localCheckpoint(eager=True)
+
+    # Capacity-capped assignment by deferred acceptance: each round,
+    # every still-unassigned node proposes to its best-ranked host that
+    # has capacity left, and each host accepts its closest proposals up
+    # to remaining capacity. Deterministic (ordered by dist, then u);
+    # each round is a handful of tiny jobs over |unreached| rows, and a
+    # round either assigns nodes or exhausts capacity, so the loop is
+    # bounded by the candidate width.
+    assigned = None  # (u, r)
+    load = None  # (r, n_taken)
+    remaining = cand.select("u").distinct().localCheckpoint(eager=True)
+    for _ in range(bridge_candidates):
+        offers = cand.join(remaining, "u", "left_semi")
+        if load is not None:
+            offers = offers.join(load, "r", "left_outer").withColumn(
+                "cap_left",
+                F.lit(max_bridges_per_host) - F.coalesce(F.col("n_taken"), F.lit(0)),
+            )
+        else:
+            offers = offers.withColumn("cap_left", F.lit(max_bridges_per_host))
+        offers = offers.where(F.col("cap_left") > 0)
+        w_u = Window.partitionBy("u").orderBy(F.col("rank").asc())
+        proposals = offers.withColumn("rn", F.row_number().over(w_u)).where(
+            F.col("rn") == 1
+        )
+        w_host = Window.partitionBy("r").orderBy(F.col("dist").asc(), F.col("u").asc())
+        take = (
+            proposals.withColumn("slot", F.row_number().over(w_host))
+            .where(F.col("slot") <= F.col("cap_left"))
+            .select("u", "r")
+            .localCheckpoint(eager=True)
+        )
+        if not take.take(1):
+            break  # no capacity anywhere among remaining candidates
+        assigned = take if assigned is None else assigned.unionByName(take)
+        load = assigned.groupBy("r").agg(F.count("*").alias("n_taken"))
+        remaining = remaining.join(take.select("u"), "u", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if not remaining.take(1):
+            break
+    # fallback: nodes whose every candidate host is full bridge anyway —
+    # reachability beats the cap — but SPREAD across each node's
+    # candidate list (pick rank 1 + u mod n_candidates) instead of
+    # re-concentrating on everyone's shared 1-NN: residual hub degree is
+    # bounded by ~n_leftover / bridge_candidates + cap, not n_leftover.
+    max_rank = Window.partitionBy("u")
+    leftover = (
+        cand.join(remaining, "u", "left_semi")
+        .withColumn("n_cand", F.max("rank").over(max_rank))
+        .where(F.col("rank") == F.lit(1) + F.pmod(F.col("u"), F.col("n_cand")))
+        .select("u", "r")
+    )
+    bridges = leftover if assigned is None else assigned.unionByName(leftover)
 
     new_edges = bridges.select(F.col("r").alias("node"), F.col("u").alias("nbr")).unionByName(
         bridges.select(F.col("u").alias("node"), F.col("r").alias("nbr"))

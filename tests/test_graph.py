@@ -525,6 +525,63 @@ def test_clustered_build_repair_and_pool_cap(spark):
     emb.unpersist()
 
 
+def test_repair_bridges_are_capacity_capped(spark):
+    """The 300k rehearsal's third hazard: naive 1-NN bridging funnels a
+    whole unreached region through the single nearest boundary node
+    (measured 12,491-degree hub). The capacity-capped assignment must
+    (a) restore full reachability, (b) add at most max_bridges_per_host
+    bridges to any host when total capacity suffices, and (c) still
+    succeed via the uncapped fallback when capacity doesn't suffice."""
+    import numpy as np
+    import pandas as pd
+
+    from mysteryann_spark.operators.projection import (
+        reachable_from,
+        repair_reachability,
+    )
+
+    dim, n_a, n_b = 8, 10, 40
+    rng = np.random.default_rng(3)
+    # cluster A (hosts, reachable) near origin; cluster B far away
+    vecs_a = rng.standard_normal((n_a, dim)) * 0.1
+    vecs_b = rng.standard_normal((n_b, dim)) * 0.1 + 10.0
+    emb_rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(np.concatenate([vecs_a, vecs_b]))
+    ]
+    base = spark.createDataFrame(emb_rows, "vec_id bigint, embedding array<float>")
+    # A is a ring containing ep=0; B is a separate ring (internally
+    # connected both directions so one inbound bridge reaches the rest)
+    adj_rows = [(i, [(i + 1) % n_a, (i - 1) % n_a]) for i in range(n_a)] + [
+        (n_a + j, [n_a + (j + 1) % n_b, n_a + (j - 1) % n_b]) for j in range(n_b)
+    ]
+    adj = spark.createDataFrame(adj_rows, "node bigint, nbrs array<bigint>")
+
+    repaired, n_unreached = repair_reachability(
+        base, adj, ep=0, metric="l2", bridge_candidates=3, max_bridges_per_host=4
+    )
+    assert n_unreached == n_b
+    assert reachable_from(repaired, 0).count() == n_a + n_b
+    # capacity 10 hosts x 4 = 40 = |B|: no host may exceed the cap
+    before = {r["node"]: len(r["nbrs"]) for r in adj.collect()}
+    after = {r["node"]: len(r["nbrs"]) for r in repaired.collect()}
+    added_per_host = {i: after[i] - before[i] for i in range(n_a)}
+    assert max(added_per_host.values()) <= 4, added_per_host
+    assert sum(added_per_host.values()) == n_b  # every B node got a bridge
+
+    # fallback regime: capacity 10 x 1 = 10 < 40 — reachability must win,
+    # and the overflow must SPREAD across candidate hosts rather than
+    # re-concentrating on everyone's shared 1-NN
+    repaired2, _ = repair_reachability(
+        base, adj, ep=0, metric="l2", bridge_candidates=2, max_bridges_per_host=1
+    )
+    assert reachable_from(repaired2, 0).count() == n_a + n_b
+    after2 = {r["node"]: len(r["nbrs"]) for r in repaired2.collect()}
+    added2 = {i: after2[i] - before[i] for i in range(n_a)}
+    assert sum(added2.values()) == n_b
+    assert max(added2.values()) <= 8, added2  # ~n_b/n_hosts + cap, not n_b
+
+
 def test_distributed_search_frontier_batched_width(spark, emb, index):
     """expand_width > 1 (the frontier-batched multi-hop round) must stay
     recall-equivalent to strict best-first while doing the same-or-more
