@@ -131,3 +131,28 @@ def test_round4_retrieval_entries_plan_shape(spark):
     # the only nested-loop allowed is the broadcast of the <=5-row query
     # token sets; a non-broadcast cartesian would be the corpus-squared bug
     assert "CartesianProduct" not in rplan
+
+
+def test_persisted_ivfpq_search_partition_prunes(spark, tmp_path):
+    """The persisted index's promise is physical: searching through a
+    loaded index must carry a dynamic-partition-pruning expression on the
+    cid partition column, so a probe reads only its n_probe inverted-list
+    directories (verified executed-plan property, not a docstring)."""
+    from pyspark.sql import functions as F
+
+    from mysteryann_spark.operators.similarity import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from mysteryann_spark.sources.ann_index_io import load_ivfpq, save_ivfpq
+    from mysteryann_spark.sources.tables import load_table
+    from tests.conftest import SF_TINY
+
+    base = load_table(spark, "embeddings", SF_TINY)
+    path = str(tmp_path / "idx")
+    save_ivfpq(build_ivfpq_index(base, n_centroids=8, m=8, n_codes=32), path)
+    loaded = load_ivfpq(spark, path)
+    q = base.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+    res = search_ivfpq_index(q, loaded, 3, n_probe=2, base_df=None)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "lists scan not partition-pruned"
