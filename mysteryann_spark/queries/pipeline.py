@@ -1456,6 +1456,47 @@ def ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier scoring — the sanity filter a pipeline
+    runs BEFORE building an ANN index (corrupt/degenerate vectors poison
+    k-means training and graph neighborhoods): distance of every vector
+    to the corpus mean, z-scored against the distance distribution. Pure
+    DataFrame algebra (posexplode -> per-dim mean -> rejoin), map-side
+    combined aggregates, and a broadcast 1-row stats join — no collect,
+    no quadratic term, scales as two shuffles of (pos) and (vec_id)."""
+    e = _emb(spark, sf_dir)
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    mu = ex.groupBy("pos").agg(F.avg("x").alias("mu"))
+    d = (
+        ex.join(F.broadcast(mu), "pos")
+        .groupBy("vec_id")
+        .agg(F.sqrt(F.sum((F.col("x") - F.col("mu")) ** 2)).alias("dist"))
+    )
+    stats = d.agg(
+        F.avg("dist").alias("m"), F.stddev_pop("dist").alias("sd")
+    )
+    return d.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.round("dist", 6).alias("dist"),
+        F.round((F.col("dist") - F.col("m")) / F.col("sd"), 4).alias("z"),
+    )
+
+
+_EMB_OUTLIER_SQL = """
+WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+       FROM embeddings CROSS JOIN idx),
+mu AS (SELECT i, avg(x) AS mu FROM ex GROUP BY i),
+d AS (SELECT vec_id, sqrt(sum((x - mu) * (x - mu))) AS dist
+      FROM ex JOIN mu USING (i) GROUP BY vec_id),
+s AS (SELECT avg(dist) AS m, stddev_pop(dist) AS sd FROM d)
+SELECT vec_id, round(dist, 6) AS dist, round((dist - m) / sd, 4) AS z
+FROM d, s
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_tfidf_topterms": QuerySpec(doc_tfidf_topterms, _TFIDF_SQL),
     "doc_token_stats": QuerySpec(doc_token_stats, _TOKEN_STATS_SQL),
@@ -1505,4 +1546,5 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_audio_spectral": QuerySpec(multimodal_audio_spectral, None),
     "ann_ivfpq_persisted": QuerySpec(ann_ivfpq_persisted, None),
     "pipeline_shard_manifest": QuerySpec(pipeline_shard_manifest, _SHARD_MANIFEST_SQL),
+    "emb_outlier_zscore": QuerySpec(emb_outlier_zscore, _EMB_OUTLIER_SQL),
 }

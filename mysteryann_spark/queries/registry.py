@@ -84,6 +84,7 @@ _FRONT = [
     "multimodal_audio_spectral",
     "ann_ivfpq_persisted",
     "pipeline_shard_manifest",
+    "emb_outlier_zscore",
     # changed in round 4 (bucketed source-keying; minhash path test + doc;
     # 56-point sweep; selectivity-aware filtered search; similarity
     # zero-norm guard).  knn_exact / ann_cosine_topk were r3-green and the
@@ -121,7 +122,6 @@ _FRONT = [
     "distinct_agg",
     "rollup_customer_balance",
     "cube_orders",
-    "json_events",
 ]
 _BACK = [
     # green in the r3 driver window (hash or rows-ran) and untouched in r4
@@ -139,6 +139,7 @@ _BACK = [
     "above_avg_balance",
     "funnel_steps",
     "grouping_sets_sales",
+    "json_events",
     "knn_exact",
     "ann_cosine_topk",
     "ann_quantized_topk",
