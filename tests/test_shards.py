@@ -77,3 +77,44 @@ def test_manifest_matches_written_shards(spark, tmp_path):
         .collect()
     }
     assert man == actual
+
+
+def test_streaming_write_to_shards(spark, tmp_path):
+    """The streaming half of the sink story: a readStream source routed
+    through the SAME md5 shard assignment and written with a partitioned
+    file sink must land every event exactly once in its deterministic
+    shard directory — so a live ingest and a batch backfill produce
+    identical shard membership."""
+    from mysteryann_spark.sources.shards import assign_shards, shard_col
+    from mysteryann_spark.streaming.windows import read_events_stream
+
+    events = read_events_stream(spark, SF_TINY).select("event_id", "event_type")
+    out = str(tmp_path / "out")
+    q = (
+        assign_shards(events, 8, "event_id")
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .partitionBy("shard")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    import os as _os
+
+    dirs = [d for d in _os.listdir(out) if d.startswith("shard=")]
+    assert len(dirs) >= 2
+    back = spark.read.parquet(out)
+    from mysteryann_spark.sources.tables import load_table
+
+    batch = load_table(spark, "events", SF_TINY).select(
+        "event_id", shard_col(F.col("event_id"), 8)
+    )
+    expect = {r["event_id"]: r["shard"] for r in batch.collect()}
+    got = {r["event_id"]: int(r["shard"]) for r in back.collect()}
+    assert got == expect
