@@ -88,25 +88,46 @@ def main() -> None:
     print(json.dumps({"stage": "synth", "n": n, "dim": DIM, "sec": round(t_synth, 1)}),
           flush=True)
 
-    t0 = time.time()
-    adj, ep = build_roargraph_from_table(
-        spark, emb, params, n_queries=n_train, ensure_reachable=True,
-        expand_width=build_width,
-    )
-    adj = adj.localCheckpoint()
-    n_nodes = adj.count()
-    t_build = time.time() - t0
-    degs = adj.select(F.size("nbrs").alias("d")).agg(
-        F.avg("d").alias("avg"), F.max("d").alias("mx")
-    ).collect()[0]
-    print(json.dumps({
-        "stage": "build", "n": n, "sec": round(t_build, 1),
-        "nodes": n_nodes, "avg_degree": round(degs["avg"], 1),
-        "max_degree": degs["mx"],
-        "params": {"M_sq": params.M_sq, "M_pjbp": params.M_pjbp,
-                   "L_pjpq": params.L_pjpq},
-        "n_train": n_train or n, "build_width": build_width,
-    }), flush=True)
+    # SCALE_INDEX_DIR: persist the built graph (sources/graph_io) so repeat
+    # sweeps at the same N don't pay the build again — the build-once /
+    # sweep-many lifecycle the engine itself supports.
+    import os
+
+    from mysteryann_spark.sources.graph_io import load_index, save_index
+
+    idx_dir = os.environ.get("SCALE_INDEX_DIR")
+    idx_path = f"{idx_dir}/n{n}_t{n_train or n}" if idx_dir else None
+    if idx_path and os.path.isdir(f"{idx_path}/adjacency"):
+        adj, meta = load_index(spark, idx_path)
+        adj = adj.localCheckpoint()
+        ep = int(meta["entry_point"])
+        print(json.dumps({
+            "stage": "load_index", "n": n, "path": idx_path,
+            "nodes": adj.count(),
+        }), flush=True)
+    else:
+        t0 = time.time()
+        adj, ep = build_roargraph_from_table(
+            spark, emb, params, n_queries=n_train, ensure_reachable=True,
+            expand_width=build_width,
+        )
+        adj = adj.localCheckpoint()
+        n_nodes = adj.count()
+        t_build = time.time() - t0
+        degs = adj.select(F.size("nbrs").alias("d")).agg(
+            F.avg("d").alias("avg"), F.max("d").alias("mx")
+        ).collect()[0]
+        print(json.dumps({
+            "stage": "build", "n": n, "sec": round(t_build, 1),
+            "nodes": n_nodes, "avg_degree": round(degs["avg"], 1),
+            "max_degree": degs["mx"],
+            "params": {"M_sq": params.M_sq, "M_pjbp": params.M_pjbp,
+                       "L_pjpq": params.L_pjpq},
+            "n_train": n_train or n, "build_width": build_width,
+        }), flush=True)
+        if idx_path:
+            save_index(adj, idx_path, entry_point=ep, dim=DIM, params=params)
+            print(json.dumps({"stage": "save_index", "path": idx_path}), flush=True)
 
     from mysteryann_spark.operators.search import stage_graph_index
     from mysteryann_spark.session import spread
@@ -127,7 +148,13 @@ def main() -> None:
 
     staged = stage_graph_index(emb.select("vec_id", "embedding"), adj)
     gate_recall = 0.0
-    for L, width in ((100, 1), (100, 4), (200, 1), (200, 4), (400, 4)):
+    sweep = ((100, 1), (100, 4), (200, 1), (200, 4), (400, 4))
+    if os.environ.get("SCALE_SWEEP_WIDE"):
+        # the reference's own acceptance protocol runs L up to 2000
+        # (run_roargraph_search_test.sh) — at bigger N the 0.9 recall
+        # crossing moves right, so chase it
+        sweep = ((100, 4), (200, 4), (400, 4), (800, 4), (1600, 4))
+    for L, width in sweep:
         t0 = time.time()
         res = search_graph(q, emb, adj, ep, k=params.k, l_search=L,
                            metric=params.metric, staged=staged,
