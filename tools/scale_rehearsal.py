@@ -154,6 +154,13 @@ def main() -> None:
         # (run_roargraph_search_test.sh) — at bigger N the 0.9 recall
         # crossing moves right, so chase it
         sweep = ((100, 4), (200, 4), (400, 4), (800, 4), (1600, 4))
+    if os.environ.get("SCALE_SWEEP_POINTS"):
+        # explicit "L:width,L:width" list — with SCALE_INDEX_DIR this is a
+        # search-only run against the persisted graph
+        sweep = tuple(
+            (int(p.split(":")[0]), int(p.split(":")[1]))
+            for p in os.environ["SCALE_SWEEP_POINTS"].split(",")
+        )
     for L, width in sweep:
         t0 = time.time()
         res = search_graph(q, emb, adj, ep, k=params.k, l_search=L,
