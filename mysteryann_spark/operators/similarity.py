@@ -38,12 +38,18 @@ def _sample_kmeans(
     vecs: np.ndarray, k: int, max_iter: int, seed: int
 ) -> np.ndarray:
     """Seeded Lloyd iterations over an in-memory sample. Empty clusters
-    keep their previous centroid (deterministic, no resampling)."""
+    keep their previous centroid (deterministic, no resampling).
+
+    Distances use the ||x||^2 - 2x.c + ||c||^2 GEMM expansion: the naive
+    broadcasted (n, k, dim) cube is ~34 GB at the 64k-sample x 1024-
+    centroid training size the 10^6 IVF-PQ rehearsal needs — the GEMM
+    form peaks at the (n, k) matrix."""
     rng = np.random.default_rng(seed)
     n = len(vecs)
     cent = vecs[rng.choice(n, size=min(k, n), replace=False)].copy()
+    x_sq = (vecs * vecs).sum(axis=1)[:, None]
     for _ in range(max_iter):
-        d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        d = x_sq - 2.0 * (vecs @ cent.T) + (cent * cent).sum(axis=1)[None, :]
         assign = d.argmin(axis=1)
         for c in range(len(cent)):
             members = vecs[assign == c]
@@ -111,7 +117,13 @@ def nearest_centroids_udf(bc, n: int):
     def nearest(vecs: pd.Series) -> pd.Series:
         c = bc.value
         m = _unit(vecs)
-        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        # GEMM expansion, not the (batch, k, dim) cube — at 1024 centroids
+        # the cube is ~5 GB per 10k-row Arrow batch per worker
+        d = (
+            (m * m).sum(axis=1)[:, None]
+            - 2.0 * (m @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
         order = np.argsort(d, axis=1)[:, :n]
         return pd.Series(list(order.astype(np.int32)))
 

@@ -1,0 +1,106 @@
+"""IVF-PQ scale rehearsal: the graph-free ANN path at 10^6 vectors.
+
+The graph rehearsal (scale_rehearsal.py) stresses the O(N^2)-build
+RoarGraph pipeline; this one rehearses the LINEAR-cost similarity stack —
+bounded-sample k-means + one assignment/encode pass + persisted
+cid-partitioned lists — at 10x that N, which is exactly the regime where
+a pipeline reaches for IVF-PQ instead of a graph. Stages:
+
+  synth -> build_ivfpq_index -> save_ivfpq (partitioned parquet) ->
+  load_ivfpq -> search (ADC + exact refine) -> recall vs exact GT
+
+Run:   python tools/scale_ivfpq.py [N] [N_QUERY_SAMPLE] [N_CENTROIDS] [N_PROBE]
+       (defaults 1_000_000, 1_000, 1024, 32; one JSON line per stage —
+       paste into SCALE.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scale_rehearsal import synth_embeddings  # noqa: E402  (same corpus family)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    nq = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000
+    n_centroids = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+    n_probe = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+
+    from pyspark.sql import functions as F
+
+    from mysteryann_spark.operators.evaluate import mean_recall
+    from mysteryann_spark.operators.knn import knn_join_arrays
+    from mysteryann_spark.operators.similarity import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from mysteryann_spark.session import get_spark, spread
+    from mysteryann_spark.sources.ann_index_io import load_ivfpq, save_ivfpq
+
+    spark = get_spark(app_name=f"scale-ivfpq-{n}")
+
+    emb = synth_embeddings(spark, n, parts=64).cache()
+    t0 = time.time()
+    emb.count()
+    print(json.dumps({"stage": "synth", "n": n, "sec": round(time.time() - t0, 1)}),
+          flush=True)
+
+    t0 = time.time()
+    index = build_ivfpq_index(
+        emb, n_centroids=n_centroids, m=8, n_codes=256,
+        train_sample=64 * n_centroids,
+    )
+    path = os.environ.get("SCALE_IVFPQ_DIR", "/tmp/scale_ivfpq") + f"/n{n}"
+    save_ivfpq(index, path)
+    t_build = time.time() - t0
+    n_lists = spark.read.parquet(f"{path}/lists").count()
+    print(json.dumps({
+        "stage": "build_save", "n": n, "sec": round(t_build, 1),
+        "rows_persisted": n_lists, "n_centroids": n_centroids,
+        "m": 8, "n_codes": 256,
+        "code_bytes_per_vec": 8,
+    }), flush=True)
+
+    q = spread(
+        emb.where(F.col("vec_id") < nq).select(F.col("vec_id").alias("qid"), "embedding")
+    ).localCheckpoint()
+    t0 = time.time()
+    gt = knn_join_arrays(q, emb, 10, "cosine", exclude_self=True).localCheckpoint()
+    gt.count()
+    print(json.dumps({
+        "stage": "exact_gt", "n": n, "n_queries": nq,
+        "sec": round(time.time() - t0, 1),
+    }), flush=True)
+
+    loaded = load_ivfpq(spark, path)
+    for probes in (n_probe // 2, n_probe):
+        t0 = time.time()
+        res = search_ivfpq_index(
+            q, loaded, 10, n_probe=probes, refine=20, base_df=emb
+        ).localCheckpoint()
+        n_res = res.count()
+        t_search = time.time() - t0
+        res_arr = (
+            res.groupBy("qid")
+            .agg(F.array_sort(F.collect_list(F.struct("rank", "nn_id"))).alias("t"))
+            .select("qid", F.transform("t", lambda x: x["nn_id"]).alias("nn"))
+        )
+        recall = mean_recall(res_arr, gt, 10)
+        print(json.dumps({
+            "stage": "search_loaded", "n": n, "n_queries": nq,
+            "n_probe": probes, "sec": round(t_search, 1),
+            "qps": round(nq / t_search, 1), "rows": n_res,
+            "recall_at_10": round(recall, 4),
+        }), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
