@@ -32,6 +32,8 @@ def main() -> None:
     nq = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000
     n_centroids = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
     n_probe = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    m = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+    refine = int(sys.argv[6]) if len(sys.argv) > 6 else 20
 
     from pyspark.sql import functions as F
 
@@ -54,18 +56,18 @@ def main() -> None:
 
     t0 = time.time()
     index = build_ivfpq_index(
-        emb, n_centroids=n_centroids, m=8, n_codes=256,
+        emb, n_centroids=n_centroids, m=m, n_codes=256,
         train_sample=64 * n_centroids,
     )
-    path = os.environ.get("SCALE_IVFPQ_DIR", "/tmp/scale_ivfpq") + f"/n{n}"
+    path = os.environ.get("SCALE_IVFPQ_DIR", "/tmp/scale_ivfpq") + f"/n{n}_m{m}"
     save_ivfpq(index, path)
     t_build = time.time() - t0
     n_lists = spark.read.parquet(f"{path}/lists").count()
     print(json.dumps({
         "stage": "build_save", "n": n, "sec": round(t_build, 1),
         "rows_persisted": n_lists, "n_centroids": n_centroids,
-        "m": 8, "n_codes": 256,
-        "code_bytes_per_vec": 8,
+        "m": m, "n_codes": 256,
+        "code_bytes_per_vec": m,
     }), flush=True)
 
     q = spread(
@@ -83,7 +85,7 @@ def main() -> None:
     for probes in (n_probe // 2, n_probe):
         t0 = time.time()
         res = search_ivfpq_index(
-            q, loaded, 10, n_probe=probes, refine=20, base_df=emb
+            q, loaded, 10, n_probe=probes, refine=refine, base_df=emb
         ).localCheckpoint()
         n_res = res.count()
         t_search = time.time() - t0
