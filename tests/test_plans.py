@@ -156,3 +156,26 @@ def test_persisted_ivfpq_search_partition_prunes(spark, tmp_path):
     res = search_ivfpq_index(q, loaded, 3, n_probe=2, base_df=None)
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "lists scan not partition-pruned"
+
+
+def test_round4_sink_and_outlier_plan_shape(spark):
+    """Shard manifest reads only (doc_id, text); outlier scoring reads
+    only (vec_id, embedding); neither plan contains a cartesian product,
+    and the outlier stats join is the intended broadcast."""
+    from mysteryann_spark.plans.inspect import formatted_plan, scan_read_schemas
+    from mysteryann_spark.queries.pipeline import (
+        emb_outlier_zscore,
+        pipeline_shard_manifest,
+    )
+    from tests.conftest import SF_DIR
+
+    m = pipeline_shard_manifest(spark, SF_DIR)
+    for cols in scan_read_schemas(m):
+        assert set(cols) <= {"doc_id", "text"}, cols
+    assert "CartesianProduct" not in formatted_plan(m)
+
+    z = emb_outlier_zscore(spark, SF_DIR)
+    for cols in scan_read_schemas(z):
+        assert set(cols) <= {"vec_id", "embedding"}, cols
+    zplan = formatted_plan(z)
+    assert "BroadcastExchange" in zplan or "BroadcastHashJoin" in zplan
