@@ -276,6 +276,46 @@ SELECT event_id, user_id, event_type, round(value, 6) AS value FROM events
 """
 
 
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active week, then
+    distinct active users per (cohort, weeks-since-cohort) cell — the
+    canonical product-analytics rollup. Two map-side-combined aggregates
+    and one equi-join on user_id; week truncation is ISO-Monday in both
+    engines, and ages are exact multiples of 7 days so the integer
+    division is tie-free."""
+    e = _events(spark, sf_dir)
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        act.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (F.datediff("week", "cohort") / 7).cast("bigint").alias("age_weeks"),
+        )
+        .groupBy("cohort", "age_weeks")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "age_weeks",
+            "n_users",
+        )
+    )
+
+
+_RETENTION_SQL = """
+WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+c AS (SELECT user_id, min(week) AS cohort FROM act GROUP BY user_id)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort, week) / 7 AS BIGINT) AS age_weeks,
+       count(DISTINCT act.user_id) AS n_users
+FROM act JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_approx_distinct": QuerySpec(events_approx_distinct, None),
     "stream_tumbling_oracled": QuerySpec(stream_tumbling_oracled, _TUMBLING_SQL),
@@ -286,4 +326,5 @@ QUERIES: dict[str, QuerySpec] = {
     "events_sessionize": QuerySpec(events_sessionize, _SESSION_SQL),
     "events_asof_click": QuerySpec(events_asof_click, _ASOF_SQL),
     "events_pivot": QuerySpec(events_pivot, _PIVOT_SQL),
+    "events_retention": QuerySpec(events_retention, _RETENTION_SQL),
 }

@@ -85,6 +85,7 @@ _FRONT = [
     "ann_ivfpq_persisted",
     "pipeline_shard_manifest",
     "emb_outlier_zscore",
+    "events_retention",
     # changed in round 4 (bucketed source-keying; minhash path test + doc;
     # 56-point sweep; selectivity-aware filtered search; similarity
     # zero-norm guard).  knn_exact / ann_cosine_topk were r3-green and the
@@ -121,7 +122,6 @@ _FRONT = [
     "anti_join_customers",
     "distinct_agg",
     "rollup_customer_balance",
-    "cube_orders",
 ]
 _BACK = [
     # green in the r3 driver window (hash or rows-ran) and untouched in r4
@@ -140,6 +140,7 @@ _BACK = [
     "funnel_steps",
     "grouping_sets_sales",
     "json_events",
+    "cube_orders",
     "knn_exact",
     "ann_cosine_topk",
     "ann_quantized_topk",

@@ -34,6 +34,7 @@ MUST_BE_IN_WINDOW = {
     "multimodal_audio_spectral",
     "ann_ivfpq_persisted",
     "pipeline_shard_manifest",
+    "events_retention",
     "bucketed_join_revenue",
     "dedup_minhash_lsh",
     "roargraph_sweep",
