@@ -119,35 +119,61 @@ def _write_adjacency_stream(out, adj: DataFrame, npts: int) -> None:
 def _read_adjacency_stream(buf, npts: int):
     """Parse ``npts`` ``(deg, nbrs[deg])`` records from a uint32 ndarray
     view positioned at the first record. Returns (degs, flat_nbrs,
-    indptr). The boundary walk is sequential by format design (record i+1
-    starts where record i's neighbor run ends) but is O(npts) integer
-    steps — ~1e6 nodes parse in well under a second."""
+    indptr).
+
+    The header walk is sequential by format design (record i+1 starts
+    where record i's neighbor run ends), so it can't be a single numpy
+    pass — but per-record numpy *scalar* indexing is ~10x slower than
+    plain-int arithmetic, so the walk runs over chunked ``.tolist()``
+    slices (C-speed bulk conversion, Python ints inside). The neighbor
+    gather IS fully vectorized: one ``np.repeat``-built index array maps
+    every flat slot to its source position — no per-record slice copies."""
     import numpy as np
 
     degs = np.empty(npts, dtype=np.int64)
-    starts = np.empty(npts, dtype=np.int64)
-    pos = 0
-    for i in range(npts):
-        degs[i] = int(buf[pos])
-        starts[i] = pos + 1
-        pos += 1 + degs[i]
-    if pos != len(buf):
+    n_buf = len(buf)
+    chunk = 1 << 21  # uint32s (~8 MB per slice)
+    pos = 0  # absolute offset of the next unread header
+    i = 0
+    while i < npts:
+        if pos >= n_buf:
+            raise ValueError(
+                f"corrupt adjacency stream: record {i}/{npts} starts past "
+                f"end of file ({pos} >= {n_buf} uint32s)"
+            )
+        local = buf[pos : pos + chunk].tolist()
+        limit = len(local)
+        off = 0
+        while i < npts and off < limit:
+            d = local[off]
+            degs[i] = d
+            off += 1 + d
+            i += 1
+        pos += off  # may overshoot `limit` mid-record; headers were in-slice
+    if pos != n_buf:
         raise ValueError(
-            f"corrupt adjacency stream: consumed {pos} uint32s, file has {len(buf)}"
+            f"corrupt adjacency stream: consumed {pos} uint32s, file has {n_buf}"
         )
     indptr = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(degs)])
-    flat = np.empty(int(indptr[-1]), dtype=np.int64)
-    for i in range(npts):
-        flat[indptr[i] : indptr[i + 1]] = buf[starts[i] : starts[i] + degs[i]]
+    starts = np.arange(1, npts + 1, dtype=np.int64) + indptr[:-1]  # header at starts-1
+    total = int(indptr[-1])
+    src = np.repeat(starts - indptr[:-1], degs) + np.arange(total, dtype=np.int64)
+    flat = buf[src].astype(np.int64)
     return degs, flat, indptr
 
 
 def _adjacency_df(spark: SparkSession, degs, flat, indptr) -> DataFrame:
     import pyarrow as pa
 
-    nbrs = pa.ListArray.from_arrays(pa.array(indptr, type=pa.int32()), pa.array(flat))
+    # LargeList = int64 offsets (a >2^31-edge adjacency overflows plain
+    # ListArray offsets). createDataFrame is handed the pyarrow Table
+    # DIRECTLY: the pandas detour needed
+    # spark.sql.execution.arrow.pyspark.enabled and crashed any vanilla
+    # session (the r4 driver failure — CANNOT_INFER_TYPE_FOR_FIELD on the
+    # numpy cells); the Table path is Arrow end-to-end on every session.
+    nbrs = pa.LargeListArray.from_arrays(pa.array(indptr, type=pa.int64()), pa.array(flat))
     tbl = pa.table({"node": pa.array(range(len(degs)), type=pa.int64()), "nbrs": nbrs})
-    return spark.createDataFrame(tbl.to_pandas())
+    return spark.createDataFrame(tbl)
 
 
 def save_projection_binary(adj: DataFrame, path: str, *, entry_point: int, npts: int) -> None:

@@ -5,6 +5,16 @@ row count, column names, and an order-insensitive value hash (columns sorted
 by name, rows sorted, values canonicalized). Run:
 
     python tools/verify_local.py [name_substring ...]
+
+``--bare`` is the DRIVER-PARITY mode (r4 VERDICT "Next round" #2): it runs
+the selected entries on a VANILLA SparkSession — none of session.py's
+configs (no Arrow, default timezone, default shuffle partitions, AQE at its
+defaults) — because that is the session the correctness driver hands us.
+Two rounds of driver failures (r3 HUGEINT typing, r4 Arrow schema
+inference) passed every local gate precisely because all of them ran on the
+repo's tuned session. Bare mode collects each entry fully (the driver
+does), and when the entry has an oracle it checks the full hash too — a
+vanilla session must not just *run*, it must produce the same answer.
 """
 
 from __future__ import annotations
@@ -52,17 +62,31 @@ def _hash_rows(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    filters = sys.argv[1:]
+    args = sys.argv[1:]
+    bare = "--bare" in args
+    filters = [a for a in args if not a.startswith("--")]
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from mysteryann_spark.session import get_spark
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     if filters:
         qs = {k: v for k, v in qs.items() if any(f in k for f in filters)}
 
-    spark = get_spark(app_name="verify-local")
+    if bare:
+        import os
+
+        from pyspark.sql import SparkSession
+
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+        # deliberately NO repo configs — this must be the driver's session
+        spark = SparkSession.builder.master(f"local[{cpus}]").appName(
+            "verify-bare"
+        ).getOrCreate()
+    else:
+        from mysteryann_spark.session import get_spark
+
+        spark = get_spark(app_name="verify-local")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
