@@ -86,8 +86,15 @@ def parse_wav(data: bytes):
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         clen = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if pos + 8 + clen > len(data):
+            # a declared chunk length past the buffer is a truncated file;
+            # silently decoding the partial body would under-count samples
+            raise ValueError(f"truncated {cid!r} chunk: {clen} bytes declared, "
+                             f"{len(data) - pos - 8} present")
         body = data[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"truncated fmt chunk: {len(body)} bytes")
             audio_fmt, channels, sr, _, _, bits = struct.unpack("<HHIIHH", body[:16])
             if audio_fmt != 1 or channels != 1 or bits != 16:
                 raise ValueError(

@@ -1438,7 +1438,8 @@ def ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet (sources/ann_index_io.py) -> load -> search through the
     LOADED index with exact refine. Rows-only; bit-parity with the
     in-memory ann_ivfpq_topk path is gated in tests/test_ann_index_io.py."""
-    import hashlib as _hashlib
+    import atexit
+    import shutil
 
     from mysteryann_spark.operators.similarity import (
         build_ivfpq_index,
@@ -1447,7 +1448,12 @@ def ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysteryann_spark.sources.ann_index_io import load_ivfpq, save_ivfpq
 
     e = _emb(spark, sf_dir)
-    path = f"/tmp/mysteryann_ivfpq_{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    # Keyed by applicationId: two drivers verifying the same SF must not
+    # overwrite each other's lists mid-scan. The search is lazy (the caller
+    # collects after we return), so cleanup is deferred to process exit
+    # instead of deleting the files the returned plan still has to read.
+    path = f"/tmp/mysteryann_ivfpq_{spark.sparkContext.applicationId}"
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     save_ivfpq(build_ivfpq_index(e, n_centroids=16, m=8, n_codes=64), path)
     loaded = load_ivfpq(spark, path)
     q = e.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
@@ -1477,22 +1483,28 @@ def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = d.agg(
         F.avg("dist").alias("m"), F.stddev_pop("dist").alias("sd")
     )
+    # nullif guard mirrors the oracle: a degenerate corpus (all vectors at
+    # the same distance, sd = 0) yields z = NULL on both engines instead of
+    # a divide-by-zero Inf that hashes differently
     return d.crossJoin(F.broadcast(stats)).select(
         "vec_id",
         F.round("dist", 6).alias("dist"),
-        F.round((F.col("dist") - F.col("m")) / F.col("sd"), 4).alias("z"),
+        F.round(
+            (F.col("dist") - F.col("m")) / F.nullif(F.col("sd"), F.lit(0.0)), 4
+        ).alias("z"),
     )
 
 
 _EMB_OUTLIER_SQL = """
-WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+WITH idx AS (SELECT unnest(generate_series(
+         1, (SELECT max(len(embedding)) FROM embeddings))) AS i),
 ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
        FROM embeddings CROSS JOIN idx),
 mu AS (SELECT i, avg(x) AS mu FROM ex GROUP BY i),
 d AS (SELECT vec_id, sqrt(sum((x - mu) * (x - mu))) AS dist
       FROM ex JOIN mu USING (i) GROUP BY vec_id),
 s AS (SELECT avg(dist) AS m, stddev_pop(dist) AS sd FROM d)
-SELECT vec_id, round(dist, 6) AS dist, round((dist - m) / sd, 4) AS z
+SELECT vec_id, round(dist, 6) AS dist, round((dist - m) / nullif(sd, 0), 4) AS z
 FROM d, s
 """
 

@@ -96,11 +96,27 @@ def main() -> None:
     from mysteryann_spark.sources.graph_io import load_index, save_index
 
     idx_dir = os.environ.get("SCALE_INDEX_DIR")
-    idx_path = f"{idx_dir}/n{n}_t{n_train or n}" if idx_dir else None
+    # graph params are part of the cache key: a re-run with different
+    # M_sq/M_pjbp/L_pjpq must rebuild, not silently sweep the old graph
+    idx_path = (
+        f"{idx_dir}/n{n}_t{n_train or n}"
+        f"_M{params.M_sq}-{params.M_pjbp}-{params.L_pjpq}_w{build_width}"
+        if idx_dir
+        else None
+    )
     if idx_path and os.path.isdir(f"{idx_path}/adjacency"):
         adj, meta = load_index(spark, idx_path)
         adj = adj.localCheckpoint()
         ep = int(meta["entry_point"])
+        # belt-and-braces: the persisted header must agree with the CLI params
+        for field, want in (("m_sq", params.M_sq), ("m_pjbp", params.M_pjbp),
+                            ("l_pjpq", params.L_pjpq)):
+            if int(meta[field]) != want:
+                raise SystemExit(
+                    f"cached index {idx_path} was built with {field}="
+                    f"{meta[field]}, current run wants {want} — delete the "
+                    "cache dir or change SCALE_INDEX_DIR"
+                )
         print(json.dumps({
             "stage": "load_index", "n": n, "path": idx_path,
             "nodes": adj.count(),
