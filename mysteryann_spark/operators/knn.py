@@ -223,17 +223,12 @@ def knn_join(
     )
 
 
-def knn_join_arrays(
-    queries_df: DataFrame,
-    base_df: DataFrame,
-    k: int,
-    metric: str = "l2",
-    **kwargs,
-) -> DataFrame:
-    """kNN join in the reference's list shape: ``(qid, nn ARRAY<BIGINT>,
-    dists ARRAY<DOUBLE>)`` — what LoadLearnBaseKNN consumed per query
-    (src/index_bipartite.cpp:2622-2639), rank-ordered."""
-    flat = knn_join(queries_df, base_df, k, metric, **kwargs)
+def flat_to_arrays(flat: DataFrame) -> DataFrame:
+    """Collapse ``(qid, nn_id, dist, rank)`` rows into the reference's
+    per-query list shape ``(qid, nn ARRAY<BIGINT>, dists ARRAY<DOUBLE>)``
+    (LoadLearnBaseKNN, src/index_bipartite.cpp:2622-2639), rank-ordered.
+    Shared by the exact kNN join and the IVF-routed approximate one
+    (operators/knn_approx.py) so both can feed the graph build phase 1."""
     return flat.groupBy("qid").agg(
         F.array_sort(F.collect_list(F.struct("rank", "nn_id", "dist"))).alias("triples")
     ).select(
@@ -241,6 +236,17 @@ def knn_join_arrays(
         F.transform("triples", lambda t: t["nn_id"]).alias("nn"),
         F.transform("triples", lambda t: t["dist"]).alias("dists"),
     )
+
+
+def knn_join_arrays(
+    queries_df: DataFrame,
+    base_df: DataFrame,
+    k: int,
+    metric: str = "l2",
+    **kwargs,
+) -> DataFrame:
+    """Exact kNN join in the reference's list shape (see flat_to_arrays)."""
+    return flat_to_arrays(knn_join(queries_df, base_df, k, metric, **kwargs))
 
 
 def medoid(

@@ -218,6 +218,8 @@ def build_roargraph(
     vec_col: str = "embedding",
     ensure_reachable: bool = False,
     expand_width: int = 1,
+    phase0: str = "exact",
+    phase0_opts: dict | None = None,
 ) -> tuple[DataFrame, int]:
     """Returns (projection adjacency ``(node, nbrs)``, entry point id).
 
@@ -226,6 +228,17 @@ def build_roargraph(
     ``expand_width`` feeds the phase-4 connectivity beam search (1 =
     reference-strict; wider cuts lockstep rounds for big builds,
     recall-gated where used).
+
+    ``phase0`` picks the training-kNN source: ``"exact"`` is the blocked
+    full GEMM (J1 — quadratic in n, the build's only super-linear stage);
+    ``"ivf"`` routes through coarse centroids (operators/knn_approx.py,
+    ~n_probe/n_centroids of the flops) — the self-contained analog of the
+    reference consuming PRECOMPUTED ground truth at 10M scale instead of
+    computing exact kNN in-line (LoadLearnBaseKNN,
+    src/index_bipartite.cpp:2622-2639; prepare_data.sh:29). The resulting
+    graph's recall is gated against the exact-phase-0 build in
+    tests/test_graph.py; ``phase0_opts`` passes n_centroids/n_probe/...
+    through to ivf_knn_join.
     """
     metric = params.metric
 
@@ -243,12 +256,22 @@ def build_roargraph(
     ep_thread = threading.Thread(target=_medoid, name="medoid")
     ep_thread.start()
 
-    # --- phase 0: exact kNN of every training query into the base set
+    # --- phase 0: kNN of every training query into the base set
     # (the table the reference loads as learn_base_knn_, :2622-2639)
-    knn = knn_join_arrays(
-        queries_df, base_df, params.M_sq, metric,
-        base_id=base_id, vec_col=vec_col,
-    )
+    if phase0 == "exact":
+        knn = knn_join_arrays(
+            queries_df, base_df, params.M_sq, metric,
+            base_id=base_id, vec_col=vec_col,
+        )
+    elif phase0 == "ivf":
+        from mysteryann_spark.operators.knn_approx import ivf_knn_join_arrays
+
+        knn = ivf_knn_join_arrays(
+            queries_df, base_df, params.M_sq, metric,
+            base_id=base_id, vec_col=vec_col, **(phase0_opts or {}),
+        )
+    else:
+        raise ValueError(f"unknown phase0 mode {phase0!r} (exact|ivf)")
 
     # --- phase 1: target = 1-NN; rest of the list -> target's pool
     tgt = F.element_at("nn", 1)
@@ -322,6 +345,8 @@ def build_roargraph_from_table(
     n_queries: int | None = None,
     ensure_reachable: bool = False,
     expand_width: int = 1,
+    phase0: str = "exact",
+    phase0_opts: dict | None = None,
 ) -> tuple[DataFrame, int]:
     """Convenience split for testdata: every embedding is a base point;
     training queries are a deterministic prefix (vec_id < n_queries) —
@@ -331,7 +356,8 @@ def build_roargraph_from_table(
     if n_queries is not None:
         q = q.where(F.col("qid") < n_queries)
     return build_roargraph(
-        base, q, params, ensure_reachable=ensure_reachable, expand_width=expand_width
+        base, q, params, ensure_reachable=ensure_reachable,
+        expand_width=expand_width, phase0=phase0, phase0_opts=phase0_opts,
     )
 
 

@@ -27,21 +27,40 @@ PARAMS = IndexParams(M_sq=20, M_pjbp=8, L_pjpq=40, k=10, L_pq=40, metric="l2")
 # The reference's flagship run is dist=ip (run_roargraph_test.sh:7) — the
 # same knobs under negated inner product.
 PARAMS_IP = IndexParams(M_sq=20, M_pjbp=8, L_pjpq=40, k=10, L_pq=40, metric="ip")
+# The webvid flagship is metric=cosine — normalize-then-IP
+# (src/index_bipartite.cpp:35-37,71-77; prepare_for_clip_webvid.py). The
+# third and last reference metric, registered so it runs under the
+# driver's eye; its recall gate is test_build_and_search_cosine_metric.
+PARAMS_COSINE = IndexParams(M_sq=20, M_pjbp=8, L_pjpq=40, k=10, L_pq=40, metric="cosine")
+# Registered opts for the sub-quadratic IVF phase 0 (knn_approx.py):
+# n_probe=16 holds the graph-recall-within-0.01 gate on testdata
+# (tests/test_graph.py::test_ivf_phase0_build_recall_within_gate);
+# n_centroids defaults to ~sqrt(n_base) inside ivf_knn_join.
+IVF_PHASE0_OPTS = {"n_probe": 16}
 _N_SEARCH_QUERIES = 50
 
 
 _BUILD_CACHE: dict = {}
 
 
-def _build(spark: SparkSession, sf_dir: str, params: IndexParams = PARAMS):
-    """Build once per (session, sf_dir, metric): the registry entries
-    share the same index, and the driver's correctness gate runs them all
-    in one session — rebuilding an identical (deterministic, tested)
-    graph per query would quadruple gate time for no information."""
-    key = (id(spark.sparkContext), sf_dir, params.metric)
+def _build(
+    spark: SparkSession,
+    sf_dir: str,
+    params: IndexParams = PARAMS,
+    phase0: str = "exact",
+):
+    """Build once per (session, sf_dir, metric, phase0): the registry
+    entries share the same index, and the driver's correctness gate runs
+    them all in one session — rebuilding an identical (deterministic,
+    tested) graph per query would quadruple gate time for no
+    information."""
+    key = (id(spark.sparkContext), sf_dir, params.metric, phase0)
     if key not in _BUILD_CACHE:
         emb = load_table(spark, "embeddings", sf_dir).cache()
-        adj, ep = build_roargraph_from_table(spark, emb, params)
+        adj, ep = build_roargraph_from_table(
+            spark, emb, params, phase0=phase0,
+            phase0_opts=IVF_PHASE0_OPTS if phase0 == "ivf" else None,
+        )
         _BUILD_CACHE[key] = (emb, adj.localCheckpoint(), ep)
     return _BUILD_CACHE[key]
 
@@ -80,6 +99,43 @@ def roargraph_search_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=PARAMS_IP.k, l_search=PARAMS_IP.L_pq, metric=PARAMS_IP.metric,
     )
     return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank", "cmps", "hops")
+
+
+def roargraph_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search over a graph BUILT AND SEARCHED under cosine — the
+    reference's webvid flagship (normalize-then-IP,
+    src/index_bipartite.cpp:35-37; prepare_for_clip_webvid.py pipeline).
+    Rows-only; the recall gate at these registered params lives in
+    tests/test_graph.py (test_build_and_search_cosine_metric)."""
+    emb, adj, ep = _build(spark, sf_dir, PARAMS_COSINE)
+    q = emb.where(F.col("vec_id") < _N_SEARCH_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    res = search_graph(
+        q, emb, adj.localCheckpoint(), ep,
+        k=PARAMS_COSINE.k, l_search=PARAMS_COSINE.L_pq, metric=PARAMS_COSINE.metric,
+    )
+    return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank", "cmps", "hops")
+
+
+def roargraph_build_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph build with the SUB-QUADRATIC phase 0: training kNN routed
+    through IVF coarse centroids + exact per-list refine
+    (operators/knn_approx.py) instead of the full exact GEMM — the
+    self-contained analog of the reference consuming precomputed GT at
+    10M scale (LoadLearnBaseKNN, src/index_bipartite.cpp:2622-2639;
+    prepare_data.sh:29). Returns search results THROUGH the ivf-built
+    graph. Rows-only; the recall-within-0.01-of-exact-built gate lives in
+    tests/test_graph.py (test_ivf_phase0_build_recall_within_gate)."""
+    emb, adj, ep = _build(spark, sf_dir, PARAMS, phase0="ivf")
+    q = emb.where(F.col("vec_id") < _N_SEARCH_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    res = search_graph(
+        q, emb, adj.localCheckpoint(), ep,
+        k=PARAMS.k, l_search=PARAMS.L_pq, metric=PARAMS.metric,
+    )
+    return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank")
 
 
 def roargraph_search_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,6 +392,8 @@ QUERIES: dict[str, QuerySpec] = {
     "roargraph_degrees": QuerySpec(roargraph_degrees, None),
     "roargraph_search_topk": QuerySpec(roargraph_search_topk, None),
     "roargraph_search_ip": QuerySpec(roargraph_search_ip, None),
+    "roargraph_search_cosine": QuerySpec(roargraph_search_cosine, None),
+    "roargraph_build_ivf": QuerySpec(roargraph_build_ivf, None),
     "roargraph_search_distributed": QuerySpec(roargraph_search_distributed, None),
     "bipartite_search_topk": QuerySpec(bipartite_search_topk, None),
     "roargraph_search_filtered": QuerySpec(roargraph_search_filtered, None),

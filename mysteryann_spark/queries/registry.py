@@ -49,24 +49,107 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The correctness driver gates only the FIRST 50 entries in iteration order
-# (CORRECTNESS_r01/r02/r03.json all cut off at exactly 50).  Registry order
-# is therefore a verification-coverage decision, not cosmetics.  Round-4
-# policy (r3 VERDICT "Next round" #3):
+# (CORRECTNESS_r01..r04.json all cut off at exactly 50).  Registry order
+# is therefore a verification-coverage decision, not cosmetics.  Round-5
+# policy (r4 VERDICT "Next round" #3: rotate onto the 51 entries the r4
+# window did not cover, keeping the fixed interop entry in front):
 #
-#   * ``_FRONT`` — (a) the two r3 hash-FAIL entries whose oracles were fixed
-#     this round, (b) entries NEW or CHANGED in round 4, (c) the 31 stable
-#     entries whose last driver verification was r2 but whose underlying
-#     modules (dedup/relational/pipeline) changed in r3 — the window rotates
-#     onto them so the post-r3 code gets driver rows.
+#   * ``_FRONT`` — (a) the one r4 FAIL (driver-session crash, fixed this
+#     round), (b) entries NEW in round 5 (cosine flagship, ivf-phase-0
+#     build), (c) r4-green entries whose code or oracle CHANGED in round 5
+#     (outlier SQL dim/nullif, ivfpq scratch path, WAV codec bounds), then
+#     (d) the r4 _BACK floor — everything last driver-verified in r2/r3,
+#     including the whole knn/roargraph family, whose join/build modules
+#     were refactored this round (flat_to_arrays split, build phase0 knob,
+#     _build cache keying).
 #   * unlisted entries (anything NEW added to a module) sort between _FRONT
 #     and _BACK, landing inside the window by default.
-#   * ``_BACK`` — entries green in the r3 driver run and untouched since.
+#   * ``_BACK`` — r4-driver-green entries untouched in r5, EXCEPT the first
+#     eight rows: 51 rotations don't fit a 50-slot window with 7 must-runs
+#     in front, so the six batch events_* entries (events.py untouched in
+#     r5, r3-green, 5 batch-parity pytest gates) and two multimodal
+#     entries (multimodal.py untouched in r5, r3-green, decode path
+#     hash-covered by r4's multimodal_image_features) wait at the head of
+#     _BACK — they are the r6 rotation's first pick and must not slip
+#     again.
 _FRONT = [
-    # r3 hash-FAILs, oracle typing fixed this round — must re-green
+    # the r4 driver crash, fixed (graph_io Arrow-table createDataFrame) —
+    # must re-green first
+    "roargraph_binary_interop",
+    # new in round 5
+    "roargraph_search_cosine",
+    "roargraph_build_ivf",
+    # r4-green but changed in round 5 — hash/row must re-green under the
+    # new code (outlier oracle derives dim + nullif guard; persisted-ivfpq
+    # path keyed by applicationId; WAV parser bounds checks)
+    "emb_outlier_zscore",
+    "ann_ivfpq_persisted",
+    "multimodal_audio_stats",
+    "multimodal_audio_spectral",
+    # knn.py refactor (flat_to_arrays) + graph.py _build signature change
+    # touch every entry over the join/build paths — rotate the family in
+    "knn_exact",
+    "knn_medoid",
+    "knn_recall_l2_vs_cosine",
+    "knn_rderr_truncated",
+    "ann_cosine_topk",
+    "ann_quantized_topk",
+    "ann_range_search",
+    "ann_lsh_topk",
+    "roargraph_degrees",
+    "roargraph_search_topk",
+    "roargraph_search_ip",
+    "roargraph_search_distributed",
+    "bipartite_search_topk",
+    "roargraph_save_load_search",
+    "roargraph_insert",
+    # the r2-last-verified scalar/relational floor — 3 rounds without a
+    # driver row is the cap (r4 VERDICT #3)
+    "string_functions",
+    "math_functions",
+    "date_functions",
+    "case_buckets",
+    "setops_nations",
+    "above_avg_balance",
+    "funnel_steps",
+    "grouping_sets_sales",
+    "json_events",
+    "cube_orders",
+    # r3-green families whose modules (dedup.py via knn imports,
+    # pipeline.py) changed in r4/r5
+    "dedup_simhash_pairs",
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_groups_full",
+    "dedup_ann_pairs",
+    "doc_pii_scrub",
+    "doc_gopher_quality",
+    "pipeline_mix_sample",
+    "pipeline_pack_sequences",
+    "pipeline_profile",
+    "flagship_revenue_by_nation",
+    "pricing_summary",
+    "brand_sales",
+    "vector_norms",
+    "fbin_roundtrip_norms",
+    "vector_normalize",
+    "distance_pairs",
+    "multimodal_frame_sample",
+]
+_BACK = [
+    # rotation debt: r3-green, untouched in r5, displaced from the r5
+    # window by the 51-into-43 squeeze — FIRST pick for the r6 window
+    "events_tumbling",
+    "events_interval_join",
+    "events_sliding",
+    "events_asof_click",
+    "events_pivot",
+    "events_approx_distinct",
+    "multimodal_decode",
+    "multimodal_meanpool",
+    # green in the r4 driver window (hash or rows-ran), untouched in r5
     "events_sessionize",
     "doc_substring_spans",
-    # new in round 4
-    "roargraph_binary_interop",
     "multimodal_decode_real",
     "pipeline_decontaminate",
     "doc_bm25_topk",
@@ -79,20 +162,9 @@ _FRONT = [
     "pipeline_chunk_documents",
     "doc_unigram_logprob",
     "multimodal_image_features",
-    "multimodal_audio_stats",
     "multimodal_resize",
-    "multimodal_audio_spectral",
-    "ann_ivfpq_persisted",
     "pipeline_shard_manifest",
-    "emb_outlier_zscore",
     "events_retention",
-    # changed in round 4 (bucketed source-keying; minhash path test + doc;
-    # 56-point sweep; selectivity-aware filtered search; similarity
-    # zero-norm guard).  knn_exact / ann_cosine_topk were r3-green and the
-    # r4 edits (match_col validation, _unit guard) are off their executed
-    # paths — demoted to _BACK to make room for the four new entries.
-    # ann_quantized_topk / ann_range_search likewise demoted (r3-green,
-    # r4 edits off their executed paths) for the two streaming entries.
     "bucketed_join_revenue",
     "dedup_minhash_lsh",
     "roargraph_sweep",
@@ -100,7 +172,6 @@ _FRONT = [
     "ann_ivf_topk",
     "ann_filtered_topk",
     "dedup_semantic",
-    # last driver-verified in r2; modules changed in r3 — rotate back in
     "dedup_fingerprint",
     "dedup_jaccard_bigram",
     "pipeline_curate",
@@ -122,70 +193,6 @@ _FRONT = [
     "anti_join_customers",
     "distinct_agg",
     "rollup_customer_balance",
-]
-_BACK = [
-    # green in the r3 driver window (hash or rows-ran) and untouched in r4
-    # (knn_exact/ann_cosine_topk/ann_quantized_topk/ann_range_search:
-    # r4 edits are off their executed paths; string/math_functions:
-    # r1+r2 driver-green scalar-expression entries, untouched, demoted
-    # for the chunking + unigram-LM entries — strict-local verified)
-    "string_functions",
-    "math_functions",
-    # scalar/set relational entries, r1+r2 driver-green, untouched since,
-    # strict-local verified — demoted for the four new multimodal entries
-    "date_functions",
-    "case_buckets",
-    "setops_nations",
-    "above_avg_balance",
-    "funnel_steps",
-    "grouping_sets_sales",
-    "json_events",
-    "cube_orders",
-    "knn_exact",
-    "ann_cosine_topk",
-    "ann_quantized_topk",
-    "ann_range_search",
-    # ann_lsh_topk: rows-only, r3-ran-clean, pytest recall gate; demoted
-    # for the new IVF-PQ entry
-    "ann_lsh_topk",
-    "events_tumbling",
-    "events_interval_join",
-    "events_sliding",
-    "events_asof_click",
-    "events_pivot",
-    "events_approx_distinct",
-    "multimodal_decode",
-    "multimodal_meanpool",
-    "multimodal_frame_sample",
-    "dedup_simhash_pairs",
-    "dedup_simhash",
-    "dedup_embedding",
-    "dedup_groups_full",
-    "dedup_ann_pairs",
-    "doc_pii_scrub",
-    "doc_gopher_quality",
-    "pipeline_mix_sample",
-    "pipeline_pack_sequences",
-    "pipeline_profile",
-    "roargraph_degrees",
-    "roargraph_search_topk",
-    "roargraph_search_ip",
-    "roargraph_search_distributed",
-    "bipartite_search_topk",
-    "roargraph_save_load_search",
-    "roargraph_insert",
-    "flagship_revenue_by_nation",
-    "pricing_summary",
-    "brand_sales",
-    "vector_norms",
-    "fbin_roundtrip_norms",
-    "vector_normalize",
-    "distance_pairs",
-    # knn.py's r4 change is plan-time validation only; knn_exact (in
-    # _FRONT) exercises the changed code path, these three ride behind
-    "knn_medoid",
-    "knn_recall_l2_vs_cosine",
-    "knn_rderr_truncated",
 ]
 
 

@@ -184,9 +184,11 @@ def test_index_save_load_roundtrip(spark, emb, index, tmp_path):
 
 def test_build_and_search_cosine_metric(spark, emb):
     """Metric parity: the reference's cosine mode is normalize-then-IP
-    (src/index_bipartite.cpp:35-37). Build + search under cosine must hit
-    the same recall gate as L2."""
-    p = IndexParams(M_sq=20, M_pjbp=8, L_pjpq=40, k=10, L_pq=40, metric="cosine")
+    (src/index_bipartite.cpp:35-37) — the webvid flagship configuration
+    (prepare_for_clip_webvid.py). Build + search under cosine must hit
+    the same recall gate as L2, at the REGISTERED params (this gate backs
+    the roargraph_search_cosine registry entry)."""
+    from mysteryann_spark.queries.graph import PARAMS_COSINE as p
     adj, ep = build_roargraph_from_table(spark, emb, p)
     adj = adj.localCheckpoint()
     q = emb.where("vec_id < 100").select(F.col("vec_id").alias("qid"), "embedding")
@@ -613,3 +615,49 @@ def test_distributed_search_frontier_batched_width(spark, emb, index):
     # batched rounds expand in parallel: per-query expansions (hops) may
     # rise, but never fall below the strict path's minimum progress
     assert all(w_hops[q0] >= 1 for q0 in s_hops)
+
+
+def test_ivf_phase0_build_recall_within_gate(spark, emb):
+    """The sub-quadratic phase-0 swap (r4 VERDICT "What's missing" #1):
+    a graph built from IVF-routed approximate training kNN must search
+    within 0.01 recall of the exact-phase-0 graph at the same beam — the
+    acceptance bar set for replacing the build's only super-linear stage.
+    Uses the registry entry's registered opts so the driver-run
+    configuration is exactly what's gated here."""
+    from mysteryann_spark.queries.graph import IVF_PHASE0_OPTS
+
+    q = emb.where("vec_id < 100").select(F.col("vec_id").alias("qid"), "embedding")
+    gt = knn_join_arrays(q, emb, 10, "l2")
+
+    def _recall(phase0, opts=None):
+        adj, ep = build_roargraph_from_table(
+            spark, emb, PARAMS, phase0=phase0, phase0_opts=opts
+        )
+        res = search_graph(
+            q, emb, adj.localCheckpoint(), ep,
+            k=10, l_search=PARAMS.L_pq, metric="l2",
+        )
+        res_arr = (
+            res.groupBy("qid")
+            .agg(F.array_sort(F.collect_list(F.struct("rank", "nn_id"))).alias("t"))
+            .select("qid", F.transform("t", lambda x: x["nn_id"]).alias("nn"))
+        )
+        return mean_recall(res_arr, gt, 10)
+
+    r_exact = _recall("exact")
+    r_ivf = _recall("ivf", IVF_PHASE0_OPTS)
+    assert r_ivf >= r_exact - 0.01, f"ivf-built {r_ivf} vs exact-built {r_exact}"
+
+
+def test_ivf_phase0_build_deterministic(spark, emb):
+    """Same seed, same data -> identical adjacency (the build determinism
+    contract extends to the approximate phase 0)."""
+    from mysteryann_spark.queries.graph import IVF_PHASE0_OPTS
+
+    a1, _ = build_roargraph_from_table(
+        spark, emb, PARAMS, phase0="ivf", phase0_opts=IVF_PHASE0_OPTS
+    )
+    a2, _ = build_roargraph_from_table(
+        spark, emb, PARAMS, phase0="ivf", phase0_opts=IVF_PHASE0_OPTS
+    )
+    assert a1.exceptAll(a2).count() == 0 and a2.exceptAll(a1).count() == 0

@@ -1,7 +1,7 @@
 """Registry-order invariants for the driver's 50-entry correctness window.
 
 The correctness driver gates only the first 50 entries of ``queries()`` in
-iteration order (CORRECTNESS_r01/r02/r03.json all stop at exactly 50 rows).
+iteration order (CORRECTNESS_r01..r04.json all stop at exactly 50 rows).
 These tests pin the ordering contract so adding a query can never silently
 push a not-yet-stable entry past the window (the r2 regression).
 """
@@ -10,35 +10,26 @@ from mysteryann_spark.queries.registry import _BACK, _FRONT, all_queries
 
 DRIVER_WINDOW = 50
 
-# Round-4 must-verify set: the two r3 hash-FAILs whose oracles were fixed,
-# everything new or changed in round 4, and the r2-last-verified floor the
-# window rotates onto (r3 VERDICT "Next round" #3).
+# Round-5 must-verify set: the r4 driver crash (fixed), the two new r5
+# entries, the four r4-green entries whose code/oracle changed in r5, and
+# the refactored knn/roargraph family (r4 VERDICT "Next round" #1/#3/#5).
 MUST_BE_IN_WINDOW = {
-    "events_sessionize",
-    "doc_substring_spans",
     "roargraph_binary_interop",
-    "multimodal_decode_real",
-    "pipeline_decontaminate",
-    "doc_bm25_topk",
-    "hybrid_rrf_topk",
-    "bpe_pair_counts",
-    "ann_pq_topk",
-    "stream_tumbling_oracled",
-    "stream_dedup_oracled",
-    "ann_ivfpq_topk",
-    "pipeline_chunk_documents",
-    "doc_unigram_logprob",
-    "multimodal_image_features",
-    "multimodal_audio_stats",
-    "multimodal_resize",
-    "multimodal_audio_spectral",
+    "roargraph_search_cosine",
+    "roargraph_build_ivf",
+    "emb_outlier_zscore",
     "ann_ivfpq_persisted",
-    "pipeline_shard_manifest",
-    "events_retention",
-    "bucketed_join_revenue",
-    "dedup_minhash_lsh",
-    "roargraph_sweep",
-    "roargraph_search_filtered",
+    "multimodal_audio_stats",
+    "multimodal_audio_spectral",
+    "knn_exact",
+    "ann_cosine_topk",
+    "roargraph_degrees",
+    "roargraph_search_topk",
+    "roargraph_search_ip",
+    "roargraph_search_distributed",
+    "roargraph_save_load_search",
+    "roargraph_insert",
+    "bipartite_search_topk",
 }
 
 
@@ -46,17 +37,27 @@ def test_must_verify_entries_inside_driver_window():
     names = list(all_queries())
     window = set(names[:DRIVER_WINDOW])
     missing = MUST_BE_IN_WINDOW - window
-    assert not missing, f"round-4 must-verify entries outside first 50: {missing}"
+    assert not missing, f"round-5 must-verify entries outside first 50: {missing}"
 
 
 def test_rotated_floor_inside_driver_window():
-    """The 31 entries last driver-verified in r2 (whose modules changed in
-    r3) must all sit inside the round-4 window."""
+    """The r2-last-verified scalar/relational floor (3 rounds without a
+    driver row is the cap) must all sit inside the round-5 window."""
     names = list(all_queries())
     window = set(names[:DRIVER_WINDOW])
-    floor = set(_FRONT[_FRONT.index("dedup_fingerprint"):])  # rotated-floor section
+    floor = set(
+        _FRONT[_FRONT.index("string_functions"): _FRONT.index("cube_orders") + 1]
+    )
     missing = floor - window
     assert not missing, f"rotated r2-floor entries outside first 50: {missing}"
+
+
+def test_front_fills_the_window_exactly():
+    """_FRONT is curated to be exactly the driver window: shorter wastes
+    verification slots, longer silently drops its own tail outside."""
+    names = list(all_queries())
+    assert len(_FRONT) == DRIVER_WINDOW
+    assert names[:DRIVER_WINDOW] == _FRONT
 
 
 def test_only_stable_back_entries_past_window():
@@ -74,4 +75,8 @@ def test_front_and_back_lists_are_live():
     dead_back = [n for n in _BACK if n not in names]
     assert not dead_front and not dead_back, (
         f"registry order lists reference missing entries: {dead_front + dead_back}"
+    )
+    assert len(names) == len(_FRONT) + len(_BACK), (
+        "every entry must be explicitly placed in _FRONT or _BACK during "
+        "a rotation round (unlisted middle entries are for mid-round adds)"
     )
