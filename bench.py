@@ -108,6 +108,20 @@ def main() -> None:
 
     run("roargraph_build", build)
 
+    def build_ivf() -> None:
+        # the sub-quadratic phase-0 variant (operators/knn_approx.py) —
+        # timed against the exact build above; at sf0.1 the IVF overhead
+        # (centroid train + assign) roughly breaks even, the win grows
+        # with N (see SCALE.md)
+        from mysteryann_spark.queries.graph import IVF_PHASE0_OPTS
+
+        adj, _ = build_roargraph_from_table(
+            spark, emb, params, phase0="ivf", phase0_opts=IVF_PHASE0_OPTS
+        )
+        adj.count()
+
+    run("roargraph_build_ivf", build_ivf)
+
     def search() -> None:
         from mysteryann_spark.session import spread
 

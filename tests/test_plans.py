@@ -179,3 +179,48 @@ def test_round4_sink_and_outlier_plan_shape(spark):
         assert set(cols) <= {"vec_id", "embedding"}, cols
     zplan = formatted_plan(z)
     assert "BroadcastExchange" in zplan or "BroadcastHashJoin" in zplan
+
+
+def test_image_features_plan_no_shuffle_minimal_scan(spark):
+    """The bench-headline image path (synth wire bytes -> real decode ->
+    features) is a pure mapInPandas chain: the documents scan reads only
+    the generator's inputs and the WHOLE plan has zero shuffles — at
+    100 TB the decode cost is the only cost."""
+    from mysteryann_spark.plans.inspect import (
+        count_shuffles,
+        formatted_plan,
+        scan_read_schemas,
+    )
+    from mysteryann_spark.queries.pipeline import multimodal_image_features
+    from tests.conftest import SF_DIR
+
+    f = multimodal_image_features(spark, SF_DIR)
+    for cols in scan_read_schemas(f):
+        assert set(cols) <= {"doc_id", "text", "n_chars"}, cols
+    assert count_shuffles(f) == 0
+    assert "CartesianProduct" not in formatted_plan(f)
+
+
+def test_ivf_knn_join_plan_shape(spark, emb):
+    """The sub-quadratic phase-0 join: the base side shuffles exactly once
+    (the cid repartition — the partitioning a persisted IVF index stores),
+    plus the (qid)-window merge; nothing quadratic, no cartesian, and the
+    embeddings scan reads only (vec_id, embedding)."""
+    from pyspark.sql import functions as F
+
+    from mysteryann_spark.operators.knn_approx import ivf_knn_join
+    from mysteryann_spark.plans.inspect import (
+        count_shuffles,
+        formatted_plan,
+        scan_read_schemas,
+    )
+
+    q = emb.where("vec_id < 20").select(F.col("vec_id").alias("qid"), "embedding")
+    res = ivf_knn_join(q, emb, 5, "l2", n_probe=4)
+    for cols in scan_read_schemas(res):
+        assert set(cols) <= {"vec_id", "embedding"}, cols
+    # one Exchange for repartition(cid), one for the global top-k window
+    assert count_shuffles(res) <= 2, formatted_plan(res)
+    plan = formatted_plan(res)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

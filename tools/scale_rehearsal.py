@@ -17,11 +17,13 @@ sample — itself one of the operators under rehearsal. Recall is reported
 as an L_pq sweep (the reference's own acceptance protocol); the gate is
 recall@10 >= 0.9 at the widest beam.
 
-Run:   python tools/scale_rehearsal.py [N] [N_QUERY_SAMPLE] [N_TRAIN] [BUILD_WIDTH]
-       (defaults 100_000, 1_000, all, 1; N_TRAIN samples the training
-       query set for the build — the reference's own regime is a sampled
-       query set — and BUILD_WIDTH>1 frontier-batches the connectivity
-       phase; one JSON line per stage — paste into SCALE.md)
+Run:   python tools/scale_rehearsal.py [N] [N_QUERY_SAMPLE] [N_TRAIN] [BUILD_WIDTH] [PHASE0]
+       (defaults 100_000, 1_000, all, 1, exact; N_TRAIN samples the
+       training query set for the build — the reference's own regime is a
+       sampled query set — BUILD_WIDTH>1 frontier-batches the connectivity
+       phase, and PHASE0=ivf swaps the exact training-kNN for the
+       IVF-routed sub-quadratic one (operators/knn_approx.py); one JSON
+       line per stage — paste into SCALE.md)
 """
 
 from __future__ import annotations
@@ -68,6 +70,7 @@ def main() -> None:
     nq = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000
     n_train = int(sys.argv[3]) if len(sys.argv) > 3 else None
     build_width = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    phase0 = sys.argv[5] if len(sys.argv) > 5 else "exact"
 
     from pyspark.sql import functions as F
 
@@ -101,6 +104,7 @@ def main() -> None:
     idx_path = (
         f"{idx_dir}/n{n}_t{n_train or n}"
         f"_M{params.M_sq}-{params.M_pjbp}-{params.L_pjpq}_w{build_width}"
+        + ("" if phase0 == "exact" else f"_p0{phase0}")
         if idx_dir
         else None
     )
@@ -125,7 +129,7 @@ def main() -> None:
         t0 = time.time()
         adj, ep = build_roargraph_from_table(
             spark, emb, params, n_queries=n_train, ensure_reachable=True,
-            expand_width=build_width,
+            expand_width=build_width, phase0=phase0,
         )
         adj = adj.localCheckpoint()
         n_nodes = adj.count()
@@ -140,6 +144,7 @@ def main() -> None:
             "params": {"M_sq": params.M_sq, "M_pjbp": params.M_pjbp,
                        "L_pjpq": params.L_pjpq},
             "n_train": n_train or n, "build_width": build_width,
+            "phase0": phase0,
         }), flush=True)
         if idx_path:
             save_index(adj, idx_path, entry_point=ep, dim=DIM, params=params)
