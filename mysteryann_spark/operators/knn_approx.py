@@ -151,9 +151,20 @@ def ivf_knn_join(
         if tbl.num_rows == 0:
             return None
         qids, qmat = table_matrix(tbl, query_id, vec_col)
-        d = np_distances(metric, _route(metric, qmat), bc_cent.value)
-        npr = min(n_probe, d.shape[1])
-        probes = np.argpartition(d, npr - 1, axis=1)[:, :npr]
+        routed = _route(metric, qmat)
+        cmat_w = bc_cent.value
+        npr = min(n_probe, len(cmat_w))
+        # Chunk the (n_q x n_centroids) probe matrix under the shared
+        # distance-block budget: unchunked it is 3.7 GB per worker at
+        # 600k queries x 775 centroids, and every worker holds one —
+        # 32 workers of those global-OOM-killed the 600k rehearsal
+        # (scale hazard #5, same family as the knn_join block bound).
+        # argpartition is row-independent, so chunking is exact.
+        probes = np.empty((len(qids), npr), dtype=np.int64)
+        q_chunk = max(1, int(_DMAT_BUDGET_BYTES // max(1, 8 * len(cmat_w))))
+        for s in range(0, len(qids), q_chunk):
+            d = np_distances(metric, routed[s : s + q_chunk], cmat_w)
+            probes[s : s + q_chunk] = np.argpartition(d, npr - 1, axis=1)[:, :npr]
         # inverted: one sort instead of a per-query Python loop
         flat_cids = probes.ravel()
         flat_rows = np.repeat(np.arange(len(qids), dtype=np.int64), npr)
