@@ -41,14 +41,18 @@ def _edges(adj: DataFrame) -> DataFrame:
 
 
 def _prune_merged(
-    fwd_edges: DataFrame, base_df: DataFrame, m: int, metric: str
+    fwd_edges: DataFrame,
+    base_df: DataFrame,
+    m: int,
+    metric: str,
+    staged_base: str | None = None,
 ) -> DataFrame:
     """union(edges, reversed edges) -> per-node occlusion prune."""
     rev = fwd_edges.select(
         F.col("cand_id").alias("node"), F.col("node").alias("cand_id")
     )
     merged = fwd_edges.unionByName(rev)
-    return prune_candidates(merged, base_df, m, metric)
+    return prune_candidates(merged, base_df, m, metric, staged_base=staged_base)
 
 
 def reachable_from(adj_df: DataFrame, ep: int) -> DataFrame:
@@ -273,6 +277,14 @@ def build_roargraph(
     else:
         raise ValueError(f"unknown phase0 mode {phase0!r} (exact|ivf)")
 
+    # one staged copy of the base serves all three prune calls (the
+    # pools shuffle bare id pairs and the kernels look vectors up here)
+    from mysteryann_spark.sources.staging import stage_parquet
+
+    staged_base = stage_parquet(
+        base_df.select(F.col(base_id), F.col(vec_col))
+    )
+
     # --- phase 1: target = 1-NN; rest of the list -> target's pool
     tgt = F.element_at("nn", 1)
     phase1_cands = (
@@ -280,10 +292,12 @@ def build_roargraph(
         .where(F.col("cand_id") != F.col("node"))
     )
     adj1 = prune_candidates(phase1_cands, base_df, params.M_pjbp, metric,
-                            base_id=base_id, vec_col=vec_col)
+                            base_id=base_id, vec_col=vec_col,
+                            staged_base=staged_base)
 
     # --- phases 2+3: reverse edges + re-prune overfull nodes
-    adj3 = _prune_merged(_edges(adj1), base_df, params.M_pjbp, metric)
+    adj3 = _prune_merged(_edges(adj1), base_df, params.M_pjbp, metric,
+                         staged_base=staged_base)
     adj3 = adj3.localCheckpoint()  # cut lineage: phase 4 searches this graph
 
     ep_thread.join()
@@ -325,6 +339,7 @@ def build_roargraph(
         base_df,
         params.degree_cap,
         metric,
+        staged_base=staged_base,
     )
     if ensure_reachable:
         # post-build connectivity audit + repair (BFS rounds = graph

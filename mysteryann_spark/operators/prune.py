@@ -102,53 +102,68 @@ def prune_candidates(
     metric: str = "l2",
     base_id: str = "vec_id",
     vec_col: str = "embedding",
+    staged_base: str | None = None,
 ) -> DataFrame:
     """Distributed prune: ``(node, cand_id)`` pairs -> ``(node, nbrs)``.
 
-    Joins candidate vectors + the node's own vector (two id-equi joins that
-    co-partition on the shuffle key), groups by node, and runs the numpy
-    kernel per group. Pool size is NOT bounded by the callers (a hub node
-    targeted by many training queries can accumulate thousands of
-    candidates on clustered data); the kernel bounds its own quadratic
-    work via pool_cap, so per-group compute is O(pool_cap^2) and memory is
-    O(pool * dim) for the collect_list row itself.
+    The shuffle carries BARE (node, cand_id) longs; the kernel looks both
+    the pool's vectors and the target's vector up in a STAGED base matrix
+    (sources/staging.py — loaded once per worker, the same regime as the
+    beam search). The earlier form joined a 64-float vector onto every
+    edge row before the collect_list, which multiplied the dominant build
+    shuffle ~25x: at 10^6 nodes the phase-4/5 merged prune carried
+    ~1.9x10^8 vector-fattened rows (~70+ GB) into one sort and filled the
+    disk with spills (scale hazard #6). Pools assemble JVM-side
+    (collect_list of longs), THEN cross into Python once per Arrow batch;
+    pool completeness is guaranteed by the groupBy, and the kernel dedups
+    each pool (np.unique keeps the closest occurrence) so duplicate pairs
+    only fatten collect_list slightly.
+
+    ``staged_base`` lets one caller (the 5-phase build) stage the base
+    once and share it across its three prune calls. Per-worker residency
+    is the base matrix (id-sorted float64 + searchsorted lookups) — the
+    same executor-memory assumption the staged search index already
+    makes, and ~n*dim*8 bytes vs the O(edges*dim) shuffle it replaces.
     """
-    node_vec = base_df.select(
-        F.col(base_id).alias("node"), F.col(vec_col).alias("node_vec")
+    from mysteryann_spark.sources.staging import (
+        load_staged,
+        read_staged,
+        stage_parquet,
+        table_matrix,
     )
-    cand_vec = base_df.select(
-        F.col(base_id).alias("cand_id"), F.col(vec_col).alias("cand_vec")
-    )
-    # Assemble each node's whole pool JVM-side (collect_list after the
-    # vector equi-join), THEN cross into Python once per Arrow batch —
-    # applyInPandas would pay one Python call + Arrow conversion per node,
-    # which dominates when pools are small and nodes are many. Pool
-    # completeness is guaranteed by the groupBy, batch splitting can't
-    # separate a pool, and per-group memory stays O(pool * dim).
-    # No dropDuplicates here: it would cost a full (node, cand_id) shuffle
-    # and the kernel already dedups each pool (np.unique keeps the closest
-    # occurrence), so duplicate pairs only fatten collect_list slightly.
+
+    if staged_base is None:
+        staged_base = stage_parquet(base_df.select(base_id, vec_col))
+    path = staged_base
+
     pools = (
         cand_df.where(F.col("cand_id") != F.col("node"))
-        .join(cand_vec, "cand_id")
         .groupBy("node")
-        .agg(
-            F.collect_list("cand_id").alias("cand_ids"),
-            F.collect_list("cand_vec").alias("cand_vecs"),
-        )
-        .join(node_vec, "node")
+        .agg(F.collect_list("cand_id").alias("cand_ids"))
     )
 
     def prune_batch(batches) -> "pd.DataFrame":
+        ids_mat = load_staged(
+            "prunebase|" + path,
+            lambda: table_matrix(read_staged(path), base_id, vec_col),
+        )
+        all_ids, mat = ids_mat
+
+        def rows_of(wanted: np.ndarray) -> np.ndarray:
+            pos = np.searchsorted(all_ids, wanted)
+            if np.any(pos >= len(all_ids)) or np.any(all_ids[pos] != wanted):
+                missing = wanted[(pos >= len(all_ids)) | (all_ids[np.minimum(pos, len(all_ids) - 1)] != wanted)]
+                raise ValueError(f"prune pool references ids absent from the base: {missing[:5]}")
+            return pos
+
         for pdf in batches:
             out_nodes, out_nbrs = [], []
-            for node, cids, cvecs, nvec in zip(
-                pdf["node"], pdf["cand_ids"], pdf["cand_vecs"], pdf["node_vec"]
-            ):
-                vecs = np.stack([np.asarray(v, dtype=np.float64) for v in cvecs])
-                tgt = np.asarray(nvec, dtype=np.float64)[None, :]
-                dists = np_distances(metric, tgt, vecs)[0]
+            node_rows = rows_of(pdf["node"].to_numpy(dtype=np.int64))
+            for node, nrow, cids in zip(pdf["node"], node_rows, pdf["cand_ids"]):
                 ids = np.asarray(cids, dtype=np.int64)
+                vecs = mat[rows_of(ids)]
+                tgt = mat[nrow][None, :]
+                dists = np_distances(metric, tgt, vecs)[0]
                 out_nodes.append(node)
                 out_nbrs.append(occlusion_prune_np(ids, dists, vecs, m, metric))
             yield pd.DataFrame({"node": out_nodes, "nbrs": out_nbrs})
