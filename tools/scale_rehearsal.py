@@ -81,8 +81,19 @@ def main() -> None:
     from mysteryann_spark.params import IndexParams
     from mysteryann_spark.session import get_spark
 
+    import os as _os
+
     spark = get_spark(app_name=f"scale-rehearsal-{n}")
-    params = IndexParams(M_sq=32, M_pjbp=16, L_pjpq=64, k=10, L_pq=100, metric="l2")
+    # SCALE_M_SQ / SCALE_M_PJBP / SCALE_L_PJPQ override the default build
+    # knobs — the density-vs-M experiments (SCALE.md: "scale M_pjbp with
+    # density") need non-default M at fixed N. The cache key includes the
+    # params, so overridden runs never collide with default-built graphs.
+    params = IndexParams(
+        M_sq=int(_os.environ.get("SCALE_M_SQ", 32)),
+        M_pjbp=int(_os.environ.get("SCALE_M_PJBP", 16)),
+        L_pjpq=int(_os.environ.get("SCALE_L_PJPQ", 64)),
+        k=10, L_pq=100, metric="l2",
+    )
 
     emb = synth_embeddings(spark, n).cache()
     t0 = time.time()
