@@ -22,7 +22,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from mysteryann_spark.sources.tables import normalize_event_ts
 
@@ -87,6 +87,7 @@ _SESS_STATE_SCHEMA = StructType(
         StructField("session_id", LongType()),
         StructField("n_events", LongType()),
         StructField("start_us", LongType()),
+        StructField("buf", ArrayType(LongType())),
     ]
 )
 
@@ -96,47 +97,76 @@ _GAP_US = 1_800_000_000  # 30 min, same as the batch query
 def _session_fn(key, pdfs, state):
     """Per-user stateful session assembly: emits a row per CLOSED session.
 
-    The open tail session lives in state and is flushed by an EVENT-TIME
-    timeout (watermark passes last_event + gap) — wall-clock timeouts would
-    keep the micro-batch scheduler spinning forever on a bounded source,
-    and at scale they'd flush sessions of a lagging partition incorrectly.
+    Two scale rules, both learned from the 10^7-event rehearsal
+    (tools/scale_streaming.py), where the naive version corrupted most
+    sessions:
+
+    - **Buffer to the watermark.** Events are held in state (``buf``) until
+      the watermark passes them, then folded into the session in event-time
+      order. Folding immediately is only correct if the source delivers
+      each user's events in order — real feeds (time-sliced files, Kafka
+      with any cross-partition skew) do not guarantee that, and a single
+      out-of-order pair mis-splits the session. The buffer is bounded by
+      the watermark horizon (1 h of one user's events), which is exactly
+      the state bound watermarking promises.
+    - **Close by timeout, but never forget the counter.** Removing state on
+      timeout resets ``session_id`` to 0 for a returning user, silently
+      renumbering every later session. The closed-session timeout keeps a
+      tombstone (counter + frontier, empty buffer, NO armed timeout), so
+      state for an idle user is one row, and numbering survives. True TTL
+      eviction of ancient users would trade that numbering away —
+      ordinal-per-user ids inherently need per-user memory.
+
+    The open tail session is flushed when the watermark passes
+    last_event + gap (event-time timeout; wall-clock timeouts would flush
+    lagging partitions incorrectly).
     """
     import pandas as pd
 
     (user_id,) = key
-    if state.hasTimedOut:
-        last_us, session_id, n_events, start_us = state.get
-        state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "session_id": [session_id],
-                "n_events": [n_events],
-                "duration_ms": [(last_us - start_us) // 1000],
-            }
-        )
-        return
+    new: list[int] = []
+    for pdf in pdfs:
+        new.extend(int(u) for u in pdf["us"].tolist())
+    if state.exists:
+        last_us, session_id, n_events, start_us, buf = state.get
+        buf = sorted(list(buf or ()) + new)
+    else:
+        last_us, session_id, n_events, start_us, buf = None, 0, 0, None, sorted(new)
+
+    wm_ms = state.getCurrentWatermarkMs()
+    wm_us = wm_ms * 1000
+    ready = [u for u in buf if u <= wm_us]
+    pending = [u for u in buf if u > wm_us]
 
     rows = []
-    if state.exists:
-        last_us, session_id, n_events, start_us = state.get
-    else:
-        last_us, session_id, n_events, start_us = None, 0, 0, None
-    for pdf in pdfs:
-        for us in sorted(pdf["us"].tolist()):
-            if last_us is None or us - last_us > _GAP_US:
-                if last_us is not None:
-                    rows.append((user_id, session_id, n_events, (last_us - start_us) // 1000))
-                session_id += 1
-                n_events = 0
-                start_us = us
-            n_events += 1
-            last_us = us
-    state.update((last_us, session_id, n_events, start_us))
-    # flush when the watermark passes the session gap (must stay above the
-    # current watermark or Spark rejects the timestamp)
-    timeout_ms = max(last_us // 1000 + _GAP_US // 1000, state.getCurrentWatermarkMs() + 1)
-    state.setTimeoutTimestamp(timeout_ms)
+    for us in ready:
+        if last_us is not None and us < last_us:
+            continue  # beyond-watermark late (possible only via a broken source)
+        if n_events == 0 or us - last_us > _GAP_US:
+            if n_events > 0:
+                rows.append((user_id, session_id, n_events, (last_us - start_us) // 1000))
+            session_id += 1
+            n_events = 0
+            start_us = us
+        n_events += 1
+        last_us = us
+    # the open session closes once no on-time event can extend it: every
+    # future event has us > wm >= last_us + gap and would start a new one
+    if n_events > 0 and wm_us >= last_us + _GAP_US:
+        rows.append((user_id, session_id, n_events, (last_us - start_us) // 1000))
+        n_events = 0
+        start_us = None
+
+    state.update((last_us, session_id, n_events, start_us, pending))
+    # wake when the watermark can next change the answer: close the open
+    # session, or drain the oldest buffered event — whichever comes first
+    cands = []
+    if n_events > 0:
+        cands.append(last_us + _GAP_US)
+    if pending:
+        cands.append(pending[0])
+    if cands:
+        state.setTimeoutTimestamp(max(min(cands) // 1000 + 1, wm_ms + 1))
     yield pd.DataFrame(
         rows, columns=["user_id", "session_id", "n_events", "duration_ms"]
     )

@@ -25,25 +25,39 @@ def test_stream_tumbling_matches_batch(spark):
 def test_stream_sessionize_closed_sessions(spark):
     stream = stream_sessionize(read_events_stream(spark, SF_DIR))
     got = run_stream_to_memory(stream, "sessions_out", "append").collect()
-    # gap-closed sessions are emitted inline; each user's open tail session
-    # is emitted only if the final watermark passed last_ts + gap. So:
-    # every emitted row must match the batch sessionizer exactly, and every
-    # non-tail batch session must have been emitted.
+    # The sessionizer buffers events to the watermark (10^7-event rehearsal
+    # finding: immediate folding corrupts sessions under out-of-order
+    # delivery). A session is guaranteed emitted once the FINAL watermark
+    # passed its end + gap; later sessions may legitimately still sit in
+    # state when a bounded feed ends. So: every emitted row must match the
+    # batch sessionizer exactly, and every watermark-closable batch session
+    # must have been emitted.
+    from datetime import datetime, timezone
+
     from mysteryann_spark.queries.events import events_sessionize
 
     batch = events_sessionize(spark, SF_DIR).collect()
-    last_sess = {}
-    for r in batch:
-        cur = last_sess.get(r["user_id"], -1)
-        last_sess[r["user_id"]] = max(cur, r["session_id"])
+
+    def end_us(r):
+        start = datetime.strptime(
+            r["sess_start"], "%Y-%m-%d %H:%M:%S.%f"
+        ).replace(tzinfo=timezone.utc)
+        return int(start.timestamp() * 1_000_000) + r["duration_ms"] * 1000
+
+    wm_final_us = max(end_us(r) for r in batch) - 3_600_000_000
+    gap_us = 1_800_000_000
     batch_map = {
         (r["user_id"], r["session_id"]): (r["n_events"], r["duration_ms"]) for r in batch
     }
-    non_tail = {
-        k: v for k, v in batch_map.items() if k[1] != last_sess[k[0]]
+    # 2 s margin absorbs the ms truncation in duration_ms round-tripping
+    closable = {
+        (r["user_id"], r["session_id"])
+        for r in batch
+        if end_us(r) + gap_us <= wm_final_us - 2_000_000
     }
     got_map = {(r["user_id"], r["session_id"]): (r["n_events"], r["duration_ms"]) for r in got}
-    assert set(non_tail) <= set(got_map)
+    missing = closable - set(got_map)
+    assert not missing, f"{len(missing)} watermark-closable sessions not emitted"
     for k, v in got_map.items():
         assert batch_map[k] == v, (k, v, batch_map[k])
 
