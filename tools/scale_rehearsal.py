@@ -34,8 +34,16 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+import os as _env
+
 DIM = 64
-N_CENTERS = 256
+# SCALE_N_CENTERS: the mixture's center count. The 256 default makes
+# per-cluster density GROW with N (390 pts/center at 100k, 3906 at 1M) —
+# a deliberately adversarial densifying geometry. Fixed-density scaling
+# (centers ∝ N) is the fair "same data, more of it" regime; the 1M
+# fixed-density run is the measured separation of engine-scaling from
+# geometry-densifying (SCALE.md).
+N_CENTERS = int(_env.environ.get("SCALE_N_CENTERS", 256))
 CENTER_SCALE = 2.0
 
 
@@ -116,6 +124,7 @@ def main() -> None:
         f"{idx_dir}/n{n}_t{n_train or n}"
         f"_M{params.M_sq}-{params.M_pjbp}-{params.L_pjpq}_w{build_width}"
         + ("" if phase0 == "exact" else f"_p0{phase0}")
+        + ("" if N_CENTERS == 256 else f"_c{N_CENTERS}")
         if idx_dir
         else None
     )
