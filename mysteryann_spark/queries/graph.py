@@ -12,6 +12,7 @@ respected, deterministic across rebuilds.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -334,6 +335,41 @@ def roargraph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("node", F.size("nbrs").cast("bigint").alias("degree"))
 
 
+def roargraph_stream_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming index maintenance under the driver's eye: build on the
+    first 90% of the base, then drain the held-out 10% as a THREE-micro-
+    batch Structured Streaming feed through foreachBatch incremental
+    insertion (streaming/maintain.py), returning per-node degrees of the
+    final graph. The reference has no insert path (build-once,
+    src/index_bipartite.cpp) — this is the index-freshness loop a live
+    corpus needs. Rows-only; streamed-vs-bulk parity, degree-cap, and
+    recall gates live in tests/test_streaming.py."""
+    import tempfile
+
+    from mysteryann_spark.operators.projection import build_roargraph_from_table
+    from mysteryann_spark.streaming.maintain import (
+        stage_vector_stream,
+        stream_insert_roargraph,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cut = int(emb.count() * 0.9)
+    old = emb.where(F.col("vec_id") < cut)
+    new = emb.where(F.col("vec_id") >= cut)
+    adj, ep = build_roargraph_from_table(spark, old, PARAMS)
+    scratch = tempfile.mkdtemp(
+        prefix=f"roargraph_stream_{spark.sparkContext.applicationId}_"
+    )
+    stream = stage_vector_stream(
+        spark, new, os.path.join(scratch, "feed"), n_batches=3
+    )
+    _, merged, _, _ = stream_insert_roargraph(
+        spark, old.select("vec_id", "embedding"), adj.localCheckpoint(), ep,
+        stream, PARAMS, os.path.join(scratch, "ckpt"),
+    )
+    return merged.select("node", F.size("nbrs").cast("bigint").alias("degree"))
+
+
 def roargraph_save_load_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index persistence round-trip under the driver's eye: save the
     built projection graph + metadata header (SaveProjectionGraph,
@@ -398,6 +434,7 @@ QUERIES: dict[str, QuerySpec] = {
     "bipartite_search_topk": QuerySpec(bipartite_search_topk, None),
     "roargraph_search_filtered": QuerySpec(roargraph_search_filtered, None),
     "roargraph_insert": QuerySpec(roargraph_insert, None),
+    "roargraph_stream_insert": QuerySpec(roargraph_stream_insert, None),
     "roargraph_save_load_search": QuerySpec(roargraph_save_load_search, None),
     "roargraph_binary_interop": QuerySpec(roargraph_binary_interop, None),
 }

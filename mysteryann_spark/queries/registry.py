@@ -79,13 +79,17 @@ _FRONT = [
     # new in round 5
     "roargraph_search_cosine",
     "roargraph_build_ivf",
+    "roargraph_stream_insert",
     # r4-green but changed in round 5 — hash/row must re-green under the
     # new code (outlier oracle derives dim + nullif guard; persisted-ivfpq
-    # path keyed by applicationId; WAV parser bounds checks)
+    # path keyed by applicationId; WAV parser bounds checks). The spectral
+    # sibling is demoted to make room for the new streaming-insert entry:
+    # it is rows-only (a bounds-check can't change its row count), the
+    # bare-session gate ran it clean this round, and multimodal_audio_stats
+    # hash-covers the same codec path in-window.
     "emb_outlier_zscore",
     "ann_ivfpq_persisted",
     "multimodal_audio_stats",
-    "multimodal_audio_spectral",
     # knn.py refactor (flat_to_arrays) + graph.py _build signature change
     # touch every entry over the join/build paths — rotate the family in
     "knn_exact",
@@ -138,7 +142,12 @@ _FRONT = [
 ]
 _BACK = [
     # rotation debt: r3-green, untouched in r5, displaced from the r5
-    # window by the 51-into-43 squeeze — FIRST pick for the r6 window
+    # window by the 51-into-43 squeeze — FIRST pick for the r6 window.
+    # multimodal_audio_spectral joins them: r4 driver rows-ran, demoted
+    # late in r5 to seat the new streaming-insert entry (its r5 change is
+    # a bounds check; the oracled audio_stats twin hash-covers the codec
+    # in-window, and the bare gate ran it clean this round).
+    "multimodal_audio_spectral",
     "events_tumbling",
     "events_interval_join",
     "events_sliding",

@@ -10,17 +10,19 @@ from mysteryann_spark.queries.registry import _BACK, _FRONT, all_queries
 
 DRIVER_WINDOW = 50
 
-# Round-5 must-verify set: the r4 driver crash (fixed), the two new r5
-# entries, the four r4-green entries whose code/oracle changed in r5, and
-# the refactored knn/roargraph family (r4 VERDICT "Next round" #1/#3/#5).
+# Round-5 must-verify set: the r4 driver crash (fixed), the three new r5
+# entries, the r4-green entries whose code/oracle changed in r5 (the
+# rows-only spectral sibling is demoted — its oracled twin hash-covers the
+# same codec in-window), and the refactored knn/roargraph family
+# (r4 VERDICT "Next round" #1/#3/#5).
 MUST_BE_IN_WINDOW = {
     "roargraph_binary_interop",
     "roargraph_search_cosine",
     "roargraph_build_ivf",
+    "roargraph_stream_insert",
     "emb_outlier_zscore",
     "ann_ivfpq_persisted",
     "multimodal_audio_stats",
-    "multimodal_audio_spectral",
     "knn_exact",
     "ann_cosine_topk",
     "roargraph_degrees",

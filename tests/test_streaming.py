@@ -162,3 +162,64 @@ def test_normalize_event_ts_handles_both_encodings(spark, tmp_path):
     va = sorted(r["ts"] for r in a.collect())
     vb = sorted(r["ts"] for r in b.collect())
     assert va == vb
+
+
+def test_stream_insert_roargraph_parity(spark, emb, tmp_path):
+    """Streaming incremental maintenance (3 micro-batches through
+    foreachBatch) must cover every node, hold the degree cap, make the
+    streamed vectors retrievable (full-corpus recall >= 0.9 vs exact
+    kNN), and be deterministic across replays of the same feed."""
+    from pyspark.sql import functions as F
+
+    from mysteryann_spark.operators.evaluate import mean_recall
+    from mysteryann_spark.operators.knn import knn_join_arrays
+    from mysteryann_spark.operators.projection import build_roargraph_from_table
+    from mysteryann_spark.operators.search import search_graph
+    from mysteryann_spark.params import IndexParams
+    from mysteryann_spark.streaming.maintain import (
+        stage_vector_stream,
+        stream_insert_roargraph,
+    )
+
+    params = IndexParams(M_sq=20, M_pjbp=8, L_pjpq=40, k=10, L_pq=40, metric="l2")
+    n = emb.count()
+    cut = int(n * 0.9)
+    old = emb.where(F.col("vec_id") < cut)
+    new = emb.where(F.col("vec_id") >= cut)
+    adj, ep = build_roargraph_from_table(spark, old, params)
+    adj = adj.localCheckpoint()
+
+    def run(tag):
+        stream = stage_vector_stream(
+            spark, new, str(tmp_path / f"feed_{tag}"), n_batches=3
+        )
+        _, merged, _, n_batches = stream_insert_roargraph(
+            spark, old.select("vec_id", "embedding"), adj, ep,
+            stream, params, str(tmp_path / f"ckpt_{tag}"),
+        )
+        assert n_batches == 3
+        return merged.localCheckpoint()
+
+    merged = run("a")
+    rows = merged.select("node", F.array_sort("nbrs").alias("nbrs")).collect()
+    assert len(rows) == n
+    assert all(1 <= len(r["nbrs"]) <= params.degree_cap for r in rows)
+
+    q = emb.select(F.col("vec_id").alias("qid"), "embedding")
+    res = search_graph(q, emb, merged, ep, k=10, l_search=params.L_pq, metric="l2")
+    res_arr = (
+        res.groupBy("qid")
+        .agg(F.array_sort(F.collect_list(F.struct("rank", "nn_id"))).alias("t"))
+        .select("qid", F.transform("t", lambda x: x["nn_id"]).alias("nn"))
+    )
+    gt = knn_join_arrays(q, emb, 10, "l2")
+    recall = mean_recall(res_arr, gt, 10)
+    assert recall >= 0.9, f"post-stream-insert recall@10={recall}"
+
+    again = run("b")
+    a = {r["node"]: r["nbrs"] for r in rows}
+    b = {
+        r["node"]: r["nbrs"]
+        for r in again.select("node", F.array_sort("nbrs").alias("nbrs")).collect()
+    }
+    assert a == b
