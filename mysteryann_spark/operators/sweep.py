@@ -21,7 +21,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mysteryann_spark.operators.evaluate import recall_at_k
+from mysteryann_spark.operators.evaluate import recall_at_k, relative_distance_error
 from mysteryann_spark.operators.knn import knn_join_arrays
 from mysteryann_spark.operators.search import search_graph, stage_graph_index
 from mysteryann_spark.session import spread
@@ -36,8 +36,10 @@ def search_sweep(
     l_values: list[int],
     metric: str = "l2",
 ) -> DataFrame:
-    """One row per L_pq: (l_pq, recall, qps, mean_latency_ms, avg_cmps,
-    avg_hops) — the reference's sweep CSV as a DataFrame."""
+    """One row per L_pq: (l_pq, recall, rderr, qps, mean_latency_ms,
+    avg_cmps, avg_hops) — the reference's sweep CSV as a DataFrame,
+    including its per-point relative-distance-error column
+    (ComputeRderr, tests/test_search_roargraph.cpp:38-62,231-232)."""
     spark = base_df.sparkSession
     gt = knn_join_arrays(queries_df, base_df, k, metric).localCheckpoint()
     n_queries = queries_df.count()
@@ -55,12 +57,23 @@ def search_sweep(
         wall = time.time() - t0
         res_arr = (
             res.groupBy("qid")
-            .agg(F.array_sort(F.collect_list(F.struct("rank", "nn_id"))).alias("t"))
-            .select("qid", F.transform("t", lambda x: x["nn_id"]).alias("nn"))
+            .agg(
+                F.array_sort(F.collect_list(F.struct("rank", "nn_id", "dist"))).alias("t")
+            )
+            .select(
+                "qid",
+                F.transform("t", lambda x: x["nn_id"]).alias("nn"),
+                F.transform("t", lambda x: x["dist"]).alias("dists"),
+            )
         )
         stats = (
             recall_at_k(res_arr, gt, k)
             .agg(F.avg("recall").alias("recall"))
+            .crossJoin(
+                relative_distance_error(res_arr, gt, k).agg(
+                    F.avg("rderr").alias("rderr")
+                )
+            )
             .crossJoin(
                 res.groupBy("qid")
                 .agg(F.first("cmps").alias("cmps"), F.first("hops").alias("hops"))
@@ -72,6 +85,7 @@ def search_sweep(
             (
                 l_pq,
                 round(float(stats["recall"]), 6),
+                round(float(stats["rderr"]), 9),
                 round(n_queries / wall, 3),
                 round(1000.0 * wall / n_queries, 6),
                 round(float(stats["avg_cmps"]), 3),
@@ -80,6 +94,6 @@ def search_sweep(
         )
     return spark.createDataFrame(
         rows,
-        "l_pq int, recall double, qps double, mean_latency_ms double, "
-        "avg_cmps double, avg_hops double",
+        "l_pq int, recall double, rderr double, qps double, "
+        "mean_latency_ms double, avg_cmps double, avg_hops double",
     )

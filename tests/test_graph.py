@@ -236,6 +236,9 @@ def test_search_sweep_recall_monotone(spark, emb, index):
     assert rows[40]["recall"] >= 0.95
     for r in rows.values():
         assert r["avg_cmps"] > 0 and r["avg_hops"] > 0 and r["qps"] > 0
+        assert r["rderr"] >= 0.0
+    # a beam clearing the 0.95 recall gate returns near-exact distances
+    assert rows[40]["rderr"] <= 0.05
     # bigger beams do strictly more work
     assert rows[10]["avg_cmps"] < rows[40]["avg_cmps"]
 
