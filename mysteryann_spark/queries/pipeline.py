@@ -765,6 +765,72 @@ WHERE d.doc_id % 20 != 0
 """
 
 
+def pipeline_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin of
+    the 5-gram entry above (the published recipe when eval rephrasings
+    defeat exact n-gram matching): flag every TRAIN vector whose max
+    cosine similarity against the EVAL slice (vec_id < 5 standing in for
+    a benchmark suite) clears the threshold.
+
+    Scale shape: the eval side is always tiny (benchmarks are MBs), so
+    it broadcasts; the train side is one scan with a row-local zip_with
+    dot product against each eval row and a map-side max — no shuffle of
+    vectors, cost ∝ |train| × |eval|. The ANN index is the escalation
+    path when |eval| stops being broadcastable."""
+    e = _emb(spark, sf_dir)
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    scored = e.select("vec_id", "embedding", F.sqrt(sq).alias("nrm"))
+    ev = scored.where(F.col("vec_id") < 5).select(
+        F.col("embedding").alias("eval_emb"), F.col("nrm").alias("eval_nrm")
+    )
+    train = scored.where(F.col("vec_id") >= 5)
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "eval_emb", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    cos = F.when(
+        (F.col("nrm") > 0) & (F.col("eval_nrm") > 0),
+        dot / (F.col("nrm") * F.col("eval_nrm")),
+    ).otherwise(F.lit(0.0))
+    return (
+        train.crossJoin(F.broadcast(ev))
+        .select("vec_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.max("cos"), 6).alias("max_eval_sim"),
+            (F.max("cos") >= 0.4).cast("int").alias("contaminated"),
+        )
+    )
+
+
+_DECONTAM_SEM_SQL = """
+WITH n AS (
+  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+p AS (
+  SELECT t.vec_id AS vec_id, e.vec_id AS eval_id,
+         CAST(unnest(t.embedding) AS DOUBLE) AS xa,
+         CAST(unnest(e.embedding) AS DOUBLE) AS xb
+  FROM embeddings t JOIN embeddings e ON t.vec_id >= 5 AND e.vec_id < 5),
+d AS (SELECT vec_id, eval_id, sum(xa * xb) AS dot FROM p GROUP BY vec_id, eval_id),
+m AS (
+  SELECT d.vec_id,
+         max(coalesce(d.dot / nullif(nt.nrm * ne.nrm, 0), 0)) AS ms
+  FROM d JOIN n nt ON d.vec_id = nt.vec_id JOIN n ne ON d.eval_id = ne.vec_id
+  GROUP BY d.vec_id)
+SELECT vec_id, round(ms, 6) AS max_eval_sim,
+       CAST(CASE WHEN ms >= 0.4 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM m
+"""
+
+
 def pipeline_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified data mixing: per-source sampling rates
     applied via an md5-derived uniform — the reproducible (re-runnable,
@@ -1539,6 +1605,9 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_substring_spans": QuerySpec(doc_substring_spans, _SUBSTR_SQL),
     "pipeline_mix_sample": QuerySpec(pipeline_mix_sample, _MIX_SQL),
     "pipeline_decontaminate": QuerySpec(pipeline_decontaminate, _DECONTAM_SQL),
+    "pipeline_decontaminate_semantic": QuerySpec(
+        pipeline_decontaminate_semantic, _DECONTAM_SEM_SQL
+    ),
     "dedup_semantic": QuerySpec(dedup_semantic, None),
     "ann_range_search": QuerySpec(ann_range_search, _RANGE_SQL),
     "ann_filtered_topk": QuerySpec(ann_filtered_topk, _ANN_FILTERED_SQL),

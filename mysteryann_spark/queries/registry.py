@@ -148,6 +148,10 @@ _BACK = [
     # a bounds check; the oracled audio_stats twin hash-covers the codec
     # in-window, and the bare gate ran it clean this round).
     "multimodal_audio_spectral",
+    # new LATE in round 5 (the window was already committed): hash-oracled
+    # + bare-gate-verified locally this round; first pick for r6 with the
+    # block below
+    "pipeline_decontaminate_semantic",
     "events_tumbling",
     "events_interval_join",
     "events_sliding",
