@@ -423,6 +423,31 @@ def roargraph_binary_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank")
 
 
+def roargraph_nsg_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NSG third-party index interop (S9 — LoadNsgGraph,
+    src/index_bipartite.cpp:2073-2095): export the built graph to the
+    NSG binary layout (width+ep header, count-less records to EOF),
+    import it back recovering npts from the stream, and search THROUGH
+    the imported copy. Rows-only; byte roundtrip + hand-packed parse +
+    truncation rejection are gated in tests/test_graph.py."""
+    import os as _os
+    import tempfile
+
+    from mysteryann_spark.sources.graph_io import load_nsg_binary, save_nsg_binary
+
+    emb, adj, ep = _build(spark, sf_dir)
+    npts = emb.count()
+    path = _os.path.join(tempfile.mkdtemp(prefix="mysteryann-nsg-"), "roar.nsg")
+    save_nsg_binary(adj, path, entry_point=ep, npts=npts)
+    adj2, ep2, _w = load_nsg_binary(spark, path)
+    q = emb.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
+    res = search_graph(
+        q, emb, adj2.localCheckpoint(), ep2,
+        k=PARAMS.k, l_search=PARAMS.L_pq, metric=PARAMS.metric,
+    )
+    return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "roargraph_sweep": QuerySpec(roargraph_sweep, None),
     "roargraph_degrees": QuerySpec(roargraph_degrees, None),
@@ -437,4 +462,5 @@ QUERIES: dict[str, QuerySpec] = {
     "roargraph_stream_insert": QuerySpec(roargraph_stream_insert, None),
     "roargraph_save_load_search": QuerySpec(roargraph_save_load_search, None),
     "roargraph_binary_interop": QuerySpec(roargraph_binary_interop, None),
+    "roargraph_nsg_import": QuerySpec(roargraph_nsg_import, None),
 }

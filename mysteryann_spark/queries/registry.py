@@ -152,6 +152,7 @@ _BACK = [
     # + bare-gate-verified locally this round; first pick for r6 with the
     # block below
     "pipeline_decontaminate_semantic",
+    "roargraph_nsg_import",
     "events_tumbling",
     "events_interval_join",
     "events_sliding",

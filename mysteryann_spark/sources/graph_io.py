@@ -116,10 +116,13 @@ def _write_adjacency_stream(out, adj: DataFrame, npts: int) -> None:
         next_node += 1
 
 
-def _read_adjacency_stream(buf, npts: int):
+def _read_adjacency_stream(buf, npts: int | None):
     """Parse ``npts`` ``(deg, nbrs[deg])`` records from a uint32 ndarray
     view positioned at the first record. Returns (degs, flat_nbrs,
-    indptr).
+    indptr). ``npts=None`` parses records until end-of-file — the NSG
+    layout carries no point count (the reference hardcodes 10^6,
+    LoadNsgGraph src/index_bipartite.cpp:2078; we recover the true count
+    from the stream itself).
 
     The header walk is sequential by format design (record i+1 starts
     where record i's neighbor run ends), so it can't be a single numpy
@@ -130,13 +133,15 @@ def _read_adjacency_stream(buf, npts: int):
     every flat slot to its source position — no per-record slice copies."""
     import numpy as np
 
-    degs = np.empty(npts, dtype=np.int64)
+    known = npts is not None
+    degs = np.empty(npts, dtype=np.int64) if known else None
+    degs_l: list[int] = []
     n_buf = len(buf)
     chunk = 1 << 21  # uint32s (~8 MB per slice)
     pos = 0  # absolute offset of the next unread header
     i = 0
-    while i < npts:
-        if pos >= n_buf:
+    while (i < npts) if known else (pos < n_buf):
+        if known and pos >= n_buf:
             raise ValueError(
                 f"corrupt adjacency stream: record {i}/{npts} starts past "
                 f"end of file ({pos} >= {n_buf} uint32s)"
@@ -144,12 +149,18 @@ def _read_adjacency_stream(buf, npts: int):
         local = buf[pos : pos + chunk].tolist()
         limit = len(local)
         off = 0
-        while i < npts and off < limit:
+        while off < limit and (i < npts if known else True):
             d = local[off]
-            degs[i] = d
+            if known:
+                degs[i] = d
+            else:
+                degs_l.append(d)
             off += 1 + d
             i += 1
         pos += off  # may overshoot `limit` mid-record; headers were in-slice
+    if not known:
+        npts = i
+        degs = np.asarray(degs_l, dtype=np.int64)
     if pos != n_buf:
         raise ValueError(
             f"corrupt adjacency stream: consumed {pos} uint32s, file has {n_buf}"
@@ -224,3 +235,38 @@ def load_bipartite_binary(spark: SparkSession, path: str) -> DataFrame:
     npts = int(raw[0])
     degs, flat, indptr = _read_adjacency_stream(raw[1:], npts)
     return _adjacency_df(spark, degs, flat, indptr)
+
+
+def save_nsg_binary(
+    adj: DataFrame, path: str, *, entry_point: int, npts: int, width: int | None = None
+) -> None:
+    """Export adjacency to the third-party NSG graph layout the reference
+    can consume (LoadNsgGraph, src/index_bipartite.cpp:2073-2095):
+    ``width:u32, ep:u32`` then per-node ``(deg:u32, nbrs[deg]:u32)``
+    records to end-of-file — the format carries NO point count. ``width``
+    (the format's max-degree header) defaults to the measured max degree."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    if width is None:
+        row = adj.agg(F.max(F.size("nbrs")).alias("w")).head()
+        width = int(row["w"] or 0)
+    with open(path, "wb") as out:
+        out.write(np.array([width, entry_point], dtype="<u4").tobytes())
+        _write_adjacency_stream(out, adj, npts)
+
+
+def load_nsg_binary(spark: SparkSession, path: str) -> tuple[DataFrame, int, int]:
+    """Import an NSG-format graph file (the reference's third-party index
+    interop, LoadNsgGraph src/index_bipartite.cpp:2073-2095 — which
+    hardcodes npts=10^6; here the true count comes from the stream).
+    Returns ``(adjacency DataFrame (node, nbrs), entry_point, width)``."""
+    import numpy as np
+
+    raw = np.fromfile(path, dtype="<u4")
+    if len(raw) < 2:
+        raise ValueError(f"{path}: truncated NSG graph file")
+    width, ep = int(raw[0]), int(raw[1])
+    degs, flat, indptr = _read_adjacency_stream(raw[2:], None)
+    return _adjacency_df(spark, degs, flat, indptr), ep, width

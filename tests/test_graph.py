@@ -407,6 +407,56 @@ def test_bipartite_binary_interop_roundtrip(spark, tmp_path):
     assert back == {0: [3, 4], 1: [], 2: [0], 3: [], 4: [1, 2, 3]}
 
 
+def test_nsg_binary_interop_roundtrip(spark, emb, index, tmp_path):
+    """NSG third-party layout (LoadNsgGraph, src/index_bipartite.cpp:
+    2073-2095): width+ep header, records to EOF with NO point count —
+    the loader must recover npts from the stream (the reference hardcodes
+    10^6). (a) hand-packed parse, (b) byte roundtrip with width = max
+    degree, (c) search parity through the import, (d) truncated-stream
+    rejection."""
+    import struct
+
+    from mysteryann_spark.sources.graph_io import load_nsg_binary, save_nsg_binary
+
+    # (a) hand-packed: width=7, ep=1, adj = {0:[2], 1:[0, 2], 2:[]}
+    hand = tmp_path / "hand.nsg"
+    with open(hand, "wb") as f:
+        f.write(struct.pack("<2I", 7, 1))
+        f.write(struct.pack("<I", 1) + struct.pack("<I", 2))
+        f.write(struct.pack("<I", 2) + struct.pack("<2I", 0, 2))
+        f.write(struct.pack("<I", 0))
+    adj_h, ep_h, w_h = load_nsg_binary(spark, str(hand))
+    assert (ep_h, w_h) == (1, 7)
+    assert {r["node"]: list(r["nbrs"]) for r in adj_h.collect()} == {
+        0: [2], 1: [0, 2], 2: []
+    }
+
+    # (b) byte roundtrip of the real built index; npts recovered = 500
+    adj, ep = index
+    p1, p2 = tmp_path / "a.nsg", tmp_path / "b.nsg"
+    save_nsg_binary(adj, str(p1), entry_point=ep, npts=500)
+    adj2, ep2, w2 = load_nsg_binary(spark, str(p1))
+    assert ep2 == ep
+    assert adj2.count() == 500
+    assert w2 == adj.agg(F.max(F.size("nbrs"))).head()[0]
+    save_nsg_binary(adj2, str(p2), entry_point=ep2, npts=500, width=w2)
+    assert p1.read_bytes() == p2.read_bytes()
+
+    # (c) search parity through the imported copy
+    q = emb.where("vec_id < 10").select(F.col("vec_id").alias("qid"), "embedding")
+    r1 = sorted(map(tuple, search_graph(q, emb, adj, ep, 5, 20, "l2").collect()))
+    r2 = sorted(
+        map(tuple, search_graph(q, emb, adj2.localCheckpoint(), ep2, 5, 20, "l2").collect())
+    )
+    assert r1 == r2
+
+    # (d) a final record whose neighbor run is cut off must be rejected
+    trunc = tmp_path / "trunc.nsg"
+    trunc.write_bytes(p1.read_bytes()[:-4])
+    with pytest.raises(ValueError, match="corrupt|truncated"):
+        load_nsg_binary(spark, str(trunc))
+
+
 def test_filtered_search_skewed_labels(spark, emb):
     """Selectivity-aware filtered search on a SKEWED label distribution:
     a 1%-frequency label must not lose recall to fixed-factor
