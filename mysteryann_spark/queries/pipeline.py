@@ -433,7 +433,8 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ANN_QUANT_SQL = """
-WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+WITH idx AS (SELECT unnest(generate_series(
+         1, (SELECT max(len(embedding)) FROM embeddings))) AS i),
 p AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings CROSS JOIN idx),
 sc AS (SELECT i, CASE WHEN max(abs(x)) > 0 THEN max(abs(x)) / 127.0 ELSE 1.0 END AS s
        FROM p GROUP BY i),
@@ -554,7 +555,8 @@ def multimodal_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MM_POOL_SQL = """
-WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+WITH idx AS (SELECT unnest(generate_series(
+         1, (SELECT max(len(embedding)) FROM embeddings))) AS i),
 m AS (SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
       FROM embeddings CROSS JOIN idx GROUP BY label, i),
 nrm AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM m GROUP BY label),

@@ -160,7 +160,8 @@ def knn_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MEDOID_SQL = """
-WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+WITH idx AS (SELECT unnest(generate_series(
+         1, (SELECT max(len(embedding)) FROM embeddings))) AS i),
 c AS (SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS m
       FROM embeddings CROSS JOIN idx GROUP BY i),
 d AS (SELECT vec_id, sum((CAST(embedding[i] AS DOUBLE) - m) * (CAST(embedding[i] AS DOUBLE) - m)) AS dist
@@ -227,7 +228,8 @@ _RDERR_SQL = f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}),
 u AS (SELECT q.qid, b.vec_id AS nn_id, s.i AS i,
              CAST(q.qe[s.i] AS DOUBLE) AS xa, CAST(b.embedding[s.i] AS DOUBLE) AS xb
-      FROM q CROSS JOIN embeddings b CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s),
+      FROM q CROSS JOIN embeddings b CROSS JOIN (SELECT unnest(generate_series(
+               1, (SELECT max(len(embedding)) FROM embeddings))) AS i) s),
 d AS (SELECT qid, nn_id,
              sum((xa - xb) * (xa - xb)) AS fulld,
              sum(CASE WHEN i <= 32 THEN (xa - xb) * (xa - xb) ELSE 0 END) AS halfd
