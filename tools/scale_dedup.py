@@ -86,7 +86,21 @@ def main() -> None:
     from mysteryann_spark.operators.dedup import connected_components, minhash_lsh_pairs
     from mysteryann_spark.session import get_spark
 
-    spark = get_spark(app_name=f"scale-dedup-{n}")
+    # Size shuffle partitions to DATA volume, not core count: the banding
+    # shuffle carries n x bands triple rows, and at 10^7 docs the default
+    # ~cores partitioning puts ~10M-row sorts in each of 32 concurrent
+    # tasks — the first 10M attempt OOM'd in UnsafeExternalSorter's
+    # pointer-array growth (SCALE.md). ~200k docs per shuffle partition
+    # keeps each sort buffer spill-friendly at any N; the same rule a real
+    # cluster applies per executor.
+    import os as _os
+
+    shuffle_parts = int(
+        _os.environ.get("SCALE_SHUFFLE_PARTITIONS", max(32, n // 200_000))
+    )
+    spark = get_spark(
+        app_name=f"scale-dedup-{n}", shuffle_partitions=shuffle_parts
+    )
 
     docs = synth_docs(spark, n, dup_frac, mutate_frac).cache()
     t0 = time.time()
