@@ -10,6 +10,8 @@ so the vanilla session cannot inherit the test JVM's configs — over the
 entries whose plans depend on session config the most:
 
 - ``roargraph_binary_interop``   driver-side createDataFrame (the r4 crash)
+- ``roargraph_nsg_import``       same Arrow-Table import path, count-less layout
+- ``roargraph_stream_insert``    foreachBatch + file-source streaming state
 - ``events_sessionize``          timestamp arithmetic (timezone-sensitive)
 - ``udf_registry_distances``     pandas-UDF surface (Arrow batch transfer)
 - ``stream_tumbling_oracled``    Structured Streaming + windows
@@ -29,6 +31,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 BARE_ENTRIES = [
     "roargraph_binary_interop",
+    "roargraph_nsg_import",
+    "roargraph_stream_insert",
     "events_sessionize",
     "udf_registry_distances",
     "stream_tumbling_oracled",
