@@ -316,8 +316,36 @@ GROUP BY 1, 2
 """
 
 
+def stream_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup detection at ingest: the documents table
+    arrives as a file-source stream, MinHash-banded statelessly, and each
+    (band, bucket) keeps capacity-capped representative token sets in
+    applyInPandasWithState — arriving docs exact-Jaccard-verify against
+    the bucket's reps (no false merges from LSH collisions) and either
+    match or register. Returns the per-doc assignment (min matched rep,
+    or self). Rows-only; the planted-truth cross-batch gate lives in
+    tests/test_streaming.py (test_stream_dedup_neardup_planted)."""
+    from mysteryann_spark.streaming.dedup import (
+        assign_reps,
+        read_documents_stream,
+        stream_dedup_neardup,
+    )
+    from mysteryann_spark.streaming.windows import run_stream_to_memory
+
+    decisions = run_stream_to_memory(
+        stream_dedup_neardup(
+            read_documents_stream(spark, sf_dir),
+            num_perm=32, bands=8, threshold=0.7,
+        ),
+        "stream_neardup_reg",
+        output_mode="append",
+    )
+    return assign_reps(decisions)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_approx_distinct": QuerySpec(events_approx_distinct, None),
+    "stream_neardup_docs": QuerySpec(stream_neardup_docs, None),
     "stream_tumbling_oracled": QuerySpec(stream_tumbling_oracled, _TUMBLING_SQL),
     "stream_dedup_oracled": QuerySpec(stream_dedup_oracled, _STREAM_DEDUP_SQL),
     "events_tumbling": QuerySpec(events_tumbling, _TUMBLING_SQL),

@@ -153,6 +153,7 @@ _BACK = [
     # block below
     "pipeline_decontaminate_semantic",
     "roargraph_nsg_import",
+    "stream_neardup_docs",
     "events_tumbling",
     "events_interval_join",
     "events_sliding",

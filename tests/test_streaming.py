@@ -223,3 +223,73 @@ def test_stream_insert_roargraph_parity(spark, emb, tmp_path):
         for r in again.select("node", F.array_sort("nbrs").alias("nbrs")).collect()
     }
     assert a == b
+
+
+def test_stream_dedup_neardup_planted(spark, tmp_path):
+    """Streaming MinHash near-dup: planted near-duplicates arriving in a
+    LATER micro-batch must match their earlier source through the
+    bucket state (cross-batch), with the exact verified Jaccard; unique
+    docs must self-represent. LSH banding only generates candidates —
+    the exact verify inside the state function decides, so no false
+    merges below threshold."""
+    import random
+
+    from mysteryann_spark.streaming.dedup import assign_reps, stream_dedup_neardup
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(2000)]
+    base = {i: rng.sample(vocab, 30) for i in range(40)}
+    # batch 0: the 40 unique docs; batch 1: 10 near-dups (2 of 30 tokens
+    # mutated -> true distinct-set jaccard 28/32 = 0.875 >= 0.7)
+    dups = {}
+    for j in range(10):
+        src = j * 4
+        toks = list(base[src])
+        toks[0], toks[1] = f"m{j}a", f"m{j}b"
+        dups[100 + j] = (src, toks)
+
+    def write(path, rows):
+        spark.createDataFrame(rows, "doc_id: bigint, text: string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+
+    import os
+
+    stage = tmp_path / "feed"
+    stage.mkdir()
+    for b, rows in enumerate(
+        [
+            [(i, " ".join(t)) for i, t in base.items()],
+            [(i, " ".join(t)) for i, (_, t) in dups.items()],
+        ]
+    ):
+        wdir = str(tmp_path / f"w{b}")
+        write(wdir, rows)
+        part = next(f for f in os.listdir(wdir) if f.endswith(".parquet"))
+        target = str(stage / f"batch_{b}.parquet")
+        os.replace(os.path.join(wdir, part), target)
+        os.utime(target, (1_000_000_000 + b, 1_000_000_000 + b))
+
+    docs = (
+        spark.readStream.format("parquet")
+        .schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(stage))
+    )
+    from mysteryann_spark.streaming.windows import run_stream_to_memory
+
+    decisions = run_stream_to_memory(
+        stream_dedup_neardup(docs, num_perm=32, bands=8, threshold=0.7),
+        "neardup_out",
+        "append",
+    )
+    final = {r["doc_id"]: r for r in assign_reps(decisions).collect()}
+    assert len(final) == 50
+    for did, (src, toks) in dups.items():
+        row = final[did]
+        assert row["is_dup"] == 1, f"planted dup {did} not caught"
+        assert row["rep_id"] == src, f"dup {did} matched {row['rep_id']} != {src}"
+        true_j = 28 / 32
+        assert abs(row["jaccard"] - true_j) < 1e-6
+    for did in base:
+        assert final[did]["is_dup"] == 0, f"unique doc {did} falsely merged"
