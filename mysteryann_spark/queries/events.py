@@ -316,6 +316,32 @@ GROUP BY 1, 2
 """
 
 
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: per user, consecutive event pairs in
+    event-time order (lag over the per-user stream), counted globally —
+    the Markov-chain view of user behavior. One shuffle on user_id for
+    the lag, then a map-side-combined count over at most |types|^2
+    groups."""
+    e = _events(spark, sf_dir).withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        e.withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_TRANSITIONS_SQL = """
+WITH t AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts), event_id) AS from_type,
+                  event_type AS to_type
+           FROM events)
+SELECT from_type, to_type, count(*) AS n
+FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def stream_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming NEAR-dup detection at ingest: the documents table
     arrives as a file-source stream, MinHash-banded statelessly, and each
@@ -355,4 +381,5 @@ QUERIES: dict[str, QuerySpec] = {
     "events_asof_click": QuerySpec(events_asof_click, _ASOF_SQL),
     "events_pivot": QuerySpec(events_pivot, _PIVOT_SQL),
     "events_retention": QuerySpec(events_retention, _RETENTION_SQL),
+    "events_transitions": QuerySpec(events_transitions, _TRANSITIONS_SQL),
 }

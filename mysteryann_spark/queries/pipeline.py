@@ -1577,7 +1577,51 @@ FROM d, s
 """
 
 
+_QUOTA = 40
+_QUOTA_PREFILTER = 2_147_483_648  # keep h < 2^31: half the 2^32 hash space
+
+
+def pipeline_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-quota-per-stratum sampling: exactly min(quota, |stratum|)
+    docs per language, chosen by deterministic md5 order — the
+    fixed-size-eval-slice twin of pipeline_mix_sample's rate sampling.
+    Two-phase for scale: a stateless hash prefilter (h < 2^31, i.e. a
+    50% rate — generously above quota/|stratum| at any SF) cuts the
+    rows entering the per-stratum rank shuffle in half before
+    row_number runs; at 100 TB the prefilter threshold is sized from
+    stratum counts (quota/|stratum| * safety) so only ~quota*safety
+    rows per stratum reach the single skew-bounded shuffle. The oracle
+    mirrors BOTH phases, so parity holds by construction; ordering is
+    pure integer (md5-derived bigint, doc_id tiebreak), no floats."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    filtered = d.withColumn("h", h).where(F.col("h") < _QUOTA_PREFILTER)
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        filtered.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= _QUOTA)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+_QUOTA_SQL = f"""
+WITH d AS (SELECT doc_id, lang,
+       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+     FROM documents),
+f AS (SELECT * FROM d WHERE h < {_QUOTA_PREFILTER}),
+r AS (SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+      FROM f)
+SELECT doc_id, lang, rk FROM r WHERE rk <= {_QUOTA}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_quota_sample": QuerySpec(pipeline_quota_sample, _QUOTA_SQL),
     "doc_tfidf_topterms": QuerySpec(doc_tfidf_topterms, _TFIDF_SQL),
     "doc_token_stats": QuerySpec(doc_token_stats, _TOKEN_STATS_SQL),
     "doc_lang_id": QuerySpec(doc_lang_id, _LANG_SQL),

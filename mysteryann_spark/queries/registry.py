@@ -154,6 +154,9 @@ _BACK = [
     "pipeline_decontaminate_semantic",
     "roargraph_nsg_import",
     "stream_neardup_docs",
+    "events_transitions",
+    "join_skew_topkeys",
+    "pipeline_quota_sample",
     "events_tumbling",
     "events_interval_join",
     "events_sliding",

@@ -611,7 +611,39 @@ GROUP BY o_orderpriority
 """
 
 
+def join_skew_topkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: the 20 heaviest lineitem join keys with
+    their parts-per-million share of all rows — the measurement that
+    decides whether a fact-fact join needs salting or AQE skew handling
+    at scale. Map-side-combined count per key, total derived from the
+    (small) counts table, top-k via TakeOrderedAndProject (no full sort
+    shuffle), share in integer ppm so the result is float-free."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.orderBy(F.desc("n"), "l_suppkey")
+        .limit(20)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_suppkey",
+            "n",
+            F.expr("n * 1000000 div total").alias("share_ppm"),
+        )
+    )
+
+
+_SKEW_SQL = """
+WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT l_suppkey, n, n * 1000000 // total AS share_ppm
+FROM c CROSS JOIN t
+ORDER BY n DESC, l_suppkey LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "join_skew_topkeys": QuerySpec(join_skew_topkeys, _SKEW_SQL),
     "bucketed_join_revenue": QuerySpec(bucketed_join_revenue, _BUCKETED_JOIN_SQL),
     "flagship_revenue_by_nation": QuerySpec(flagship_revenue_by_nation, _FLAGSHIP_SQL),
     "pricing_summary": QuerySpec(pricing_summary, _PRICING_SQL),

@@ -224,3 +224,37 @@ def test_ivf_knn_join_plan_shape(spark, emb):
     plan = formatted_plan(res)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round5_analytics_entries_plan_shape(spark):
+    """Late round-5 entries: skew diagnostics must use the sort-free
+    top-k operator (TakeOrderedAndProject) and broadcast the 1-row
+    total, not full-sort or cartesian-join; transitions and quota
+    sampling shuffle exactly once (the per-user / per-stratum window
+    partitioning) and read only the referenced columns."""
+    from mysteryann_spark.plans.inspect import (
+        count_shuffles,
+        formatted_plan,
+        scan_read_schemas,
+    )
+    from mysteryann_spark.queries.events import events_transitions
+    from mysteryann_spark.queries.pipeline import pipeline_quota_sample
+    from mysteryann_spark.queries.relational import join_skew_topkeys
+
+    s = join_skew_topkeys(spark, SF_DIR)
+    plan = formatted_plan(s)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan  # the 1-row total is broadcast
+    for cols in scan_read_schemas(s):
+        assert set(cols) <= {"l_suppkey"}, cols
+
+    t = events_transitions(spark, SF_DIR)
+    # one Exchange for the user_id window; the 25-group count is map-side
+    assert count_shuffles(t) <= 2, formatted_plan(t)
+    for cols in scan_read_schemas(t):
+        assert set(cols) <= {"event_id", "ts", "user_id", "event_type"}, cols
+
+    q = pipeline_quota_sample(spark, SF_DIR)
+    assert count_shuffles(q) == 1, formatted_plan(q)  # the lang window only
+    for cols in scan_read_schemas(q):
+        assert set(cols) <= {"doc_id", "lang"}, cols
