@@ -1577,6 +1577,24 @@ FROM d, s
 """
 
 
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (operators/pca.py): fit 8 components in one pass
+    (per-partition moment partials -> positionwise distributed combine ->
+    driver eigh on the d x d covariance, a model-bounded 33 KB collect),
+    then project every embedding with a map-only Arrow GEMM. Rows-only
+    (eigendecomposition isn't SQL); the numpy-parity / orthonormality /
+    variance-accounting gates live in tests/test_pca.py."""
+    from mysteryann_spark.operators.pca import fit_pca, project_pca
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    model = fit_pca(emb, k=8)
+    proj = project_pca(emb, model)
+    return proj.select(
+        "vec_id",
+        F.transform("pc", lambda x: F.round(x, 4)).alias("pc"),
+    )
+
+
 _QUOTA = 40
 _QUOTA_PREFILTER = 2_147_483_648  # keep h < 2^31: half the 2^32 hash space
 
@@ -1622,6 +1640,7 @@ SELECT doc_id, lang, rk FROM r WHERE rk <= {_QUOTA}
 
 QUERIES: dict[str, QuerySpec] = {
     "pipeline_quota_sample": QuerySpec(pipeline_quota_sample, _QUOTA_SQL),
+    "emb_pca_project": QuerySpec(emb_pca_project, None),
     "doc_tfidf_topterms": QuerySpec(doc_tfidf_topterms, _TFIDF_SQL),
     "doc_token_stats": QuerySpec(doc_token_stats, _TOKEN_STATS_SQL),
     "doc_lang_id": QuerySpec(doc_lang_id, _LANG_SQL),

@@ -157,6 +157,7 @@ _BACK = [
     "events_transitions",
     "join_skew_topkeys",
     "pipeline_quota_sample",
+    "emb_pca_project",
     "events_tumbling",
     "events_interval_join",
     "events_sliding",
