@@ -459,3 +459,87 @@ def insert_into_roargraph(
     untouched = adj_df.join(touched, "node", "left_anti")
     merged = untouched.unionByName(pruned_touched).unionByName(new_adj)
     return merged, ep
+
+
+def delete_from_roargraph(
+    base_df: DataFrame,
+    adj_df: DataFrame,
+    ep: int,
+    delete_df: DataFrame,
+    params: IndexParams,
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+    ensure_reachable: bool = False,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Batch deletion with neighborhood splicing — the maintenance twin
+    of ``insert_into_roargraph``. The reference is build-once/static (no
+    delete API in src/index_bipartite.cpp); this is the standard
+    graph-ANN repair (the FreshDiskANN delete recipe, batch-expressed):
+
+    1. Drop the deleted nodes' adjacency rows.
+    2. Every surviving node u that pointed at a deleted d SPLICES d's
+       surviving out-neighbors into its pool (u keeps connectivity
+       through the hole d leaves), then occlusion-prunes back to the
+       degree cap. Cost ∝ (reverse-degree of the batch) x degree —
+       scales with |batch|, not |graph|.
+    3. Nodes with no deleted neighbor pass through untouched.
+    4. If the entry point itself was deleted, re-seed it as the medoid
+       of the survivors (a scalar-sized collect, knn.medoid).
+
+    Returns ``(surviving_base_df, new_adjacency, new_ep)``. Every
+    surviving node keeps an adjacency row (empty-pool stragglers get an
+    explicit empty list; ``ensure_reachable=True`` then bridges them via
+    the capacity-capped repair pass).
+    """
+    dels = delete_df.select(F.col(base_id).alias("del_id")).distinct()
+    survivors = base_df.join(
+        dels, base_df[base_id] == dels["del_id"], "left_anti"
+    )
+    if survivors.limit(2).count() < 2:
+        raise ValueError("delete_from_roargraph: fewer than 2 survivors")
+
+    edges = _edges(adj_df)
+    kept = edges.join(dels, edges["node"] == dels["del_id"], "left_anti")
+    # (u, d) pairs: surviving u pointing at deleted d
+    aff = kept.join(dels, kept["cand_id"] == dels["del_id"], "left_semi")
+    # d's out-edges, deleted endpoints dropped (d -> w, w survives)
+    del_out = (
+        edges.join(dels, edges["node"] == dels["del_id"], "left_semi")
+        .select(F.col("node").alias("mid"), "cand_id")
+        .join(dels, F.col("cand_id") == dels["del_id"], "left_anti")
+    )
+    spliced = (
+        aff.select("node", F.col("cand_id").alias("mid"))
+        .join(del_out, "mid")
+        .select("node", "cand_id")
+        .where(F.col("cand_id") != F.col("node"))
+    )
+    clean = kept.join(dels, kept["cand_id"] == dels["del_id"], "left_anti")
+    touched = aff.select("node").distinct()
+    pools = clean.join(touched, "node", "left_semi").unionByName(spliced)
+    repaired = prune_candidates(
+        pools, survivors, params.degree_cap, params.metric,
+        base_id=base_id, vec_col=vec_col,
+    )
+    untouched = adj_df.join(dels, adj_df["node"] == dels["del_id"], "left_anti").join(
+        touched, "node", "left_anti"
+    )
+    merged = untouched.unionByName(repaired)
+    # guard: a touched node whose whole pool vanished keeps an explicit row
+    all_nodes = survivors.select(F.col(base_id).alias("node"))
+    merged = all_nodes.join(merged, "node", "left").select(
+        "node",
+        F.coalesce("nbrs", F.array().cast("array<bigint>")).alias("nbrs"),
+    )
+
+    new_ep = ep
+    if dels.where(F.col("del_id") == ep).limit(1).count():
+        from mysteryann_spark.operators.knn import medoid
+
+        new_ep = medoid(survivors, base_id=base_id, vec_col=vec_col)[0]
+    if ensure_reachable:
+        merged, _ = repair_reachability(
+            survivors, merged, new_ep, params.metric,
+            base_id=base_id, vec_col=vec_col,
+        )
+    return survivors, merged, new_ep

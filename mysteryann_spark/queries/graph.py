@@ -312,6 +312,25 @@ def roargraph_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank")
 
 
+def roargraph_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance, delete side: tombstone 10% of the base from the
+    shared built graph, splice each survivor's pool through the holes its
+    deleted neighbors leave, re-prune at the cap
+    (operators/projection.delete_from_roargraph — the reference is
+    build-once/static, src/index_bipartite.cpp has no delete), and return
+    per-node degrees of the repaired graph. Rows-only; the
+    no-tombstone-anywhere / survivor-coverage / recall-over-survivors
+    gates live in tests/test_graph.py."""
+    from mysteryann_spark.operators.projection import delete_from_roargraph
+
+    emb, adj, ep = _build(spark, sf_dir)
+    dels = emb.where(F.col("vec_id") % 10 == 3).select("vec_id")
+    _, new_adj, _ = delete_from_roargraph(
+        emb.select("vec_id", "embedding"), adj, ep, dels, PARAMS
+    )
+    return new_adj.select("node", F.size("nbrs").cast("bigint").alias("degree"))
+
+
 def roargraph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance: build on the first 90% of the base,
     insert the held-out 10% as a batch (search -> prune -> reverse-link,
@@ -459,6 +478,7 @@ QUERIES: dict[str, QuerySpec] = {
     "bipartite_search_topk": QuerySpec(bipartite_search_topk, None),
     "roargraph_search_filtered": QuerySpec(roargraph_search_filtered, None),
     "roargraph_insert": QuerySpec(roargraph_insert, None),
+    "roargraph_delete": QuerySpec(roargraph_delete, None),
     "roargraph_stream_insert": QuerySpec(roargraph_stream_insert, None),
     "roargraph_save_load_search": QuerySpec(roargraph_save_load_search, None),
     "roargraph_binary_interop": QuerySpec(roargraph_binary_interop, None),

@@ -158,6 +158,7 @@ _BACK = [
     "join_skew_topkeys",
     "pipeline_quota_sample",
     "emb_pca_project",
+    "roargraph_delete",
     "events_tumbling",
     "events_interval_join",
     "events_sliding",

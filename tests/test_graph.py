@@ -714,3 +714,63 @@ def test_ivf_phase0_build_deterministic(spark, emb):
         spark, emb, PARAMS, phase0="ivf", phase0_opts=IVF_PHASE0_OPTS
     )
     assert a1.exceptAll(a2).count() == 0 and a2.exceptAll(a1).count() == 0
+
+
+def test_delete_from_roargraph_splices_and_respects_cap(spark, emb, index):
+    """Post-delete graph: no tombstoned id anywhere (nodes or neighbor
+    lists), every survivor keeps a row, degree cap held, and survivors
+    stay retrievable — search recall vs exact kNN over the SURVIVING set
+    >= 0.9 (the splice step is what keeps the graph navigable through
+    the holes)."""
+    from mysteryann_spark.operators.projection import delete_from_roargraph
+
+    adj, ep = index
+    dels = emb.where(F.col("vec_id") % 10 == 3).select("vec_id")
+    survivors, new_adj, new_ep = delete_from_roargraph(
+        emb.select("vec_id", "embedding"), adj, ep, dels, PARAMS
+    )
+    new_adj = new_adj.localCheckpoint()
+    del_ids = {r["vec_id"] for r in dels.collect()}
+    assert ep not in del_ids and new_ep == ep  # ep survives this slice
+    rows = new_adj.collect()
+    assert len(rows) == 500 - len(del_ids)
+    assert all(r["node"] not in del_ids for r in rows)
+    assert all(nb not in del_ids for r in rows for nb in r["nbrs"])
+    assert all(len(r["nbrs"]) <= PARAMS.degree_cap for r in rows)
+
+    q = survivors.select(F.col("vec_id").alias("qid"), "embedding")
+    res = search_graph(
+        q, survivors, new_adj, new_ep, k=10, l_search=PARAMS.L_pq, metric="l2"
+    )
+    got_ids = {r["nn_id"] for r in res.select("nn_id").distinct().collect()}
+    assert not (got_ids & del_ids)
+    res_arr = (
+        res.groupBy("qid")
+        .agg(F.array_sort(F.collect_list(F.struct("rank", "nn_id"))).alias("t"))
+        .select("qid", F.transform("t", lambda x: x["nn_id"]).alias("nn"))
+    )
+    gt = knn_join_arrays(q, survivors, 10, "l2")
+    recall = mean_recall(res_arr, gt, 10)
+    assert recall >= 0.9, f"post-delete recall@10={recall}"
+
+
+def test_delete_entry_point_reseeds_medoid(spark, emb, index):
+    """Deleting the entry point itself re-seeds it as the survivors'
+    medoid and searches still return k results."""
+    from mysteryann_spark.operators.projection import delete_from_roargraph
+
+    adj, ep = index
+    dels = spark.createDataFrame([(int(ep),)], "vec_id bigint")
+    survivors, new_adj, new_ep = delete_from_roargraph(
+        emb.select("vec_id", "embedding"), adj, ep, dels, PARAMS
+    )
+    assert new_ep != ep
+    assert survivors.where(F.col("vec_id") == new_ep).count() == 1
+    q = survivors.limit(5).select(F.col("vec_id").alias("qid"), "embedding")
+    res = search_graph(
+        q, survivors, new_adj.localCheckpoint(), new_ep,
+        k=10, l_search=PARAMS.L_pq, metric="l2",
+    )
+    per_q = res.groupBy("qid").count().collect()
+    assert len(per_q) == 5 and all(r["count"] == 10 for r in per_q)
+    assert ep not in {r["nn_id"] for r in res.select("nn_id").collect()}
