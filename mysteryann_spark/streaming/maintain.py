@@ -37,6 +37,7 @@ from pyspark.sql.types import (
     ArrayType,
     FloatType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -143,6 +144,125 @@ def stream_insert_roargraph(
 
     q = (
         new_stream.writeStream.foreachBatch(_on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["base"], state["adj"], state["ep"], state["batches"]
+
+
+_OP_SCHEMA = StructType(
+    [
+        StructField("op", StringType()),
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def stage_op_stream(
+    spark: SparkSession,
+    ops_df: DataFrame,
+    stage_dir: str,
+) -> DataFrame:
+    """Materialize an ``(batch, op, vec_id, embedding)`` change feed as
+    one single-file parquet drop per distinct ``batch`` value (replayed
+    in batch order — same mtime-pinning trick as ``stage_vector_stream``)
+    and return the file-source stream over it. The local stand-in for a
+    CDC topic of index mutations."""
+    os.makedirs(stage_dir, exist_ok=True)
+    batches = sorted(
+        r["batch"] for r in ops_df.select("batch").distinct().collect()
+    )
+    base_ts = 1_000_000_000
+    for i, b in enumerate(batches):
+        part_dir = os.path.join(stage_dir, f"_write_{b}")
+        target = os.path.join(stage_dir, f"batch_{b}.parquet")
+        if os.path.exists(target):
+            continue
+        (
+            ops_df.where(F.col("batch") == b)
+            .select("op", "vec_id", "embedding")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        part = next(
+            os.path.join(part_dir, f)
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet")
+        )
+        os.replace(part, target)
+        os.utime(target, (base_ts + i, base_ts + i))
+    return (
+        spark.readStream.format("parquet")
+        .schema(_OP_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(stage_dir)
+    )
+
+
+def stream_maintain_roargraph(
+    spark: SparkSession,
+    base_df: DataFrame,
+    adj_df: DataFrame,
+    ep: int,
+    op_stream: DataFrame,
+    params: IndexParams,
+    checkpoint_dir: str,
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """Full streaming index CHURN: drain a change feed of ``insert`` /
+    ``delete`` mutations (availableNow) through the batch maintenance
+    operators. Within a micro-batch deletes apply FIRST, then inserts —
+    so a delete+insert of the same id in one batch is an UPDATE (the
+    vector is re-embedded and re-linked), and the insert path's
+    id-disjointness contract still holds. Per-batch cost is
+    ∝ |batch| x degree on both sides (splice for deletes, search+prune
+    for inserts); the graph state is checkpointed per batch exactly as
+    ``stream_insert_roargraph`` does, for the same O(1)-plan-depth
+    reason. Returns ``(base, adj, ep, n_batches)``."""
+    from mysteryann_spark.operators.projection import (
+        delete_from_roargraph,
+        insert_into_roargraph,
+    )
+
+    state = {
+        "base": base_df.select("vec_id", "embedding").localCheckpoint(eager=True),
+        "adj": adj_df.localCheckpoint(eager=True),
+        "ep": ep,
+        "batches": 0,
+    }
+
+    def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dels = batch_df.where(F.col("op") == "delete").select("vec_id")
+        ins = batch_df.where(F.col("op") == "insert").select(
+            "vec_id", "embedding"
+        )
+        changed = False
+        if not dels.isEmpty():
+            surv, adj2, ep2 = delete_from_roargraph(
+                state["base"], state["adj"], state["ep"], dels, params
+            )
+            state["base"] = surv.localCheckpoint(eager=True)
+            state["adj"] = adj2.localCheckpoint(eager=True)
+            state["ep"] = ep2
+            changed = True
+        if not ins.isEmpty():
+            merged, ep2 = insert_into_roargraph(
+                state["base"], state["adj"], state["ep"], ins, params
+            )
+            state["adj"] = merged.localCheckpoint(eager=True)
+            state["base"] = (
+                state["base"].unionByName(ins).localCheckpoint(eager=True)
+            )
+            state["ep"] = ep2
+            changed = True
+        if changed:
+            state["batches"] += 1
+
+    q = (
+        op_stream.writeStream.foreachBatch(_on_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -293,3 +293,110 @@ def test_stream_dedup_neardup_planted(spark, tmp_path):
         assert abs(row["jaccard"] - true_j) < 1e-6
     for did in base:
         assert final[did]["is_dup"] == 0, f"unique doc {did} falsely merged"
+
+
+def test_stream_maintain_churn_parity(spark, emb, tmp_path):
+    """Streaming CHURN (inserts + deletes + an update through one change
+    feed): the final graph must equal the batch maintenance APIs applied
+    in the same batch order, tombstoned ids must vanish everywhere, the
+    re-embedded (update) vector must be retrievable under its NEW
+    embedding, and full-corpus recall must hold."""
+    from pyspark.sql import functions as F
+
+    from mysteryann_spark.operators.evaluate import mean_recall
+    from mysteryann_spark.operators.knn import knn_join_arrays
+    from mysteryann_spark.operators.projection import (
+        build_roargraph_from_table,
+        delete_from_roargraph,
+        insert_into_roargraph,
+    )
+    from mysteryann_spark.operators.search import search_graph
+    from mysteryann_spark.params import IndexParams
+    from mysteryann_spark.streaming.maintain import (
+        stage_op_stream,
+        stream_maintain_roargraph,
+    )
+
+    params = IndexParams(M_sq=20, M_pjbp=8, L_pjpq=40, k=10, L_pq=40, metric="l2")
+    n = emb.count()
+    cut = n - 50
+    old = emb.where(F.col("vec_id") < cut)
+    hold = emb.where(F.col("vec_id") >= cut)
+    adj, ep = build_roargraph_from_table(spark, old, params)
+    adj = adj.localCheckpoint()
+
+    vec = {r["vec_id"]: r["embedding"] for r in hold.collect()}
+    v450 = vec[cut]
+    v450_new = [float(x) + 0.5 for x in v450]
+    del_ids = [5, 15, 25, 35, 45, 55, 65, 75, 85, 95]
+
+    # batch 0: 20 inserts; batch 1: 10 deletes + 15 inserts;
+    # batch 2: UPDATE of id `cut` (delete + reinsert re-embedded) + 14 inserts
+    rows = [(0, "insert", int(i), vec[i]) for i in range(cut, cut + 20)]
+    rows += [(1, "delete", int(i), None) for i in del_ids]
+    rows += [(1, "insert", int(i), vec[i]) for i in range(cut + 20, cut + 35)]
+    rows += [(2, "delete", int(cut), None), (2, "insert", int(cut), v450_new)]
+    rows += [(2, "insert", int(i), vec[i]) for i in range(cut + 35, n)]
+    ops = spark.createDataFrame(
+        rows, "batch int, op string, vec_id bigint, embedding array<float>"
+    )
+
+    stream = stage_op_stream(spark, ops, str(tmp_path / "feed"))
+    base_s, adj_s, ep_s, n_batches = stream_maintain_roargraph(
+        spark, old.select("vec_id", "embedding"), adj, ep,
+        stream, params, str(tmp_path / "ckpt"),
+    )
+    assert n_batches == 3
+
+    # batch-API replay of the same feed, same order
+    b_base = old.select("vec_id", "embedding").localCheckpoint()
+    b_adj, b_ep = adj, ep
+    for b in range(3):
+        dels = ops.where((F.col("batch") == b) & (F.col("op") == "delete")).select("vec_id")
+        ins = ops.where((F.col("batch") == b) & (F.col("op") == "insert")).select(
+            "vec_id", "embedding"
+        )
+        if not dels.isEmpty():
+            b_base, b_adj, b_ep = delete_from_roargraph(b_base, b_adj, b_ep, dels, params)
+            b_base = b_base.localCheckpoint()
+            b_adj = b_adj.localCheckpoint()
+        if not ins.isEmpty():
+            b_adj, b_ep = insert_into_roargraph(b_base, b_adj, b_ep, ins, params)
+            b_base = b_base.unionByName(ins).localCheckpoint()
+            b_adj = b_adj.localCheckpoint()
+    assert b_ep == ep_s
+    sa = {
+        r["node"]: r["nbrs"]
+        for r in adj_s.select("node", F.array_sort("nbrs").alias("nbrs")).collect()
+    }
+    ba = {
+        r["node"]: r["nbrs"]
+        for r in b_adj.select("node", F.array_sort("nbrs").alias("nbrs")).collect()
+    }
+    assert sa == ba
+
+    # tombstones gone, survivors covered, cap held
+    expect_ids = (set(range(n)) - set(del_ids))
+    assert set(sa) == expect_ids
+    assert all(nb not in set(del_ids) for nbrs in sa.values() for nb in nbrs)
+    assert all(len(nbrs) <= params.degree_cap for nbrs in sa.values())
+
+    # the update is live under its NEW embedding (exact self-match at rank 1)
+    q_new = spark.createDataFrame([(int(cut), v450_new)], "qid bigint, embedding array<float>")
+    top = search_graph(
+        q_new, base_s, adj_s.localCheckpoint(), ep_s,
+        k=1, l_search=params.L_pq, metric="l2",
+    ).collect()
+    assert top and top[0]["nn_id"] == cut
+
+    # full-corpus recall over the final state
+    q = base_s.select(F.col("vec_id").alias("qid"), "embedding")
+    res = search_graph(q, base_s, adj_s, ep_s, k=10, l_search=params.L_pq, metric="l2")
+    res_arr = (
+        res.groupBy("qid")
+        .agg(F.array_sort(F.collect_list(F.struct("rank", "nn_id"))).alias("t"))
+        .select("qid", F.transform("t", lambda x: x["nn_id"]).alias("nn"))
+    )
+    gt = knn_join_arrays(q, base_s, 10, "l2")
+    recall = mean_recall(res_arr, gt, 10)
+    assert recall >= 0.9, f"post-churn recall@10={recall}"
