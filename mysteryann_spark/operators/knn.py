@@ -61,6 +61,15 @@ _CAND_SCHEMA = StructType(
     ]
 )
 
+# (qid, nn_id, dist, rank) — the empty-result shape of knn_join and
+# ivf_knn_join. A separate constant, NOT ``_CAND_SCHEMA.add(...)``:
+# StructType.add mutates in place and returns self, so building the ranked
+# schema at an early-return site would permanently widen _CAND_SCHEMA to 4
+# fields and break every later mapInPandas kernel that yields 3 columns.
+_RANKED_SCHEMA = StructType(
+    list(_CAND_SCHEMA.fields) + [StructField("rank", IntegerType(), False)]
+)
+
 
 def _read_query_block(
     paths: list[str], query_id: str, vec_col: str, match_col: str | None = None
@@ -154,7 +163,7 @@ def knn_join(
     # metadata-only file listing — no query data reaches the driver
     files = sorted(spark.read.parquet(q_path).inputFiles())
     if not files:
-        return spark.createDataFrame([], _CAND_SCHEMA.add(StructField("rank", IntegerType())))
+        return spark.createDataFrame([], _RANKED_SCHEMA)
     blocks = [files] if query_block_rows is None else [[f] for f in files]
 
     def block_candidates(block_files: list[str]) -> DataFrame:

@@ -48,10 +48,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, StructField
-
+from pyspark.sql.types import IntegerType
 from mysteryann_spark.functions.vector import np_distances, np_normalize
-from mysteryann_spark.operators.knn import _CAND_SCHEMA, _DMAT_BUDGET_BYTES
+from mysteryann_spark.operators.knn import (
+    _CAND_SCHEMA,
+    _DMAT_BUDGET_BYTES,
+    _RANKED_SCHEMA,
+)
 from mysteryann_spark.sources.staging import (
     load_staged,
     stage_parquet,
@@ -125,7 +128,7 @@ def ivf_knn_join(
     spark = base_df.sparkSession
     n_base = base_df.count()
     if n_base == 0:
-        return spark.createDataFrame([], _CAND_SCHEMA.add(StructField("rank", IntegerType())))
+        return spark.createDataFrame([], _RANKED_SCHEMA)
     if n_centroids is None:
         n_centroids = max(4, min(4096, int(math.isqrt(n_base))))
     n_probe = min(n_probe, n_centroids)
@@ -138,7 +141,7 @@ def ivf_knn_join(
     q_path = stage_parquet(queries_df.select(query_id, vec_col), storage_dir)
     files = sorted(spark.read.parquet(q_path).inputFiles())
     if not files:
-        return spark.createDataFrame([], _CAND_SCHEMA.add(StructField("rank", IntegerType())))
+        return spark.createDataFrame([], _RANKED_SCHEMA)
 
     def _query_side():
         """(qids, qmat, inverted probe index cid -> query-row indices)."""

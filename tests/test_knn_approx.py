@@ -104,3 +104,20 @@ def test_arrays_shape(spark, emb, q):
 def test_empty_query_side(spark, emb):
     empty = emb.where("vec_id < 0").select(F.col("vec_id").alias("qid"), "embedding")
     assert ivf_knn_join(empty, emb, 5, "l2").count() == 0
+
+
+def test_empty_path_does_not_mutate_shared_schema(spark, emb, q):
+    """Regression: the empty-input early return once built its 4-field
+    schema via ``_CAND_SCHEMA.add(...)``, which mutates the shared
+    module-level StructType in place — every later knn/ivf join in the
+    process would then run mapInPandas against a 4-field schema while the
+    kernels yield 3 columns. The empty path must leave _CAND_SCHEMA at 3
+    fields and a subsequent non-empty join must still work."""
+    from mysteryann_spark.operators.knn import _CAND_SCHEMA, knn_join
+
+    empty = emb.where("vec_id < 0").select(F.col("vec_id").alias("qid"), "embedding")
+    assert ivf_knn_join(empty, emb, 5, "l2").count() == 0
+    assert knn_join(empty, emb, 5, "l2").count() == 0
+    assert len(_CAND_SCHEMA.fields) == 3
+    after = ivf_knn_join(q.where("qid < 5"), emb, 3, "l2", n_probe=4)
+    assert after.count() == 15  # 5 queries x k=3 — kernel schema intact
