@@ -342,16 +342,32 @@ def resize_images(media: DataFrame, out_h: int = 12, out_w: int = 12) -> DataFra
 
 
 def mean_pool_embeddings(
-    emb: DataFrame, group_col: str = "label", vec_col: str = "embedding"
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    normalize_rows: bool = True,
 ) -> DataFrame:
-    """Group-wise mean-pool + L2-renormalize (the WebVid per-video pooling,
-    prepare_for_clip_webvid.py:88-101), as pure DataFrame algebra:
-    posexplode -> per-(group, pos) avg (map-side combined) -> renormalize.
-    Returns (group, n, pooled ARRAY<DOUBLE>)."""
+    """Group-wise clip4clip mean-pool (the WebVid per-video pooling,
+    prepare_for_clip_webvid.py:88-101): L2-normalize EACH ROW first
+    (zero-norm rows pass through, norm clamped to 1 — the reference's
+    ``matrix_norm[matrix_norm == 0] = 1`` guard), mean the normalized
+    rows, then L2-renormalize the pooled vector. Pure DataFrame algebra:
+    per-row norm -> posexplode -> per-(group, pos) avg (map-side
+    combined) -> renormalize. ``normalize_rows=False`` gives the raw
+    variant (pool unnormalized rows, renormalize once) for callers whose
+    inputs are already unit-norm. Returns (group, n, pooled
+    ARRAY<DOUBLE>)."""
+    xs = F.transform(vec_col, lambda x: x.cast("double"))
+    if normalize_rows:
+        rnorm_raw = F.sqrt(
+            F.aggregate(F.transform(xs, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+        )
+        rnorm = F.when(rnorm_raw == 0.0, F.lit(1.0)).otherwise(rnorm_raw)
+        xs = F.transform(xs, lambda x: x / rnorm)
     means = (
-        emb.select(group_col, F.posexplode(vec_col).alias("pos", "x"))
+        emb.select(group_col, F.posexplode(xs).alias("pos", "x"))
         .groupBy(group_col, "pos")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .agg(F.avg("x").alias("m"))
     )
     pooled = (
         means.groupBy(group_col)

@@ -554,11 +554,19 @@ def multimodal_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# clip4clip pooling (prepare_for_clip_webvid.py:93-98): normalize each row
+# (zero norms clamped to 1), mean the normalized rows, renormalize.
 _MM_POOL_SQL = """
 WITH idx AS (SELECT unnest(generate_series(
          1, (SELECT max(len(embedding)) FROM embeddings))) AS i),
-m AS (SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
-      FROM embeddings CROSS JOIN idx GROUP BY label, i),
+r AS (SELECT label, embedding,
+        CASE WHEN sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0 THEN 1.0
+             ELSE sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END AS rnorm
+      FROM embeddings),
+m AS (SELECT label, i, avg(CAST(embedding[i] AS DOUBLE) / rnorm) AS m
+      FROM r CROSS JOIN idx GROUP BY label, i),
 nrm AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM m GROUP BY label),
 c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
 SELECT c.label, c.n,

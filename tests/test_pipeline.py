@@ -658,3 +658,44 @@ def test_real_decode_spark_path(spark, docs):
             (np.arange(h * w * 3, dtype=np.int64) * 31 + did * 131 + 7) % 256
         ).astype(np.uint8)
         assert r["frame_md5"] == hashlib.md5(pix.tobytes()).hexdigest()
+
+
+def test_mean_pool_matches_numpy_clip4clip(spark, emb):
+    """mean_pool_embeddings must implement the clip4clip protocol the
+    reference uses (prepare_for_clip_webvid.py:93-98): L2-normalize each
+    row (zero norms clamped to 1), mean the normalized rows, renormalize.
+    Pinned against a direct numpy transliteration of the reference loop;
+    the testdata rows are NOT unit-norm, so raw-pooling would diverge."""
+    import numpy as np
+
+    from mysteryann_spark.operators.multimodal import mean_pool_embeddings
+
+    got = {
+        r["label"]: (r["n"], np.asarray(r["pooled"]))
+        for r in mean_pool_embeddings(emb, "label").collect()
+    }
+    pdf = emb.select("label", "embedding").toPandas()
+    for label, grp in pdf.groupby("label"):
+        matrix = np.stack([np.asarray(v, dtype=np.float64) for v in grp["embedding"]])
+        matrix_norm = np.linalg.norm(matrix, axis=1, keepdims=True)
+        matrix_norm[matrix_norm == 0] = 1
+        vector = np.mean(matrix / matrix_norm, axis=0)
+        expected = vector / np.linalg.norm(vector)
+        n, pooled = got[label]
+        assert n == len(grp)
+        np.testing.assert_allclose(pooled, expected, rtol=1e-9, atol=1e-12)
+    # raw variant still available, and on rows with very different norms
+    # the two protocols genuinely diverge (here: raw pooling is dominated
+    # by the big vector, clip4clip weights both rows equally); a zero
+    # vector exercises the clamped-norm guard
+    tiny = spark.createDataFrame(
+        [(0, [100.0, 0.0]), (0, [0.0, 1.0]), (1, [0.0, 0.0]), (1, [3.0, 4.0])],
+        "label int, embedding array<double>",
+    )
+    clip = {r["label"]: np.asarray(r["pooled"]) for r in
+            mean_pool_embeddings(tiny, "label").collect()}
+    raw = {r["label"]: np.asarray(r["pooled"]) for r in
+           mean_pool_embeddings(tiny, "label", normalize_rows=False).collect()}
+    np.testing.assert_allclose(clip[0], [1 / np.sqrt(2), 1 / np.sqrt(2)], rtol=1e-12)
+    np.testing.assert_allclose(raw[0], [100 / np.sqrt(100**2 + 1), 1 / np.sqrt(100**2 + 1)], rtol=1e-12)
+    np.testing.assert_allclose(clip[1], [0.6, 0.8], rtol=1e-12)  # zero row clamps, not NaN
