@@ -384,6 +384,7 @@ def insert_into_roargraph(
     params: IndexParams,
     base_id: str = "vec_id",
     vec_col: str = "embedding",
+    staged_base: "StagedBase | None" = None,
 ) -> tuple[DataFrame, int]:
     """Batch-incremental insertion: add ``new_df`` vectors to an existing
     projection graph WITHOUT a full rebuild.
@@ -407,9 +408,20 @@ def insert_into_roargraph(
 
     New ids must be disjoint from existing ids (enforced). Returns the
     merged ``(node, nbrs)`` adjacency and the (unchanged) entry point.
+
+    ``staged_base`` (a ``sources.staging.StagedBase`` over the CURRENT
+    base, excluding ``new_df``) lets maintenance loops amortize staging:
+    the batch's vectors are APPENDED to it as a delta (cost ∝ |batch|)
+    and both prune calls plus the beam search share the staged set,
+    instead of each call re-staging the full base — previously every
+    streaming micro-batch paid an O(|graph|) write + per-worker matrix
+    rebuild twice, defeating the docstring's |batch|-scaling claim. When
+    omitted, the base∪batch set is staged once and shared across the
+    three kernel calls of this one invocation.
     """
     from mysteryann_spark.operators.search import search_graph
     from mysteryann_spark.session import spread
+    from mysteryann_spark.sources.staging import StagedBase, stage_parquet
 
     metric = params.metric
     new_sel = new_df.select(base_id, vec_col)
@@ -419,6 +431,10 @@ def insert_into_roargraph(
     if clash:
         raise ValueError(f"{clash} new ids already exist in the base set")
     all_vec = base_df.select(base_id, vec_col).unionByName(new_sel)
+
+    if staged_base is None:
+        staged_base = StagedBase.of(base_df.select(base_id, vec_col))
+    adj_path = stage_parquet(adj_df)
 
     # 1: candidate pools from a beam search of the current graph
     visited = search_graph(
@@ -431,14 +447,19 @@ def insert_into_roargraph(
         metric=metric,
         base_id=base_id,
         vec_col=vec_col,
+        staged=(list(staged_base.paths), adj_path),
     )
     new_cands = visited.select(
         F.col("qid").alias("node"), F.col("nn_id").alias("cand_id")
     ).where(F.col("cand_id") != F.col("node"))
 
+    # the batch delta joins the staged set; both prunes need base ∪ batch
+    staged_base.append(new_sel)
+
     # 2: each new node's adjacency
     new_adj = prune_candidates(
-        new_cands, all_vec, params.M_pjbp, metric, base_id=base_id, vec_col=vec_col
+        new_cands, all_vec, params.M_pjbp, metric, base_id=base_id,
+        vec_col=vec_col, staged_base=list(staged_base.paths),
     )
 
     # 3: reverse edges into touched existing nodes, re-pruned at the cap
@@ -454,6 +475,7 @@ def insert_into_roargraph(
         metric,
         base_id=base_id,
         vec_col=vec_col,
+        staged_base=list(staged_base.paths),
     )
 
     untouched = adj_df.join(touched, "node", "left_anti")
@@ -470,6 +492,7 @@ def delete_from_roargraph(
     base_id: str = "vec_id",
     vec_col: str = "embedding",
     ensure_reachable: bool = False,
+    staged_base: "StagedBase | None" = None,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Batch deletion with neighborhood splicing — the maintenance twin
     of ``insert_into_roargraph``. The reference is build-once/static (no
@@ -490,6 +513,11 @@ def delete_from_roargraph(
     surviving node keeps an adjacency row (empty-pool stragglers get an
     explicit empty list; ``ensure_reachable=True`` then bridges them via
     the capacity-capped repair pass).
+
+    ``staged_base`` (``sources.staging.StagedBase`` over the current
+    base) is reused as-is for the repair prune — deleted ids keep their
+    staged rows, which is inert (pools reference survivors only), so a
+    maintenance loop never re-stages on deletes.
     """
     dels = delete_df.select(F.col(base_id).alias("del_id")).distinct()
     survivors = base_df.join(
@@ -520,6 +548,7 @@ def delete_from_roargraph(
     repaired = prune_candidates(
         pools, survivors, params.degree_cap, params.metric,
         base_id=base_id, vec_col=vec_col,
+        staged_base=list(staged_base.paths) if staged_base is not None else None,
     )
     untouched = adj_df.join(dels, adj_df["node"] == dels["del_id"], "left_anti").join(
         touched, "node", "left_anti"

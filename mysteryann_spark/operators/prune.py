@@ -102,7 +102,7 @@ def prune_candidates(
     metric: str = "l2",
     base_id: str = "vec_id",
     vec_col: str = "embedding",
-    staged_base: str | None = None,
+    staged_base: str | list[str] | None = None,
 ) -> DataFrame:
     """Distributed prune: ``(node, cand_id)`` pairs -> ``(node, nbrs)``.
 
@@ -120,21 +120,26 @@ def prune_candidates(
     only fatten collect_list slightly.
 
     ``staged_base`` lets one caller (the 5-phase build) stage the base
-    once and share it across its three prune calls. Per-worker residency
-    is the base matrix (id-sorted float64 + searchsorted lookups) — the
-    same executor-memory assumption the staged search index already
-    makes, and ~n*dim*8 bytes vs the O(edges*dim) shuffle it replaces.
+    once and share it across its three prune calls; a LIST of paths is
+    the StagedBase incremental form (concatenated, later paths override
+    duplicate ids — maintenance loops append per-batch deltas instead of
+    re-staging the whole base). The staged set may be a superset of
+    ``base_df``: lookups are by id, so extra rows are inert. Per-worker
+    residency is the base matrix (id-sorted float64 + searchsorted
+    lookups) — the same executor-memory assumption the staged search
+    index already makes, and ~n*dim*8 bytes vs the O(edges*dim) shuffle
+    it replaces.
     """
     from mysteryann_spark.sources.staging import (
         load_staged,
-        read_staged,
         stage_parquet,
-        table_matrix,
+        staged_matrix,
     )
 
     if staged_base is None:
         staged_base = stage_parquet(base_df.select(base_id, vec_col))
-    path = staged_base
+    paths = [staged_base] if isinstance(staged_base, str) else list(staged_base)
+    path = "|".join(paths)
 
     pools = (
         cand_df.where(F.col("cand_id") != F.col("node"))
@@ -145,7 +150,7 @@ def prune_candidates(
     def prune_batch(batches) -> "pd.DataFrame":
         ids_mat = load_staged(
             "prunebase|" + path,
-            lambda: table_matrix(read_staged(path), base_id, vec_col),
+            lambda: staged_matrix(paths, base_id, vec_col),
         )
         all_ids, mat = ids_mat
 

@@ -47,6 +47,7 @@ from mysteryann_spark.sources.staging import (
     load_staged,
     read_staged,
     stage_parquet,
+    staged_matrix,
     table_csr,
     table_matrix,
 )
@@ -346,28 +347,34 @@ def search_graph(
     base_id: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = False,
-    staged: tuple[str, str] | None = None,
+    staged: tuple[str | list[str], str] | None = None,
     expand_width: int = 1,
 ) -> DataFrame:
     """Top-k ANN for every query row; returns
     ``(qid, nn_id, dist, rank, cmps, hops)``.
 
-    ``staged``: optional ``(base_path, adj_path)`` from ``stage_graph_index``
-    — repeated searches over one index (sweeps) stage once and reuse.
-    ``expand_width``: beam entries expanded per lockstep round (1 =
-    reference-strict best-first; see _beam_search_batch).
+    ``staged``: optional ``(base_path(s), adj_path)`` from
+    ``stage_graph_index`` — repeated searches over one index (sweeps)
+    stage once and reuse. The base side may be a LIST of staged paths
+    (StagedBase incremental form: concatenated, later paths override
+    duplicate ids, superset of the live graph allowed — extra rows are
+    never reachable). ``expand_width``: beam entries expanded per
+    lockstep round (1 = reference-strict best-first; see
+    _beam_search_batch).
     """
     if staged is None:
         staged = stage_graph_index(base_df, adj_df, base_id=base_id, vec_col=vec_col)
     base_path, adj_path = staged
+    base_paths = [base_path] if isinstance(base_path, str) else list(base_path)
+    cache_key = "|".join(base_paths) + "|" + adj_path
 
     def _build():
-        ids, bmat = table_matrix(read_staged(base_path), base_id, vec_col)
+        ids, bmat = staged_matrix(base_paths, base_id, vec_col)
         indptr, indices = table_csr(read_staged(adj_path), ids)
         return ids, bmat, indptr, indices
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_ids, b_mat, b_indptr, b_indices = load_staged(base_path + "|" + adj_path, _build)
+        b_ids, b_mat, b_indptr, b_indices = load_staged(cache_key, _build)
         b_ep = int(np.searchsorted(b_ids, entry_point))
         for pdf in batches:
             if pdf.empty:

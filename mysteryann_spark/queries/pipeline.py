@@ -1605,27 +1605,44 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUOTA = 40
 _QUOTA_PREFILTER = 2_147_483_648  # keep h < 2^31: half the 2^32 hash space
+# Only prefilter strata at least this big. At 8x quota, a stratum that
+# prefilters keeps Binomial(cnt>=320, 0.5) rows; P(fewer than 40 survive)
+# < 2^-100 (Chernoff), so the exactness claim below holds for every
+# stratum small enough to matter and is astronomically safe past that.
+_QUOTA_PREFILTER_MIN_ROWS = 8 * _QUOTA
 
 
 def pipeline_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-quota-per-stratum sampling: exactly min(quota, |stratum|)
     docs per language, chosen by deterministic md5 order — the
     fixed-size-eval-slice twin of pipeline_mix_sample's rate sampling.
-    Two-phase for scale: a stateless hash prefilter (h < 2^31, i.e. a
-    50% rate — generously above quota/|stratum| at any SF) cuts the
-    rows entering the per-stratum rank shuffle in half before
-    row_number runs; at 100 TB the prefilter threshold is sized from
-    stratum counts (quota/|stratum| * safety) so only ~quota*safety
-    rows per stratum reach the single skew-bounded shuffle. The oracle
+    Two-phase for scale: a stateless hash prefilter (h < 2^31, a 50%
+    rate) cuts the rows entering the per-stratum rank shuffle before
+    row_number runs — but ONLY for strata with at least
+    _QUOTA_PREFILTER_MIN_ROWS rows (counted by a map-side-combined agg,
+    broadcast back), so small strata are never under-filled and the
+    exact-count semantics hold; at 100 TB the same counts size the
+    threshold to quota/|stratum| * safety so only ~quota*safety rows
+    per stratum reach the single skew-bounded shuffle. The oracle
     mirrors BOTH phases, so parity holds by construction; ordering is
     pure integer (md5-derived bigint, doc_id tiebreak), no floats."""
     from pyspark.sql import Window
 
     d = load_table(spark, "documents", sf_dir)
+    counts = d.groupBy("lang").agg(F.count("*").alias("cnt"))
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "bigint"
     )
-    filtered = d.withColumn("h", h).where(F.col("h") < _QUOTA_PREFILTER)
+    thr = (
+        F.when(F.col("cnt") >= _QUOTA_PREFILTER_MIN_ROWS, F.lit(_QUOTA_PREFILTER))
+        .otherwise(F.lit(1 << 32))
+        .cast("bigint")
+    )
+    filtered = (
+        d.join(F.broadcast(counts), "lang")
+        .withColumn("h", h)
+        .where(F.col("h") < thr)
+    )
     w = Window.partitionBy("lang").orderBy("h", "doc_id")
     return (
         filtered.withColumn("rk", F.row_number().over(w).cast("bigint"))
@@ -1635,10 +1652,13 @@ def pipeline_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QUOTA_SQL = f"""
-WITH d AS (SELECT doc_id, lang,
-       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
-     FROM documents),
-f AS (SELECT * FROM d WHERE h < {_QUOTA_PREFILTER}),
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+d AS (SELECT doc_id, documents.lang,
+       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+       cnt
+     FROM documents JOIN c ON documents.lang = c.lang),
+f AS (SELECT * FROM d WHERE h < CASE WHEN cnt >= {_QUOTA_PREFILTER_MIN_ROWS}
+                                     THEN {_QUOTA_PREFILTER} ELSE {1 << 32} END),
 r AS (SELECT doc_id, lang,
         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
       FROM f)

@@ -43,6 +43,57 @@ def stage_parquet(df: DataFrame, storage_dir: str | None = None) -> str:
     return path
 
 
+class StagedBase:
+    """Append-only staged vector set shared across index-maintenance calls.
+
+    Holds an ordered list of staged Parquet paths whose executor-side form
+    is their concatenation with LATER paths overriding earlier rows that
+    share an id (``staged_matrix``) — the delete-then-reinsert update case.
+    The streaming maintenance loop creates one of these for the initial
+    base and each micro-batch appends only its delta, so per-batch staging
+    cost is ∝ |batch|, not ∝ |graph| (previously every micro-batch's two
+    prune calls each re-staged the FULL base to a fresh path, paying an
+    O(|graph|) write + per-worker matrix rebuild twice per batch).
+
+    A staged set may be a SUPERSET of the live base (deleted ids keep
+    their rows): the prune/search kernels look vectors up by id, so
+    unreferenced rows are dead weight only. Compact by re-staging when
+    churn makes the overhang material."""
+
+    def __init__(self, paths: list[str]):
+        self.paths = list(paths)
+
+    @classmethod
+    def of(cls, df: DataFrame, storage_dir: str | None = None) -> "StagedBase":
+        return cls([stage_parquet(df, storage_dir)])
+
+    def append(self, df: DataFrame, storage_dir: str | None = None) -> "StagedBase":
+        self.paths.append(stage_parquet(df, storage_dir))
+        return self
+
+
+def staged_matrix(
+    paths: list[str], id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, float64 matrix) over the CONCATENATION of several staged
+    artifacts, id-sorted, duplicate ids resolved to the LAST path's row
+    (StagedBase update semantics). One path degenerates to table_matrix."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbls = [pq.read_table(p, columns=[id_col, vec_col]) for p in paths]
+    tbl = tbls[0] if len(tbls) == 1 else pa.concat_tables(
+        tbls, promote_options="default"
+    )
+    ids, mat = table_matrix(tbl, id_col, vec_col)
+    if len(tbls) > 1:
+        # stable id-sort preserved concat order within equal ids, so the
+        # run-end of each equal-id run is the latest path's row
+        keep = np.append(ids[1:] != ids[:-1], True)
+        ids, mat = ids[keep], mat[keep]
+    return ids, mat
+
+
 def load_staged(key: str, build: Callable[[], object]) -> object:
     """Executor-side: build an artifact's in-memory form once per worker
     process. ``build`` reads the staged Parquet itself (``read_staged``);

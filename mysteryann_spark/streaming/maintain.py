@@ -19,7 +19,10 @@ whole-state updates; the loop body stays fully distributed (beam search
 the driver only coordinates batch boundaries.
 
 Scale story (100 TB): per-batch cost is ∝ |batch| x degree, never
-∝ |graph| — untouched adjacency rows pass through by construction. The
+∝ |graph| — untouched adjacency rows pass through by construction, and
+the staged vector set is shared across the drain (StagedBase: the base
+stages once up front, each batch appends only its delta — no per-batch
+full-base write; see sources/staging.py). The
 inter-batch state here is an eagerly-checkpointed DataFrame (executor
 block storage, lineage cut per batch so plan depth stays O(1) in batch
 count); on a real cluster the same loop writes the merged adjacency to a
@@ -118,6 +121,7 @@ def stream_insert_roargraph(
     sources should dedup upstream (streaming/windows.stream_dedup_exact).
     """
     from mysteryann_spark.operators.projection import insert_into_roargraph
+    from mysteryann_spark.sources.staging import StagedBase
 
     state = {
         "base": base_df.select("vec_id", "embedding").localCheckpoint(eager=True),
@@ -125,13 +129,19 @@ def stream_insert_roargraph(
         "ep": ep,
         "batches": 0,
     }
+    # staged once; each batch appends only its delta (see StagedBase) —
+    # per-batch staging cost ∝ |batch|, and the per-worker matrix cache
+    # key advances with the path list so workers rebuild incrementally
+    # from the staged parts instead of a fresh full-base write per prune
+    staged = StagedBase.of(state["base"])
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select("vec_id", "embedding")
         if batch.isEmpty():
             return
         merged, ep2 = insert_into_roargraph(
-            state["base"], state["adj"], state["ep"], batch, params
+            state["base"], state["adj"], state["ep"], batch, params,
+            staged_base=staged,
         )
         # Cut lineage NOW: without this, batch k's plan nests k insert
         # pipelines and analysis time grows superlinearly in batch count.
@@ -226,6 +236,7 @@ def stream_maintain_roargraph(
         delete_from_roargraph,
         insert_into_roargraph,
     )
+    from mysteryann_spark.sources.staging import StagedBase
 
     state = {
         "base": base_df.select("vec_id", "embedding").localCheckpoint(eager=True),
@@ -233,6 +244,11 @@ def stream_maintain_roargraph(
         "ep": ep,
         "batches": 0,
     }
+    # one staged vector set across the whole drain: deletes reuse it
+    # verbatim (deleted rows are inert supersets), inserts append their
+    # delta; a delete-then-reinsert update resolves to the newest row
+    # (StagedBase later-path-wins semantics)
+    staged = StagedBase.of(state["base"])
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
         dels = batch_df.where(F.col("op") == "delete").select("vec_id")
@@ -242,7 +258,8 @@ def stream_maintain_roargraph(
         changed = False
         if not dels.isEmpty():
             surv, adj2, ep2 = delete_from_roargraph(
-                state["base"], state["adj"], state["ep"], dels, params
+                state["base"], state["adj"], state["ep"], dels, params,
+                staged_base=staged,
             )
             state["base"] = surv.localCheckpoint(eager=True)
             state["adj"] = adj2.localCheckpoint(eager=True)
@@ -250,7 +267,8 @@ def stream_maintain_roargraph(
             changed = True
         if not ins.isEmpty():
             merged, ep2 = insert_into_roargraph(
-                state["base"], state["adj"], state["ep"], ins, params
+                state["base"], state["adj"], state["ep"], ins, params,
+                staged_base=staged,
             )
             state["adj"] = merged.localCheckpoint(eager=True)
             state["base"] = (

@@ -699,3 +699,24 @@ def test_mean_pool_matches_numpy_clip4clip(spark, emb):
     np.testing.assert_allclose(clip[0], [1 / np.sqrt(2), 1 / np.sqrt(2)], rtol=1e-12)
     np.testing.assert_allclose(raw[0], [100 / np.sqrt(100**2 + 1), 1 / np.sqrt(100**2 + 1)], rtol=1e-12)
     np.testing.assert_allclose(clip[1], [0.6, 0.8], rtol=1e-12)  # zero row clamps, not NaN
+
+
+def test_quota_sample_exact_counts(spark):
+    """pipeline_quota_sample returns exactly min(quota, |stratum|) rows per
+    language: small strata must skip the hash prefilter (the count-aware
+    threshold), big strata prefilter and still fill the quota."""
+    from mysteryann_spark.queries.pipeline import _QUOTA, pipeline_quota_sample
+
+    got = (
+        pipeline_quota_sample(spark, SF_DIR)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    truth = {
+        r["lang"]: r["count"]
+        for r in load_table(spark, "documents", SF_DIR).groupBy("lang").count().collect()
+    }
+    assert len(got) == len(truth)  # no stratum dropped entirely
+    for r in got:
+        assert r["count"] == min(_QUOTA, truth[r["lang"]]), r["lang"]

@@ -80,3 +80,28 @@ def test_table_ragged_reorders_and_handles_empties():
                       "htok": pa.array([], type=pa.list_(pa.int64()))})
         ids3, indptr3, flat3 = table_ragged(e, "rep", "htok")
         assert len(ids3) == 0 and list(indptr3) == [0] and len(flat3) == 0
+
+
+def test_staged_matrix_later_paths_override(spark):
+    """StagedBase incremental semantics: the concatenated matrix resolves
+    duplicate ids to the LATEST path's row (delete-then-reinsert update),
+    keeps superset rows, and stays id-sorted."""
+    import numpy as np
+
+    from mysteryann_spark.sources.staging import StagedBase, staged_matrix
+
+    d0 = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [2.0, 2.0]), (3, [3.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    sb = StagedBase.of(d0)
+    sb.append(
+        spark.createDataFrame(
+            [(2, [9.0, 9.0]), (4, [4.0, 4.0])],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    ids, mat = staged_matrix(sb.paths, "vec_id", "embedding")
+    assert ids.tolist() == [1, 2, 3, 4]
+    np.testing.assert_allclose(mat[1], [9.0, 9.0])  # later path wins
+    np.testing.assert_allclose(mat[3], [4.0, 4.0])
