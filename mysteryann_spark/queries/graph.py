@@ -389,6 +389,66 @@ def roargraph_stream_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("node", F.size("nbrs").cast("bigint").alias("degree"))
 
 
+def roargraph_stream_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming index CHURN under the driver's eye: build on the first
+    90% of the base, then drain a THREE-micro-batch insert/delete change
+    feed through foreachBatch maintenance (streaming/maintain.py
+    stream_maintain_roargraph) — batch 0 inserts half the holdout,
+    batch 1 deletes a slice of the original base and inserts the rest of
+    the holdout, batch 2 UPDATES a few ids (delete + reinsert with a
+    shifted embedding, the CDC update idiom). Returns per-node degrees of
+    the final graph. The reference is build-once/static
+    (src/index_bipartite.cpp has no insert or delete path). Rows-only;
+    streamed-vs-batch-API parity, tombstone coverage, and recall gates
+    live in tests/test_streaming.py (test_stream_maintain_churn_parity)."""
+    import tempfile
+
+    from mysteryann_spark.operators.projection import build_roargraph_from_table
+    from mysteryann_spark.streaming.maintain import (
+        stage_op_stream,
+        stream_maintain_roargraph,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.count()
+    cut = int(n * 0.9)
+    mid = cut + (n - cut) // 2
+    old = emb.where(F.col("vec_id") < cut)
+    adj, ep = build_roargraph_from_table(spark, old, PARAMS)
+
+    shifted = F.transform("embedding", lambda x: x + F.lit(0.25))
+    ins0 = emb.where((F.col("vec_id") >= cut) & (F.col("vec_id") < mid)).select(
+        F.lit(0).alias("batch"), F.lit("insert").alias("op"), "vec_id", "embedding"
+    )
+    del1 = old.where(F.col("vec_id") % 17 == 3).select(
+        F.lit(1).alias("batch"), F.lit("delete").alias("op"), "vec_id",
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    ins1 = emb.where(F.col("vec_id") >= mid).select(
+        F.lit(1).alias("batch"), F.lit("insert").alias("op"), "vec_id", "embedding"
+    )
+    upd_ids = F.col("vec_id") % 17 == 5
+    del2 = old.where(upd_ids).select(
+        F.lit(2).alias("batch"), F.lit("delete").alias("op"), "vec_id",
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    ins2 = old.where(upd_ids).select(
+        F.lit(2).alias("batch"), F.lit("insert").alias("op"), "vec_id",
+        shifted.cast("array<float>").alias("embedding"),
+    )
+    ops = ins0.unionByName(del1).unionByName(ins1).unionByName(del2).unionByName(ins2)
+
+    scratch = tempfile.mkdtemp(
+        prefix=f"roargraph_maintain_{spark.sparkContext.applicationId}_"
+    )
+    stream = stage_op_stream(spark, ops, os.path.join(scratch, "feed"))
+    _, merged, _, _ = stream_maintain_roargraph(
+        spark, old.select("vec_id", "embedding"), adj.localCheckpoint(), ep,
+        stream, PARAMS, os.path.join(scratch, "ckpt"),
+    )
+    return merged.select("node", F.size("nbrs").cast("bigint").alias("degree"))
+
+
 def roargraph_save_load_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index persistence round-trip under the driver's eye: save the
     built projection graph + metadata header (SaveProjectionGraph,
@@ -480,6 +540,7 @@ QUERIES: dict[str, QuerySpec] = {
     "roargraph_insert": QuerySpec(roargraph_insert, None),
     "roargraph_delete": QuerySpec(roargraph_delete, None),
     "roargraph_stream_insert": QuerySpec(roargraph_stream_insert, None),
+    "roargraph_stream_maintain": QuerySpec(roargraph_stream_maintain, None),
     "roargraph_save_load_search": QuerySpec(roargraph_save_load_search, None),
     "roargraph_binary_interop": QuerySpec(roargraph_binary_interop, None),
     "roargraph_nsg_import": QuerySpec(roargraph_nsg_import, None),

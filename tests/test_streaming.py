@@ -317,7 +317,13 @@ def test_stream_maintain_churn_parity(spark, emb, tmp_path):
         stream_maintain_roargraph,
     )
 
-    params = IndexParams(M_sq=20, M_pjbp=8, L_pjpq=40, k=10, L_pq=40, metric="l2")
+    # the registered entry's params (queries/graph.py PARAMS) — the gate
+    # must exercise exactly what roargraph_stream_maintain runs
+    from mysteryann_spark.queries.graph import PARAMS as params
+
+    assert params == IndexParams(
+        M_sq=20, M_pjbp=8, L_pjpq=40, k=10, L_pq=40, metric="l2"
+    )
     n = emb.count()
     cut = n - 50
     old = emb.where(F.col("vec_id") < cut)
