@@ -531,18 +531,41 @@ def _simhash_sign_matrix(
     return counts > 0
 
 
-def _hashed_tokens(docs: DataFrame) -> DataFrame:
-    """(doc_id, ht) with ht = xxhash64 of every token (bag, not set) —
-    the one cheap JVM pass; the per-bit arithmetic runs in Arrow
+def _md5_token_hash(t):
+    """64-bit token hash from the first 16 hex chars of md5(token),
+    assembled from two 32-bit halves with BIT ops only (shiftleft /
+    bitwiseOR never overflow-check, so this is ANSI-safe; a direct
+    16-hex-char conv -> bigint cast nulls out above 2^63). md5 is the one
+    hash family Spark and DuckDB share, which is what lets the simhash
+    entries carry a full DuckDB value-hash oracle."""
+    m = F.md5(t)
+    hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def _hashed_tokens(docs: DataFrame, hash_fn: str = "xxhash64") -> DataFrame:
+    """(doc_id, ht) with ht = a 64-bit hash of every token (bag, not
+    set) — the one cheap JVM pass; the per-bit arithmetic runs in Arrow
     kernels (the nested aggregate/zip_with Catalyst form was
-    interpreted per element and dominated the simhash entries)."""
-    ht = F.transform(tokens_col("text"), lambda t: F.xxhash64(t))
+    interpreted per element and dominated the simhash entries).
+
+    ``hash_fn``: "xxhash64" (default; fastest, JVM-native) or "md5"
+    (DuckDB-reproducible — the oracled registry entries use it)."""
+    if hash_fn == "md5":
+        ht = F.transform(tokens_col("text"), _md5_token_hash)
+    elif hash_fn == "xxhash64":
+        ht = F.transform(tokens_col("text"), lambda t: F.xxhash64(t))
+    else:
+        raise ValueError(f"unknown simhash token hash_fn: {hash_fn!r}")
     return docs.select("doc_id", ht.alias("ht"))
 
 
-def simhash_bits(docs: DataFrame, num_bits: int = 64) -> DataFrame:
+def simhash_bits(
+    docs: DataFrame, num_bits: int = 64, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash per doc as a bit string (sign of per-bit weighted
-    sums of token hashes)."""
+    sums of token hashes; char 0 = bit 0, LSB-first)."""
     schema = StructType(
         [
             StructField("doc_id", LongType(), False),
@@ -563,10 +586,12 @@ def simhash_bits(docs: DataFrame, num_bits: int = 64) -> DataFrame:
                 }
             )
 
-    return _hashed_tokens(docs).mapInPandas(kern, schema)
+    return _hashed_tokens(docs, hash_fn).mapInPandas(kern, schema)
 
 
-def simhash_chunks(docs: DataFrame, bands: int = 4, num_bits: int = 64) -> DataFrame:
+def simhash_chunks(
+    docs: DataFrame, bands: int = 4, num_bits: int = 64, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """SimHash as ``bands`` integer chunks — the banding-friendly
     rendering: chunk equality is the pigeonhole bucket key, and Hamming
     distance is the summed popcount of per-chunk XORs.
@@ -602,15 +627,17 @@ def simhash_chunks(docs: DataFrame, bands: int = 4, num_bits: int = 64) -> DataF
                 }
             )
 
-    return _hashed_tokens(docs).mapInPandas(kern, schema)
+    return _hashed_tokens(docs, hash_fn).mapInPandas(kern, schema)
 
 
-def simhash_hamming_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_hamming_pairs(
+    docs: DataFrame, max_hamming: int = 8, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """All pairs within the given Hamming distance via an ALL-PAIRS join —
     the exact slice-sized baseline the pigeonhole path is gated against in
     tests (tests/test_pipeline.py). The scale path is
     ``simhash_pigeonhole_pairs``."""
-    s = simhash_bits(docs)
+    s = simhash_bits(docs, hash_fn=hash_fn)
     a = s.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
     b = s.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
     split_bits = lambda c: F.split(c, "")  # noqa: E731
@@ -633,6 +660,7 @@ def simhash_pigeonhole_pairs(
     max_hamming: int = 3,
     bands: int | None = None,
     assume_broadcastable: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """All (id_a < id_b, hamming) pairs within ``max_hamming`` via
     pigeonhole banding — EXACT, no cartesian anywhere in the plan.
@@ -664,7 +692,7 @@ def simhash_pigeonhole_pairs(
     maybe_bc = F.broadcast if assume_broadcastable else (lambda df: df)
 
     groups = (
-        simhash_chunks(docs, bands=bands)
+        simhash_chunks(docs, bands=bands, hash_fn=hash_fn)
         .groupBy("chunks")
         .agg(
             F.min("doc_id").alias("rep"),

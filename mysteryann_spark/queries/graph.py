@@ -1,8 +1,10 @@
 """RoarGraph build + search registry entries — SURVEY.md §2.9 G4, §2.10 Q1.
 
 These are the genuinely non-SQL-expressible operators (iterative occlusion
-pruning, best-first graph traversal): no ``oracle_sql`` entry, so the
-driver records the weaker rows-only check. Their quality gates live in
+pruning, best-first graph traversal): mostly no ``oracle_sql`` entry, so
+the driver records the weaker rows-only check (exception:
+``roargraph_degrees`` carries a pinned-VALUES hash oracle — the build is
+deterministic and the testdata seed-pinned). Their quality gates live in
 ``tests/test_graph.py`` instead, mirroring the reference's own methodology
 (recall against exact ground truth — tests/test_search_roargraph.cpp:23-36):
 recall@10 >= 0.95 at the registered build parameters, degree caps
@@ -68,7 +70,11 @@ def _build(
 
 def roargraph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node degree of the built projection graph (the reference's
-    post-build degree audit, src/index_bipartite.cpp:1143-1179)."""
+    post-build degree audit, src/index_bipartite.cpp:1143-1179).
+    Hash-oracled against a PINNED expected table: the build is
+    deterministic and the driver testdata is seed-pinned, so the sf0.01
+    degree table is a constant (tools/gen_pinned_oracles.py regenerates
+    it after intentional build-semantics changes)."""
     _, adj, _ = _build(spark, sf_dir)
     return adj.select("node", F.size("nbrs").cast("bigint").alias("degree"))
 
@@ -527,9 +533,11 @@ def roargraph_nsg_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank")
 
 
+from mysteryann_spark.queries import _pinned_oracles as _PINNED
+
 QUERIES: dict[str, QuerySpec] = {
     "roargraph_sweep": QuerySpec(roargraph_sweep, None),
-    "roargraph_degrees": QuerySpec(roargraph_degrees, None),
+    "roargraph_degrees": QuerySpec(roargraph_degrees, _PINNED.DEGREES_SF001_SQL),
     "roargraph_search_topk": QuerySpec(roargraph_search_topk, None),
     "roargraph_search_ip": QuerySpec(roargraph_search_ip, None),
     "roargraph_search_cosine": QuerySpec(roargraph_search_cosine, None),

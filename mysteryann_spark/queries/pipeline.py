@@ -356,19 +356,68 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 64-bit SimHash signature (rows-only; bit-string column)."""
-    return simhash_bits(_docs(spark, sf_dir))
+    """Per-doc 64-bit SimHash signature as a bit string (char 0 = bit 0).
+    Signs with the md5 token-hash family (operators/dedup._md5_token_hash)
+    so the WHOLE signature is value-hash-oracled in DuckDB — the per-bit
+    signed sums, the sign rule, and the bit order all re-derived from
+    md5(token) on the oracle side."""
+    return simhash_bits(_docs(spark, sf_dir), hash_fn="md5")
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-distance near-dup pairs (<= 3) via exact pigeonhole
-    banding: equi-join on 16-bit signature chunks + XOR-popcount verify,
-    no cartesian in the plan. Rows-only (xxhash64 signatures have no
-    DuckDB equivalent); set equality vs the all-pairs baseline is gated
-    in tests/test_pipeline.py."""
+    banding: equi-join on signature chunks + XOR-popcount verify, no
+    cartesian in the plan. md5 signing makes the pair set AND the hamming
+    values DuckDB-oracled (the oracle recomputes signatures from
+    md5(token) and compares ALL pairs — exactness of the pigeonhole path
+    is what makes that equality hold; also gated vs the all-pairs
+    baseline in tests/test_pipeline.py)."""
     from mysteryann_spark.operators.dedup import simhash_pigeonhole_pairs
 
-    return simhash_pigeonhole_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return simhash_pigeonhole_pairs(_docs(spark, sf_dir), max_hamming=3, hash_fn="md5")
+
+
+# Shared oracle scaffolding: re-derive the md5-family simhash per doc.
+# Token hash = first 16 hex chars of md5(token) as (hi, lo) 32-bit halves;
+# bit j of the signature = sign of the summed ±1 contributions of bit j
+# (j>=32 from hi, else lo) over the token BAG; empty docs sign to all-0.
+_SIMHASH_CTE = """
+t AS (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents),
+h AS (SELECT doc_id,
+        CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+        CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+      FROM t),
+bitidx AS (SELECT unnest(generate_series(0, 63)) AS j),
+s AS (SELECT doc_id, j,
+        sum(((CASE WHEN j >= 32 THEN (hi >> (j - 32)) ELSE (lo >> j) END) & 1) * 2 - 1) AS c
+      FROM h CROSS JOIN bitidx GROUP BY doc_id, j)
+"""
+
+_SIMHASH_SQL = f"""
+WITH {_SIMHASH_CTE},
+sig AS (SELECT doc_id,
+          string_agg(CASE WHEN c > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+        FROM s GROUP BY doc_id)
+SELECT d.doc_id, coalesce(sig.simhash, repeat('0', 64)) AS simhash
+FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+"""
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_CTE},
+ints AS (SELECT doc_id,
+           sum(CASE WHEN c > 0 AND j < 32 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS lo,
+           sum(CASE WHEN c > 0 AND j >= 32 THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS hi
+         FROM s GROUP BY doc_id),
+sig AS (SELECT d.doc_id, CAST(coalesce(i.lo, 0) AS BIGINT) AS lo,
+               CAST(coalesce(i.hi, 0) AS BIGINT) AS hi
+        FROM documents d LEFT JOIN ints i ON d.doc_id = i.doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+"""
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1683,8 +1732,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_components": QuerySpec(dedup_components, _COMPONENTS_SQL),
     "dedup_groups_full": QuerySpec(dedup_groups_full, None),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
-    "dedup_simhash": QuerySpec(dedup_simhash, None),
-    "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs, None),
+    "dedup_simhash": QuerySpec(dedup_simhash, _SIMHASH_SQL),
+    "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs, _SIMHASH_PAIRS_SQL),
     "dedup_embedding": QuerySpec(dedup_embedding, _EMB_NEARDUP_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, _ANN_COSINE_SQL),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, None),
