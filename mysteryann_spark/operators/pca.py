@@ -130,3 +130,51 @@ def project_pca(
     return emb_df.select(id_col, vec_col).mapInPandas(
         kernel, f"{id_col} bigint, {out_col} array<double>"
     )
+
+
+def covariance_moments(emb_df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Upper-triangle POPULATION covariance ``(i, j, cov)`` with i <= j of
+    the embedding coordinates, derived from the SAME distributed moment
+    partials ``fit_pca`` eigendecomposes (count / sum / outer-product sums,
+    combined positionwise) — the SQL-checkable half of PCA. The moments
+    stay a DataFrame end-to-end: the (d^2+d+1)-row combined vector is
+    reshaped into (i, j) coordinates with column arithmetic and joined
+    against the per-dimension sums, so the driver never collects anything
+    and the only data-sized work is the one partial-moments pass."""
+    dim = int(emb_df.select(F.size(vec_col)).limit(1).collect()[0][0])
+    partials = emb_df.select(vec_col).mapInPandas(
+        _moment_partials(vec_col, dim), "m array<double>"
+    )
+    combined = (
+        partials.select(F.posexplode("m").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+        # materialize the (d^2+d+1)-row moment vector once: four branches
+        # (count / sums x2 / outer) read it, and without the cut each
+        # would re-run the data-sized moment pass
+        .localCheckpoint(eager=True)
+    )
+    n_df = combined.where(F.col("pos") == 0).select(F.col("v").alias("n"))
+    sums = combined.where((F.col("pos") >= 1) & (F.col("pos") <= dim)).select(
+        (F.col("pos") - 1).alias("i"), F.col("v").alias("s")
+    )
+    outer = combined.where(F.col("pos") > dim).select(
+        F.floor((F.col("pos") - dim - 1) / dim).cast("int").alias("i"),
+        ((F.col("pos") - dim - 1) % dim).cast("int").alias("j"),
+        F.col("v").alias("o"),
+    )
+    return (
+        outer.where(F.col("i") <= F.col("j"))
+        .join(F.broadcast(sums.select(F.col("i"), F.col("s").alias("s_i"))), "i")
+        .join(
+            F.broadcast(sums.select(F.col("i").alias("j"), F.col("s").alias("s_j"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "i",
+            "j",
+            (F.col("o") / F.col("n")
+             - (F.col("s_i") / F.col("n")) * (F.col("s_j") / F.col("n"))).alias("cov"),
+        )
+    )

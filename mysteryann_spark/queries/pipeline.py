@@ -1634,6 +1634,38 @@ FROM d, s
 """
 
 
+def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-checkable half of distributed PCA: the upper-triangle
+    population covariance of the embedding coordinates, computed from the
+    exact moment partials fit_pca eigendecomposes
+    (operators/pca.covariance_moments) and hash-oracled against DuckDB's
+    covar_pop over the unnested embeddings — if these moments match, the
+    only un-oracled PCA step left is the driver-side eigh (numpy-parity
+    gated in tests/test_pca.py)."""
+    from mysteryann_spark.operators.pca import covariance_moments
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return covariance_moments(emb).select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        # +0.0 canonicalizes IEEE negative zero (DuckDB renders -0.0)
+        (F.round("cov", 6) + F.lit(0.0)).alias("cov"),
+    )
+
+
+_PCA_VAR_SQL = """
+WITH x AS (
+  SELECT vec_id, gs - 1 AS i, CAST(e AS DOUBLE) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS gs
+        FROM embeddings)
+)
+SELECT a.i AS i, b.i AS j, round(covar_pop(a.v, b.v), 6) + 0.0 AS cov
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): fit 8 components in one pass
     (per-partition moment partials -> positionwise distributed combine ->
@@ -1718,6 +1750,7 @@ SELECT doc_id, lang, rk FROM r WHERE rk <= {_QUOTA}
 QUERIES: dict[str, QuerySpec] = {
     "pipeline_quota_sample": QuerySpec(pipeline_quota_sample, _QUOTA_SQL),
     "emb_pca_project": QuerySpec(emb_pca_project, None),
+    "emb_pca_variance": QuerySpec(emb_pca_variance, _PCA_VAR_SQL),
     "doc_tfidf_topterms": QuerySpec(doc_tfidf_topterms, _TFIDF_SQL),
     "doc_token_stats": QuerySpec(doc_token_stats, _TOKEN_STATS_SQL),
     "doc_lang_id": QuerySpec(doc_lang_id, _LANG_SQL),

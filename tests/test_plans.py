@@ -261,3 +261,27 @@ def test_round5_analytics_entries_plan_shape(spark):
     assert "CartesianProduct" not in formatted_plan(q)
     for cols in scan_read_schemas(q):
         assert set(cols) <= {"doc_id", "lang"}, cols
+
+
+def test_round6_entries_plan_shape(spark):
+    """Round-6 additions. emb_pca_variance: the only data-sized work is
+    the one moment-partials pass (scan reads only the embedding column);
+    everything after operates on the (d^2+d+1)-row combined vector, with
+    the tiny sums/count sides broadcast — no real shuffle beyond the
+    positionwise combine, no cartesian beyond the broadcast 1-row count.
+    (roargraph_build_ivf's scale-critical stage — the phase-0 IVF join —
+    is plan-audited in test_ivf_knn_join_plan_shape.)"""
+    from mysteryann_spark.plans.inspect import (
+        count_shuffles,
+        formatted_plan,
+        scan_read_schemas,
+    )
+    from mysteryann_spark.queries.pipeline import emb_pca_variance
+
+    v = emb_pca_variance(spark, SF_DIR)
+    for cols in scan_read_schemas(v):
+        assert set(cols) <= {"embedding"}, cols
+    # one Exchange for the positionwise moment combine; the i/j sum joins
+    # and the 1-row count are broadcast
+    assert count_shuffles(v) <= 2, formatted_plan(v)
+    assert "CartesianProduct" not in formatted_plan(v)
