@@ -82,6 +82,19 @@ def np_normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _pair_dtype(a, b) -> np.dtype:
+    """float32 only when BOTH operands already are (the opt-in fp32
+    staging regime, SPARK_GRAFT_STAGE_DTYPE=float32 — the reference's own
+    precision, distance.h works on float*); float64 everywhere else, so
+    every existing caller's numerics are unchanged."""
+    if (
+        getattr(a, "dtype", None) == np.float32
+        and getattr(b, "dtype", None) == np.float32
+    ):
+        return np.dtype(np.float32)
+    return np.dtype(np.float64)
+
+
 def np_pair_distances(metric: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Row-wise paired distances: out[i] = dist(a[i], b[i]), shape (n,).
 
@@ -89,8 +102,9 @@ def np_pair_distances(metric: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     cross-product GEMM would waste batch_size x the flops — so this is
     the O(pairs * dim) einsum form of the same FastL2 / IP / cosine
     formulas as np_distances."""
-    a = np.ascontiguousarray(a, dtype=np.float64)
-    b = np.ascontiguousarray(b, dtype=np.float64)
+    dt = _pair_dtype(a, b)
+    a = np.ascontiguousarray(a, dtype=dt)
+    b = np.ascontiguousarray(b, dtype=dt)
     if metric == "l2":
         d = (
             np.einsum("ij,ij->i", a, a)
@@ -111,10 +125,12 @@ def np_distances(metric: str, queries: np.ndarray, base: np.ndarray) -> np.ndarr
 
     L2 uses the precomputed-norm identity |a-b|^2 = |a|^2 + |b|^2 - 2 a.b
     (reference DistanceFastL2, distance.h:227-322) so the inner loop is one
-    GEMM — the blocked/vectorized replacement for the AVX kernels.
+    GEMM — the blocked/vectorized replacement for the AVX kernels. Runs
+    in float32 when both inputs are (see _pair_dtype), float64 otherwise.
     """
-    q = np.ascontiguousarray(queries, dtype=np.float64)
-    b = np.ascontiguousarray(base, dtype=np.float64)
+    dt = _pair_dtype(queries, base)
+    q = np.ascontiguousarray(queries, dtype=dt)
+    b = np.ascontiguousarray(base, dtype=dt)
     if metric == "l2":
         qq = np.einsum("ij,ij->i", q, q)[:, None]
         bb = np.einsum("ij,ij->i", b, b)[None, :]

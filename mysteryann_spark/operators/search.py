@@ -313,7 +313,7 @@ def search_bipartite(
             for s in range(0, len(pdf), _BATCH_CHUNK):
                 sub = pdf.iloc[s : s + _BATCH_CHUNK]
                 qids = sub[query_id].to_numpy()
-                qmat = np.stack([np.asarray(v, dtype=np.float64) for v in sub[vec_col]])
+                qmat = np.stack([np.asarray(v, dtype=b_mat.dtype) for v in sub[vec_col]])
                 seeds = [
                     [int(x) for x in np.random.default_rng([seed, int(qid)]).integers(
                         0, base_count, size=n_seeds)]
@@ -385,7 +385,7 @@ def search_graph(
             for s in range(0, len(pdf), _BATCH_CHUNK):
                 sub = pdf.iloc[s : s + _BATCH_CHUNK]
                 qids = sub[query_id].to_numpy()
-                qmat = np.stack([np.asarray(v, dtype=np.float64) for v in sub[vec_col]])
+                qmat = np.stack([np.asarray(v, dtype=b_mat.dtype) for v in sub[vec_col]])
                 if exclude_self:
                     excl = np.searchsorted(b_ids, qids)
                     in_range = excl < len(b_ids)

@@ -49,116 +49,28 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The correctness driver gates only the FIRST 50 entries in iteration order
-# (CORRECTNESS_r01..r04.json all cut off at exactly 50).  Registry order
-# is therefore a verification-coverage decision, not cosmetics.  Round-5
-# policy (r4 VERDICT "Next round" #3: rotate onto the 51 entries the r4
-# window did not cover, keeping the fixed interop entry in front):
+# (CORRECTNESS_r01..r05.json all cut off at exactly 50).  Registry order
+# is therefore a verification-coverage decision, not cosmetics.  Round-6
+# policy (r5 VERDICT "Next round" #1: rotate onto the 16 stale/never-
+# verified entries before the 3-round rule trips):
 #
-#   * ``_FRONT`` — (a) the one r4 FAIL (driver-session crash, fixed this
-#     round), (b) entries NEW in round 5 (cosine flagship, ivf-phase-0
-#     build), (c) r4-green entries whose code or oracle CHANGED in round 5
-#     (outlier SQL dim/nullif, ivfpq scratch path, WAV codec bounds), then
-#     (d) the r4 _BACK floor — everything last driver-verified in r2/r3,
-#     including the whole knn/roargraph family, whose join/build modules
-#     were refactored this round (flat_to_arrays split, build phase0 knob,
-#     _build cache keying).
-#   * unlisted entries (anything NEW added to a module) sort between _FRONT
+#   * ``_FRONT`` — (a) the r3-floor debt (six batch events_* +
+#     multimodal_decode/meanpool — last driver-verified r3, the 3-round
+#     cap trips this round) and the eight r5-new never-driver-verified
+#     entries, plus multimodal_audio_spectral (r4 rows-ran, demoted twice);
+#     (b) entries NEW in round 6 (streaming churn, PCA covariance oracle);
+#     (c) entries whose code or ORACLE changed in round 6 (simhash md5
+#     signing, pinned degrees oracle, clip4clip meanpool, count-aware
+#     quota prefilter, StagedBase threading through insert/delete);
+#     (d) backfill from the r4-only floor in _BACK order.
+#   * unlisted entries (anything NEW added mid-round) sort between _FRONT
 #     and _BACK, landing inside the window by default.
-#   * ``_BACK`` — r4-driver-green entries untouched in r5, EXCEPT the first
-#     eight rows: 51 rotations don't fit a 50-slot window with 7 must-runs
-#     in front, so the six batch events_* entries (events.py untouched in
-#     r5, r3-green, 5 batch-parity pytest gates) and two multimodal
-#     entries (multimodal.py untouched in r5, r3-green, decode path
-#     hash-covered by r4's multimodal_image_features) wait at the head of
-#     _BACK — they are the r6 rotation's first pick and must not slip
-#     again.
+#   * ``_BACK`` — head: the 19 r4-floor entries the 50-slot window could
+#     not seat this round (r7's FIRST pick — they go 3 rounds stale next
+#     round), then everything driver-green in r5 and untouched since.
 _FRONT = [
-    # the r4 driver crash, fixed (graph_io Arrow-table createDataFrame) —
-    # must re-green first
-    "roargraph_binary_interop",
-    # new in round 5
-    "roargraph_search_cosine",
-    "roargraph_build_ivf",
-    "roargraph_stream_insert",
-    # r4-green but changed in round 5 — hash/row must re-green under the
-    # new code (outlier oracle derives dim + nullif guard; persisted-ivfpq
-    # path keyed by applicationId; WAV parser bounds checks). The spectral
-    # sibling is demoted to make room for the new streaming-insert entry:
-    # it is rows-only (a bounds-check can't change its row count), the
-    # bare-session gate ran it clean this round, and multimodal_audio_stats
-    # hash-covers the same codec path in-window.
-    "emb_outlier_zscore",
-    "ann_ivfpq_persisted",
-    "multimodal_audio_stats",
-    # knn.py refactor (flat_to_arrays) + graph.py _build signature change
-    # touch every entry over the join/build paths — rotate the family in
-    "knn_exact",
-    "knn_medoid",
-    "knn_recall_l2_vs_cosine",
-    "knn_rderr_truncated",
-    "ann_cosine_topk",
-    "ann_quantized_topk",
-    "ann_range_search",
-    "ann_lsh_topk",
-    "roargraph_degrees",
-    "roargraph_search_topk",
-    "roargraph_search_ip",
-    "roargraph_search_distributed",
-    "bipartite_search_topk",
-    "roargraph_save_load_search",
-    "roargraph_insert",
-    # the r2-last-verified scalar/relational floor — 3 rounds without a
-    # driver row is the cap (r4 VERDICT #3)
-    "string_functions",
-    "math_functions",
-    "date_functions",
-    "case_buckets",
-    "setops_nations",
-    "above_avg_balance",
-    "funnel_steps",
-    "grouping_sets_sales",
-    "json_events",
-    "cube_orders",
-    # r3-green families whose modules (dedup.py via knn imports,
-    # pipeline.py) changed in r4/r5
-    "dedup_simhash_pairs",
-    "dedup_simhash",
-    "dedup_embedding",
-    "dedup_groups_full",
-    "dedup_ann_pairs",
-    "doc_pii_scrub",
-    "doc_gopher_quality",
-    "pipeline_mix_sample",
-    "pipeline_pack_sequences",
-    "pipeline_profile",
-    "flagship_revenue_by_nation",
-    "pricing_summary",
-    "brand_sales",
-    "vector_norms",
-    "fbin_roundtrip_norms",
-    "vector_normalize",
-    "distance_pairs",
-    "multimodal_frame_sample",
-]
-_BACK = [
-    # rotation debt: r3-green, untouched in r5, displaced from the r5
-    # window by the 51-into-43 squeeze — FIRST pick for the r6 window.
-    # multimodal_audio_spectral joins them: r4 driver rows-ran, demoted
-    # late in r5 to seat the new streaming-insert entry (its r5 change is
-    # a bounds check; the oracled audio_stats twin hash-covers the codec
-    # in-window, and the bare gate ran it clean this round).
-    "multimodal_audio_spectral",
-    # new LATE in round 5 (the window was already committed): hash-oracled
-    # + bare-gate-verified locally this round; first pick for r6 with the
-    # block below
-    "pipeline_decontaminate_semantic",
-    "roargraph_nsg_import",
-    "stream_neardup_docs",
-    "events_transitions",
-    "join_skew_topkeys",
-    "pipeline_quota_sample",
-    "emb_pca_project",
-    "roargraph_delete",
+    # (a) the r3-floor + r5-new rotation debt — the reason this round's
+    # window exists
     "events_tumbling",
     "events_interval_join",
     "events_sliding",
@@ -167,7 +79,26 @@ _BACK = [
     "events_approx_distinct",
     "multimodal_decode",
     "multimodal_meanpool",
-    # green in the r4 driver window (hash or rows-ran), untouched in r5
+    "multimodal_audio_spectral",
+    "pipeline_decontaminate_semantic",
+    "roargraph_nsg_import",
+    "stream_neardup_docs",
+    "events_transitions",
+    "join_skew_topkeys",
+    "pipeline_quota_sample",
+    "emb_pca_project",
+    "roargraph_delete",
+    # (b) new in round 6
+    "roargraph_stream_maintain",
+    "emb_pca_variance",
+    # (c) changed in round 6: promoted oracles (md5 simhash family, pinned
+    # degrees), the maintenance loops now threading a shared StagedBase
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "roargraph_degrees",
+    "roargraph_stream_insert",
+    "roargraph_insert",
+    # (d) r4-floor backfill, in prior-_BACK order
     "events_sessionize",
     "doc_substring_spans",
     "multimodal_decode_real",
@@ -194,6 +125,10 @@ _BACK = [
     "dedup_semantic",
     "dedup_fingerprint",
     "dedup_jaccard_bigram",
+]
+_BACK = [
+    # r4-floor remainder the window could not seat — r7's FIRST pick
+    # (they reach the 3-round cap next round)
     "pipeline_curate",
     "dedup_components",
     "dedup_exact",
@@ -213,6 +148,52 @@ _BACK = [
     "anti_join_customers",
     "distinct_agg",
     "rollup_customer_balance",
+    # driver-green in round 5 (hash or rows-ran), untouched since
+    "roargraph_binary_interop",
+    "roargraph_search_cosine",
+    "roargraph_build_ivf",
+    "emb_outlier_zscore",
+    "ann_ivfpq_persisted",
+    "multimodal_audio_stats",
+    "knn_exact",
+    "knn_medoid",
+    "knn_recall_l2_vs_cosine",
+    "knn_rderr_truncated",
+    "ann_cosine_topk",
+    "ann_quantized_topk",
+    "ann_range_search",
+    "ann_lsh_topk",
+    "roargraph_search_topk",
+    "roargraph_search_ip",
+    "roargraph_search_distributed",
+    "bipartite_search_topk",
+    "roargraph_save_load_search",
+    "string_functions",
+    "math_functions",
+    "date_functions",
+    "case_buckets",
+    "setops_nations",
+    "above_avg_balance",
+    "funnel_steps",
+    "grouping_sets_sales",
+    "json_events",
+    "cube_orders",
+    "dedup_embedding",
+    "dedup_groups_full",
+    "dedup_ann_pairs",
+    "doc_pii_scrub",
+    "doc_gopher_quality",
+    "pipeline_mix_sample",
+    "pipeline_pack_sequences",
+    "pipeline_profile",
+    "flagship_revenue_by_nation",
+    "pricing_summary",
+    "brand_sales",
+    "vector_norms",
+    "fbin_roundtrip_norms",
+    "vector_normalize",
+    "distance_pairs",
+    "multimodal_frame_sample",
 ]
 
 

@@ -30,9 +30,15 @@ import numpy as np
 from pyspark.sql import DataFrame
 
 # per-Python-worker artifact cache; bounded so repeated stagings of
-# throwaway indexes (tests, sweeps with fresh builds) can't accumulate
+# throwaway indexes (tests, sweeps with fresh builds) can't accumulate.
+# SPARK_GRAFT_WORKER_CACHE sizes it: the default 8 suits test/sf-scale
+# artifacts (MBs each); at rehearsal scale a single staged base matrix is
+# ~n*dim*8 bytes (5+ GB at 10^7 x 64), so big runs set 1-2 to keep
+# worker peak-resident memory to the live artifact instead of the LRU
+# history (phase-0 query matrix + prune base + search CSR would
+# otherwise all linger per worker).
 _CACHE: "OrderedDict[str, object]" = OrderedDict()
-_CACHE_MAX = 8
+_CACHE_MAX = int(os.environ.get("SPARK_GRAFT_WORKER_CACHE", "8"))
 
 
 def stage_parquet(df: DataFrame, storage_dir: str | None = None) -> str:
@@ -97,13 +103,18 @@ def staged_matrix(
 def load_staged(key: str, build: Callable[[], object]) -> object:
     """Executor-side: build an artifact's in-memory form once per worker
     process. ``build`` reads the staged Parquet itself (``read_staged``);
-    ``key`` is usually the staged path (or a composite of several)."""
+    ``key`` is usually the staged path (or a composite of several).
+
+    Eviction happens BEFORE the build: at rehearsal scale one artifact is
+    multiple GB, and building the new matrix while the evictee still sat
+    in the cache doubled worker peak memory exactly at stage boundaries —
+    when every worker transitions at once."""
     obj = _CACHE.get(key)
     if obj is None:
+        while len(_CACHE) >= _CACHE_MAX:
+            _CACHE.popitem(last=False)
         obj = build()
         _CACHE[key] = obj
-        while len(_CACHE) > _CACHE_MAX:
-            _CACHE.popitem(last=False)
     return obj
 
 
@@ -115,10 +126,26 @@ def read_staged(path: str):
     return pq.read_table(path)
 
 
+def stage_dtype() -> np.dtype:
+    """Element dtype of staged matrices. float64 by default (bit-parity
+    with the DuckDB oracles); ``SPARK_GRAFT_STAGE_DTYPE=float32`` opts a
+    RUN into the reference's own fp32 precision (distance.h operates on
+    float*) — halves per-worker matrix residency and doubles GEMM rate,
+    the regime the 10^7 rehearsal needs. The distance kernels follow the
+    operand dtype (functions/vector._pair_dtype)."""
+    return np.dtype(
+        np.float32
+        if os.environ.get("SPARK_GRAFT_STAGE_DTYPE") == "float32"
+        else np.float64
+    )
+
+
 def table_matrix(tbl, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
-    """(ids, float64 matrix) from an Arrow table, id-sorted. The list
-    column is flattened through its offsets — one buffer copy, no
-    per-row Python objects."""
+    """(ids, float matrix — see stage_dtype) from an Arrow table,
+    id-sorted. The list column is flattened through its offsets — one
+    buffer copy, no per-row Python objects. Already-sorted ids (the
+    common case: staged writes of range-partitioned sources) skip the
+    gather, saving a full matrix copy at the moment of peak residency."""
     ids = tbl[id_col].combine_chunks().to_numpy(zero_copy_only=False)
     arr = tbl[vec_col].combine_chunks()
     offsets = arr.offsets.to_numpy(zero_copy_only=False)
@@ -127,8 +154,10 @@ def table_matrix(tbl, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray
         raise ValueError("staged base table is empty")
     if not np.all(widths == widths[0]):
         raise ValueError("staged vectors are ragged; expected fixed dim")
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(stage_dtype())
     mat = flat.reshape(len(ids), int(widths[0]))
+    if len(ids) > 1 and np.all(ids[1:] >= ids[:-1]):
+        return ids.astype(np.int64), mat
     order = np.argsort(ids, kind="stable")
     return ids[order].astype(np.int64), mat[order]
 

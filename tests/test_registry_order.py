@@ -10,28 +10,40 @@ from mysteryann_spark.queries.registry import _BACK, _FRONT, all_queries
 
 DRIVER_WINDOW = 50
 
-# Round-5 must-verify set: the r4 driver crash (fixed), the three new r5
-# entries, the r4-green entries whose code/oracle changed in r5 (the
-# rows-only spectral sibling is demoted — its oracled twin hash-covers the
-# same codec in-window), and the refactored knn/roargraph family
-# (r4 VERDICT "Next round" #1/#3/#5).
+# Round-6 must-verify set (r5 VERDICT "Next round" #1): the 16 entries
+# that were r3-stale or never driver-verified, multimodal_audio_spectral
+# (twice-demoted), the round-6 additions, and the entries whose code or
+# oracle changed in round 6 (promoted simhash/degrees oracles, StagedBase
+# maintenance loops).
 MUST_BE_IN_WINDOW = {
-    "roargraph_binary_interop",
-    "roargraph_search_cosine",
-    "roargraph_build_ivf",
-    "roargraph_stream_insert",
-    "emb_outlier_zscore",
-    "ann_ivfpq_persisted",
-    "multimodal_audio_stats",
-    "knn_exact",
-    "ann_cosine_topk",
+    # r3 floor — 3-round cap trips this round
+    "events_tumbling",
+    "events_interval_join",
+    "events_sliding",
+    "events_asof_click",
+    "events_pivot",
+    "events_approx_distinct",
+    "multimodal_decode",
+    "multimodal_meanpool",
+    # never driver-verified (new in r5)
+    "pipeline_decontaminate_semantic",
+    "roargraph_nsg_import",
+    "stream_neardup_docs",
+    "events_transitions",
+    "join_skew_topkeys",
+    "pipeline_quota_sample",
+    "emb_pca_project",
+    "roargraph_delete",
+    "multimodal_audio_spectral",
+    # new in round 6
+    "roargraph_stream_maintain",
+    "emb_pca_variance",
+    # changed in round 6
+    "dedup_simhash",
+    "dedup_simhash_pairs",
     "roargraph_degrees",
-    "roargraph_search_topk",
-    "roargraph_search_ip",
-    "roargraph_search_distributed",
-    "roargraph_save_load_search",
+    "roargraph_stream_insert",
     "roargraph_insert",
-    "bipartite_search_topk",
 }
 
 
@@ -39,19 +51,7 @@ def test_must_verify_entries_inside_driver_window():
     names = list(all_queries())
     window = set(names[:DRIVER_WINDOW])
     missing = MUST_BE_IN_WINDOW - window
-    assert not missing, f"round-5 must-verify entries outside first 50: {missing}"
-
-
-def test_rotated_floor_inside_driver_window():
-    """The r2-last-verified scalar/relational floor (3 rounds without a
-    driver row is the cap) must all sit inside the round-5 window."""
-    names = list(all_queries())
-    window = set(names[:DRIVER_WINDOW])
-    floor = set(
-        _FRONT[_FRONT.index("string_functions"): _FRONT.index("cube_orders") + 1]
-    )
-    missing = floor - window
-    assert not missing, f"rotated r2-floor entries outside first 50: {missing}"
+    assert not missing, f"round-6 must-verify entries outside first 50: {missing}"
 
 
 def test_front_fills_the_window_exactly():
