@@ -83,37 +83,94 @@ def load_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
 # - bipartite graph (Save/Load, src/index_bipartite.cpp:2045-2071):
 #       npts:u32, then per node: deg:u32, nbrs[deg]:u32
 #
-# The stream is a single sequential file — inherently one-writer/one-reader —
-# so these are EXPORT/IMPORT connectors, not the engine's native sink (that
-# stays splittable Parquet). Export streams partition-by-partition through
-# toLocalIterator (driver holds one partition of adjacency at a time, never
-# the whole graph); import parses the file with numpy and hands Spark an
-# arrow-backed DataFrame. Both bound driver memory by the largest single
-# node's adjacency, not the graph.
+# The stream is a single sequential FILE — inherently one-writer — but the
+# ENCODING is embarrassingly parallel: the record for node i depends only on
+# node i's row. Export therefore range-partitions the adjacency by node and
+# has each partition vector-encode its contiguous node span into ONE uint32
+# blob (header positions and neighbor slots computed with indptr arithmetic
+# — no per-record Python); the driver streams the ordered blobs to disk,
+# zero-filling inter-partition gaps. Driver memory is bounded by one
+# partition's blob, and the per-record Python loop of the previous export
+# (toLocalIterator + per-row numpy allocs — the "format-limited sequential"
+# wall the 10^6 interop rehearsal measured) is gone. These remain
+# EXPORT/IMPORT connectors, not the engine's native sink (that stays
+# splittable Parquet). Import parses the file with numpy and hands Spark an
+# arrow-backed DataFrame.
+
+# target uint32s per encoded blob (~64 MB) — sizes the range partitioning
+_EXPORT_BLOB_U32 = 16 << 20
 
 
 def _write_adjacency_stream(out, adj: DataFrame, npts: int) -> None:
     """Write per-node ``(deg:u32, nbrs[deg]:u32)`` records for nodes
     0..npts-1 in order; nodes absent from ``adj`` get degree 0 (the
     reference emits every node unconditionally)."""
-    import numpy as np
+    import math
 
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    n_edges = adj.select(F.sum(F.size("nbrs"))).collect()[0][0] or 0
+    n_parts = max(1, math.ceil((n_edges + npts) / _EXPORT_BLOB_U32))
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["node"].to_numpy(dtype=np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            if ids[0] < 0 or ids[-1] >= npts:
+                raise ValueError(f"node ids outside [0, {npts})")
+            if len(np.unique(ids)) != len(ids):
+                raise ValueError("duplicate node ids in adjacency export")
+            nbr_lists = pdf["nbrs"].to_numpy()[order]
+            widths = np.fromiter(
+                (len(v) if v is not None else 0 for v in nbr_lists),
+                dtype=np.int64, count=len(ids),
+            )
+            flat = (
+                np.concatenate([np.asarray(v, dtype=np.int64) for v in nbr_lists if v is not None and len(v)])
+                if widths.sum() else np.empty(0, dtype=np.int64)
+            )
+            start, end = int(ids[0]), int(ids[-1])
+            span = end - start + 1
+            dense_deg = np.zeros(span, dtype=np.int64)
+            dense_deg[ids - start] = widths
+            blob = np.zeros(span + int(dense_deg.sum()), dtype="<u4")
+            hdr = np.concatenate(
+                [np.zeros(1, dtype=np.int64), np.cumsum(dense_deg + 1)]
+            )[:-1]
+            blob[hdr] = dense_deg
+            total = int(widths.sum())
+            if total:
+                tgt = (
+                    np.repeat(hdr[ids - start] + 1, widths)
+                    + np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(widths) - widths, widths)
+                )
+                blob[tgt] = flat
+            yield pd.DataFrame(
+                {"start": [start], "end": [end], "blob": [blob.tobytes()]}
+            )
+
+    blobs = (
+        adj.select("node", "nbrs")
+        .repartitionByRange(n_parts, "node")
+        .mapInPandas(encode, "start long, end long, blob binary")
+    )
     next_node = 0
     empty = np.zeros(1, dtype="<u4").tobytes()
-    for row in adj.select("node", "nbrs").orderBy("node").toLocalIterator():
-        node = int(row["node"])
-        if node < 0 or node >= npts:
-            raise ValueError(f"node id {node} outside [0, {npts})")
-        while next_node < node:  # gap → zero-degree records
-            out.write(empty)
-            next_node += 1
-        nbrs = np.asarray(row["nbrs"] or [], dtype="<u4")
-        out.write(np.array([len(nbrs)], dtype="<u4").tobytes())
-        out.write(nbrs.tobytes())
-        next_node = node + 1
-    while next_node < npts:
-        out.write(empty)
-        next_node += 1
+    for row in blobs.orderBy("start").toLocalIterator():
+        start = int(row["start"])
+        if start < next_node:
+            raise ValueError("overlapping export blobs — adjacency has duplicate nodes")
+        out.write(empty * (start - next_node))  # gap → zero-degree records
+        out.write(bytes(row["blob"]))
+        next_node = int(row["end"]) + 1
+    out.write(empty * (npts - next_node))
 
 
 def _read_adjacency_stream(buf, npts: int | None):

@@ -91,7 +91,16 @@ def main() -> None:
 
     import os as _os
 
-    spark = get_spark(app_name=f"scale-rehearsal-{n}")
+    # hazard #7: size shuffle partitions to data volume, not cores — the
+    # candidate/prune shuffles carry O(n * M) bare-id rows, and ~cores
+    # partitions put tens of millions of rows in each concurrent in-heap
+    # sort at 10^7 scale (the same UnsafeExternalSorter OOM the 10^7
+    # dedup rehearsal hit). AQE coalesces the excess on small stages.
+    shuffle_parts = _env.environ.get("SCALE_SHUFFLE_PARTITIONS")
+    spark = get_spark(
+        app_name=f"scale-rehearsal-{n}",
+        shuffle_partitions=int(shuffle_parts) if shuffle_parts else None,
+    )
     # SCALE_M_SQ / SCALE_M_PJBP / SCALE_L_PJPQ override the default build
     # knobs — the density-vs-M experiments (SCALE.md: "scale M_pjbp with
     # density") need non-default M at fixed N. The cache key includes the
