@@ -16,6 +16,9 @@ entries whose plans depend on session config the most:
 - ``udf_registry_distances``     pandas-UDF surface (Arrow batch transfer)
 - ``stream_tumbling_oracled``    Structured Streaming + windows
 - ``dedup_exact``                xxhash64/grouping (AQE/shuffle defaults)
+- ``dedup_simhash``              md5->conv->shiftleft signing (ANSI-mode sensitive)
+- ``emb_pca_variance``           posexplode moment combine + localCheckpoint
+- ``roargraph_stream_maintain``  churn feed (delete splice + insert per batch)
 
 Full-registry bare runs are a round-cadence job (python tools/verify_local.py
 --bare), not a per-test cost.
@@ -37,6 +40,9 @@ BARE_ENTRIES = [
     "udf_registry_distances",
     "stream_tumbling_oracled",
     "dedup_exact",
+    "dedup_simhash",
+    "emb_pca_variance",
+    "roargraph_stream_maintain",
 ]
 
 
