@@ -43,18 +43,42 @@ def _sample_kmeans(
     Distances use the ||x||^2 - 2x.c + ||c||^2 GEMM expansion: the naive
     broadcasted (n, k, dim) cube is ~34 GB at the 64k-sample x 1024-
     centroid training size the 10^6 IVF-PQ rehearsal needs — the GEMM
-    form peaks at the (n, k) matrix."""
+    form peaks at the (n, k) matrix. That matrix is itself chunked over
+    sample rows under the shared distance-block budget: at the 770k x
+    3162 training size the 10^7 ivf build samples, the unchunked form is
+    ~19 GB and numpy churns three temporaries of that size per iteration
+    — the allocation traffic, not the flops, dominated the wall (the
+    10^7 rehearsal driver sat at 100% for 15+ min oscillating 20-50 GB
+    RSS). Chunking is exact: argmin is row-independent."""
+    from mysteryann_spark.operators.knn import _DMAT_BUDGET_BYTES
+
     rng = np.random.default_rng(seed)
     n = len(vecs)
     cent = vecs[rng.choice(n, size=min(k, n), replace=False)].copy()
-    x_sq = (vecs * vecs).sum(axis=1)[:, None]
+    chunk = max(1, int(_DMAT_BUDGET_BYTES // max(1, 8 * len(cent))))
+    assign = np.empty(n, dtype=np.int64)
     for _ in range(max_iter):
-        d = x_sq - 2.0 * (vecs @ cent.T) + (cent * cent).sum(axis=1)[None, :]
-        assign = d.argmin(axis=1)
-        for c in range(len(cent)):
-            members = vecs[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
+        # argmin_c ||x-c||^2 = argmax_c (x.c - ||c||^2/2): the ||x||^2
+        # term is constant per row, so it never touches the assignment —
+        # dropping it (and subtracting the centroid half-norms IN PLACE on
+        # the GEMM output) cuts the three full-size temporaries the
+        # d = x_sq - 2g + c_sq form churned; that allocation traffic, not
+        # the GEMM, was 38 of 41 s/iter at 770k x 3162
+        half_c_sq = 0.5 * (cent * cent).sum(axis=1)[None, :]
+        for s in range(0, n, chunk):
+            g = vecs[s : s + chunk] @ cent.T
+            g -= half_c_sq
+            assign[s : s + chunk] = g.argmax(axis=1)
+        # centroid update via sorted segment means — the per-cluster
+        # boolean-mask loop was O(k * n) memory traffic (the wall once
+        # the distance pass was chunked: ~160 s of the 192 s at 770k x
+        # 3162); one stable argsort + reduceat is O(n log n + n * dim)
+        order = np.argsort(assign, kind="stable")
+        sa = assign[order]
+        starts = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1]])
+        sums = np.add.reduceat(vecs[order], starts, axis=0)
+        counts = np.diff(np.append(starts, len(sa)))
+        cent[sa[starts]] = sums / counts[:, None]
     return cent
 
 
