@@ -144,7 +144,12 @@ def ivf_knn_join(
         return spark.createDataFrame([], _RANKED_SCHEMA)
 
     def _query_side():
-        """(qids, qmat, inverted probe index cid -> query-row indices)."""
+        """(qids, qmat, uniq_cids, bounds, flat_rows): the inverted probe
+        index as three flat arrays (cid j's query rows are
+        flat_rows[bounds[j]:bounds[j+1]]) rather than a dict — a pure
+        tuple-of-ndarrays artifact is host-shareable under
+        SPARK_GRAFT_SHARED_STAGE (sources/staging.py), which matters
+        here: qmat alone is ~2.6 GB at the 10^7 full-training scale."""
         import pyarrow.fs as pafs
         import pyarrow.parquet as pq
 
@@ -175,11 +180,7 @@ def ivf_knn_join(
         flat_cids, flat_rows = flat_cids[order], flat_rows[order]
         uniq, starts = np.unique(flat_cids, return_index=True)
         bounds = np.append(starts, len(flat_cids))
-        inv = {
-            int(uniq[j]): flat_rows[bounds[j] : bounds[j + 1]]
-            for j in range(len(uniq))
-        }
-        return qids, qmat, inv
+        return qids, qmat, uniq, bounds, flat_rows
 
     # base side: assign each row to its L2-nearest centroid in routing
     # space, then ONE shuffle on cid so each Arrow batch holds long
@@ -209,7 +210,7 @@ def ivf_knn_join(
         loaded = load_staged("ivfknnq|" + "|".join(files), _query_side)
         if loaded is None:
             return
-        qids, qmat, inv = loaded
+        qids, qmat, inv_cids, inv_bounds, inv_rows = loaded
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -221,9 +222,10 @@ def ivf_knn_join(
             run_bounds = np.append(run_starts, len(bcids))
             for ri in range(len(run_starts)):
                 lo, hi = run_bounds[ri], run_bounds[ri + 1]
-                qrows = inv.get(int(bcids[lo]))
-                if qrows is None:
+                j = int(np.searchsorted(inv_cids, bcids[lo]))
+                if j >= len(inv_cids) or inv_cids[j] != bcids[lo]:
                     continue
+                qrows = inv_rows[inv_bounds[j] : inv_bounds[j + 1]]
                 sub_bids = bids[lo:hi]
                 sub_bmat = bmat[lo:hi]
                 q_chunk = max(1, int(_DMAT_BUDGET_BYTES // max(1, 8 * len(sub_bids))))

@@ -41,6 +41,108 @@ _CACHE: "OrderedDict[str, object]" = OrderedDict()
 _CACHE_MAX = int(os.environ.get("SPARK_GRAFT_WORKER_CACHE", "8"))
 
 
+def _shared_enabled() -> bool:
+    """SPARK_GRAFT_SHARED_STAGE=1 opts a run into HOST-shared staged
+    artifacts: the first worker to need an artifact materializes it once
+    as flat ``.npy`` files on node-local scratch and every worker (this
+    one included) maps them read-only (``np.load(mmap_mode="r")``), so
+    the OS page cache holds ONE copy per host instead of one anonymous
+    copy per worker process. At 10^7 x 64-d the private-copy regime is
+    ~2.6 GB x n_workers just for the base matrix — 16 workers of that
+    (plus the phase-0 query matrix) global-OOM-killed the 10M rehearsal;
+    shared, the host pays ~2.6 GB total. On a cluster this is the
+    standard per-node artifact cache (executors on one node share
+    local scratch); default off to keep the correctness-scale entries
+    bit-identical to the long-tested private path."""
+    return os.environ.get("SPARK_GRAFT_SHARED_STAGE") == "1"
+
+
+# how long a losing worker waits for the winner's manifest before giving
+# up and building privately (the winner may have died mid-build)
+_SHARED_WAIT_S = float(os.environ.get("SPARK_GRAFT_SHARED_WAIT_S", "1800"))
+
+
+def _shared_dir(key: str) -> str:
+    import hashlib
+
+    digest = hashlib.sha1(key.encode()).hexdigest()[:20]
+    return os.path.join(tempfile.gettempdir(), f"mysteryann-shared-{digest}")
+
+
+def _shared_save(d: str, obj: tuple) -> None:
+    """Winner side: write each array + a manifest, manifest last and
+    atomically (tmp + rename) so readers never see a half-written set."""
+    import json
+
+    os.makedirs(d, exist_ok=True)
+    for i, a in enumerate(obj):
+        np.save(os.path.join(d, f"a{i}.npy"), np.ascontiguousarray(a))
+    tmp = os.path.join(d, "MANIFEST.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n": len(obj)}, f)
+    os.replace(tmp, os.path.join(d, "MANIFEST.json"))
+
+
+def _shared_load(d: str) -> tuple:
+    import json
+
+    with open(os.path.join(d, "MANIFEST.json")) as f:
+        n = json.load(f)["n"]
+    return tuple(
+        np.load(os.path.join(d, f"a{i}.npy"), mmap_mode="r") for i in range(n)
+    )
+
+
+def _shared_build(key: str, build: Callable[[], object]) -> object:
+    """Build-once-per-host: one worker wins the lockdir and materializes,
+    the rest wait for the manifest and mmap. Artifacts that are not a
+    tuple of ndarrays (e.g. a None empty-input marker) stay private —
+    the winner leaves a NOSHARE marker so waiters stop waiting."""
+    import time as _time
+
+    d = _shared_dir(key)
+    manifest = os.path.join(d, "MANIFEST.json")
+    noshare = os.path.join(d, "NOSHARE")
+    if os.path.exists(manifest):
+        return _shared_load(d)
+    if os.path.exists(noshare):
+        return build()
+    lock = d + ".lock"
+    try:
+        os.mkdir(lock)
+    except FileExistsError:
+        deadline = _time.monotonic() + _SHARED_WAIT_S
+        while _time.monotonic() < deadline:
+            if os.path.exists(manifest):
+                return _shared_load(d)
+            if os.path.exists(noshare):
+                return build()
+            _time.sleep(0.5)
+        return build()  # winner died mid-build; fall back to private
+    try:
+        obj = build()
+        if (
+            isinstance(obj, tuple)
+            and obj
+            and all(
+                isinstance(a, np.ndarray) and a.dtype != object for a in obj
+            )
+        ):
+            _shared_save(d, obj)
+            del obj  # drop the private copy; hand back the mapped one
+            return _shared_load(d)
+        os.makedirs(d, exist_ok=True)
+        with open(noshare, "w"):
+            pass
+        return obj
+    except BaseException:
+        # unblock waiters: they fall back to private builds
+        os.makedirs(d, exist_ok=True)
+        with open(noshare, "w"):
+            pass
+        raise
+
+
 def stage_parquet(df: DataFrame, storage_dir: str | None = None) -> str:
     """Write ``df`` once via a distributed job; returns the artifact path."""
     base = storage_dir or tempfile.mkdtemp(prefix="mysteryann-stage-")
@@ -113,7 +215,7 @@ def load_staged(key: str, build: Callable[[], object]) -> object:
     if obj is None:
         while len(_CACHE) >= _CACHE_MAX:
             _CACHE.popitem(last=False)
-        obj = build()
+        obj = _shared_build(key, build) if _shared_enabled() else build()
         _CACHE[key] = obj
     return obj
 

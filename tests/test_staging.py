@@ -105,3 +105,81 @@ def test_staged_matrix_later_paths_override(spark):
     assert ids.tolist() == [1, 2, 3, 4]
     np.testing.assert_allclose(mat[1], [9.0, 9.0])  # later path wins
     np.testing.assert_allclose(mat[3], [4.0, 4.0])
+
+
+def test_shared_build_roundtrip_and_noshare(tmp_path, monkeypatch):
+    """SPARK_GRAFT_SHARED_STAGE host-sharing: a tuple-of-ndarrays artifact
+    is materialized once as .npy files and handed back memory-mapped
+    (second load never calls build again); non-shareable artifacts fall
+    through to a private build with a NOSHARE marker so waiting workers
+    don't block."""
+    import tempfile
+
+    import numpy as np
+
+    from mysteryann_spark.sources import staging
+
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_STAGE", "1")
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return np.arange(6, dtype=np.int64), np.ones((3, 2), dtype=np.float32)
+
+    got = staging._shared_build("k1", lambda: build())
+    assert calls["n"] == 1
+    assert isinstance(got[1], np.memmap) and got[1].dtype == np.float32
+    np.testing.assert_array_equal(got[0], np.arange(6))
+    # a second worker (fresh process would have an empty _CACHE): build not re-run
+    got2 = staging._shared_build("k1", lambda: build())
+    assert calls["n"] == 1
+    np.testing.assert_array_equal(np.asarray(got2[1]), np.ones((3, 2)))
+
+    # non-shareable (None / dict-bearing) artifacts: private build + NOSHARE
+    assert staging._shared_build("k2", lambda: None) is None
+    assert (tmp_path / "mysteryann-shared-" ).parent  # path sanity
+    assert staging._shared_build("k2", lambda: {"x": 1}) == {"x": 1}
+
+    # object-dtype arrays must not be mmap-shared (np.load can't map them)
+    obj_arr = (np.array(["a", None], dtype=object),)
+    out = staging._shared_build("k3", lambda: obj_arr)
+    assert out[0].dtype == object
+
+    # a build that raises leaves a NOSHARE marker: the next caller builds
+    # privately instead of waiting for a manifest that never comes
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        staging._shared_build("k4", lambda: (_ for _ in ()).throw(RuntimeError("boom")))
+    calls2 = {"n": 0}
+
+    def b4():
+        calls2["n"] += 1
+        return (np.zeros(2),)
+
+    out4 = staging._shared_build("k4", b4)
+    assert calls2["n"] == 1  # NOSHARE short-circuits to a private build
+    assert not isinstance(out4[0], np.memmap)
+
+
+def test_load_staged_shared_mode_through_kernel_ops(tmp_path, monkeypatch):
+    """The mapped arrays must behave under the kernels' access patterns:
+    fancy indexing, searchsorted, GEMM — all read-only."""
+    import tempfile
+
+    import numpy as np
+
+    from mysteryann_spark.sources import staging
+
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_STAGE", "1")
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    staging._CACHE.clear()
+
+    ids = np.array([3, 7, 9], dtype=np.int64)
+    mat = np.arange(12, dtype=np.float64).reshape(3, 4)
+    got_ids, got_mat = staging.load_staged("kk", lambda: (ids, mat))
+    assert int(np.searchsorted(got_ids, 7)) == 1
+    np.testing.assert_allclose(got_mat[[2, 0]] @ got_mat.T, mat[[2, 0]] @ mat.T)
+    staging._CACHE.clear()
