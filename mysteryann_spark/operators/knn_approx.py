@@ -77,18 +77,17 @@ def train_routing_centroids(
     (spherical k-means). Same sampling protocol as
     similarity.train_centroids; the sample cap defaults to ~256 points
     per centroid — past that k-means stops moving."""
-    from mysteryann_spark.operators.similarity import _sample_kmeans
+    from mysteryann_spark.operators.similarity import (
+        _sample_kmeans,
+        hash_sample_vectors,
+    )
 
     if train_sample is None:
         train_sample = max(4096, 256 * n_centroids)
     n_base = base_df.count()
     rate = max(1, int(np.ceil(n_base / float(train_sample))))
-    sample_pdf = (
-        base_df.where(F.pmod(F.xxhash64(F.col(base_id)), F.lit(rate)) == 0)
-        .select(F.col(vec_col).alias("v"))
-        .toPandas()
-    )
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in sample_pdf["v"]])
+    sample = hash_sample_vectors(base_df, base_id, vec_col, rate)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
     if metric == "cosine":
         mat = np_normalize(mat)
     return _sample_kmeans(mat, n_centroids, max_iter, seed)

@@ -103,6 +103,26 @@ def l2norm_udf():
     return l2norm
 
 
+def hash_sample_vectors(
+    base_df: DataFrame, base_id: str, vec_col: str, rate: int
+) -> pd.Series:
+    """Bounded deterministic hash-sample, returned ID-SORTED. The
+    xxhash64 bucket filter keeps the same ROWS regardless of physical
+    layout, but ``toPandas`` row ORDER follows partition planning — and
+    the seeded k-means init draws centroids by POSITION, so an unsorted
+    sample makes the trained model depend on the session's partition
+    count (the tuned local[32] session and the driver's vanilla session
+    plan differently). The driver-side sort is over <= train_sample
+    rows — scalars, not data-scaled."""
+    pdf = (
+        base_df.where(F.pmod(F.xxhash64(F.col(base_id)), F.lit(rate)) == 0)
+        .select(F.col(base_id).alias("i"), F.col(vec_col).alias("v"))
+        .toPandas()
+        .sort_values("i", kind="mergesort", ignore_index=True)
+    )
+    return pdf["v"]
+
+
 def train_centroids(
     base_df: DataFrame,
     n_centroids: int,
@@ -121,12 +141,10 @@ def train_centroids(
     size. Vectors are normalized driver-side in numpy."""
     n_base = base_df.count()
     rate = max(1, int(np.ceil(n_base / float(train_sample))))
-    sample_pdf = (
-        base_df.where(F.pmod(F.xxhash64(F.col(base_id)), F.lit(rate)) == 0)
-        .select(F.col(vec_col).alias("v"))
-        .toPandas()
+    cmat = _sample_kmeans(
+        _unit(hash_sample_vectors(base_df, base_id, vec_col, rate)),
+        n_centroids, max_iter, seed,
     )
-    cmat = _sample_kmeans(_unit(sample_pdf["v"]), n_centroids, max_iter, seed)
     return base_df.sparkSession.sparkContext.broadcast(cmat)
 
 
@@ -381,12 +399,7 @@ def train_pq_codebooks(
     bounded by ``train_sample``, never the data size."""
     n_base = base_df.count()
     rate = max(1, int(np.ceil(n_base / float(train_sample))))
-    sample_pdf = (
-        base_df.where(F.pmod(F.xxhash64(F.col(base_id)), F.lit(rate)) == 0)
-        .select(F.col(vec_col).alias("v"))
-        .toPandas()
-    )
-    mat = _unit(sample_pdf["v"])
+    mat = _unit(hash_sample_vectors(base_df, base_id, vec_col, rate))
     dim = mat.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")

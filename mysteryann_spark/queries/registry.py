@@ -45,7 +45,23 @@ def all_queries() -> dict[str, QuerySpec]:
         if overlap:
             raise ValueError(f"duplicate query names across modules: {overlap}")
         merged.update(mod.QUERIES)
+    merged = _overlay_pinned(merged)
     return _driver_window_order(merged)
+
+
+def _overlay_pinned(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+    """Attach pinned VALUES oracles (tools/gen_pinned_oracles.py) to
+    deterministic entries that would otherwise be rows-only. A module's
+    own oracle always wins — pins only fill gaps."""
+    try:
+        from mysteryann_spark.queries import _pinned_oracles as pinned
+    except ImportError:
+        return merged
+    for name, sql in getattr(pinned, "PINNED", {}).items():
+        spec = merged.get(name)
+        if spec is not None and spec.oracle is None:
+            merged[name] = QuerySpec(spec.fn, sql)
+    return merged
 
 
 # The correctness driver gates only the FIRST 50 entries in iteration order
