@@ -57,9 +57,11 @@ def _shared_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_SHARED_STAGE") == "1"
 
 
-# how long a losing worker waits for the winner's manifest before giving
-# up and building privately (the winner may have died mid-build)
-_SHARED_WAIT_S = float(os.environ.get("SPARK_GRAFT_SHARED_WAIT_S", "1800"))
+# how often the winner's background thread touches the heartbeat file,
+# and how stale the heartbeat may be before waiters declare the winner
+# dead and contend to take over the build (one at a time — never a herd)
+_HEARTBEAT_S = float(os.environ.get("SPARK_GRAFT_SHARED_HEARTBEAT_S", "5"))
+_STALE_S = float(os.environ.get("SPARK_GRAFT_SHARED_STALE_S", "60"))
 
 
 def _shared_dir(key: str) -> str:
@@ -70,16 +72,25 @@ def _shared_dir(key: str) -> str:
 
 
 def _shared_save(d: str, obj: tuple) -> None:
-    """Winner side: write each array + a manifest, manifest last and
-    atomically (tmp + rename) so readers never see a half-written set."""
+    """Winner side: write each array under a builder-unique token, then
+    publish a manifest NAMING those files, last and atomically (tmp +
+    rename). Readers only ever see a complete, self-consistent set —
+    even if a presumed-dead winner was actually alive and two builders
+    raced, each writes its own token files and whichever manifest lands
+    last points at an intact set (the loser's files are dead weight,
+    bounded by one stale copy)."""
     import json
 
+    token = uuid.uuid4().hex[:12]
     os.makedirs(d, exist_ok=True)
+    names = []
     for i, a in enumerate(obj):
-        np.save(os.path.join(d, f"a{i}.npy"), np.ascontiguousarray(a))
-    tmp = os.path.join(d, "MANIFEST.tmp")
+        name = f"a{i}-{token}.npy"
+        np.save(os.path.join(d, name), np.ascontiguousarray(a))
+        names.append(name)
+    tmp = os.path.join(d, f"MANIFEST.{token}.tmp")
     with open(tmp, "w") as f:
-        json.dump({"n": len(obj)}, f)
+        json.dump({"files": names}, f)
     os.replace(tmp, os.path.join(d, "MANIFEST.json"))
 
 
@@ -87,60 +98,118 @@ def _shared_load(d: str) -> tuple:
     import json
 
     with open(os.path.join(d, "MANIFEST.json")) as f:
-        n = json.load(f)["n"]
+        meta = json.load(f)
+    # legacy manifests ({"n": k}) name files a{i}.npy
+    names = meta.get("files") or [f"a{i}.npy" for i in range(meta["n"])]
     return tuple(
-        np.load(os.path.join(d, f"a{i}.npy"), mmap_mode="r") for i in range(n)
+        np.load(os.path.join(d, name), mmap_mode="r") for name in names
     )
+
+
+def _heartbeat_stale(hb: str) -> bool:
+    """True when the winner's heartbeat file is missing or old enough
+    that the winner is presumed dead (killed worker / dead JVM)."""
+    import time as _time
+
+    try:
+        return (_time.time() - os.path.getmtime(hb)) > _STALE_S
+    except OSError:
+        return True
 
 
 def _shared_build(key: str, build: Callable[[], object]) -> object:
     """Build-once-per-host: one worker wins the lockdir and materializes,
     the rest wait for the manifest and mmap. Artifacts that are not a
     tuple of ndarrays (e.g. a None empty-input marker) stay private —
-    the winner leaves a NOSHARE marker so waiters stop waiting."""
+    the winner leaves a NOSHARE marker so waiters stop waiting.
+
+    Liveness, not timeouts: the winner touches a heartbeat file from a
+    daemon thread for the whole build, and waiters wait on the MANIFEST
+    for as long as that heartbeat stays fresh. A fixed waiter deadline
+    with a private-build fallback is a scale hazard, measured the hard
+    way: under CPU contention a 10^7-row artifact build overran the old
+    30-minute deadline, at which point all 15 waiting workers fell back
+    to PRIVATE ~6 GB builds in the same second — the thundering herd
+    global-OOM-killed the run (dmesg: 16 workers at 6-7 GB anon each).
+    Now a waiter that sees a stale heartbeat contends to TAKE OVER the
+    lock — exactly one succeeds and rebuilds; nobody builds privately
+    unless the artifact is marked NOSHARE."""
+    import shutil
+    import threading
     import time as _time
 
     d = _shared_dir(key)
     manifest = os.path.join(d, "MANIFEST.json")
     noshare = os.path.join(d, "NOSHARE")
-    if os.path.exists(manifest):
-        return _shared_load(d)
-    if os.path.exists(noshare):
-        return build()
     lock = d + ".lock"
-    try:
-        os.mkdir(lock)
-    except FileExistsError:
-        deadline = _time.monotonic() + _SHARED_WAIT_S
-        while _time.monotonic() < deadline:
-            if os.path.exists(manifest):
-                return _shared_load(d)
-            if os.path.exists(noshare):
-                return build()
-            _time.sleep(0.5)
-        return build()  # winner died mid-build; fall back to private
-    try:
-        obj = build()
-        if (
-            isinstance(obj, tuple)
-            and obj
-            and all(
-                isinstance(a, np.ndarray) and a.dtype != object for a in obj
-            )
-        ):
-            _shared_save(d, obj)
-            del obj  # drop the private copy; hand back the mapped one
+    hb = os.path.join(lock, "HEARTBEAT")
+
+    def _acquire() -> bool:
+        try:
+            os.mkdir(lock)
+            return True
+        except FileExistsError:
+            return False
+
+    while True:
+        if os.path.exists(manifest):
             return _shared_load(d)
-        os.makedirs(d, exist_ok=True)
-        with open(noshare, "w"):
-            pass
-        return obj
-    except BaseException:
-        # unblock waiters: they fall back to private builds
-        os.makedirs(d, exist_ok=True)
-        with open(noshare, "w"):
-            pass
-        raise
+        if os.path.exists(noshare):
+            return build()
+        won = _acquire()
+        if not won and _heartbeat_stale(hb):
+            # presumed-dead winner: contend to adopt the build. rmtree of
+            # the lockdir is racy between waiters — exactly one mkdir
+            # then succeeds, the rest loop back to waiting on the fresh
+            # winner's heartbeat.
+            shutil.rmtree(lock, ignore_errors=True)
+            won = _acquire()
+        if not won:
+            _time.sleep(0.5)
+            continue
+
+        # winner: publish liveness from a daemon thread so waiters can
+        # distinguish "slow build under contention" from "dead builder"
+        stop = threading.Event()
+
+        def _beat() -> None:
+            while not stop.is_set():
+                try:
+                    with open(hb, "w") as f:
+                        f.write(str(os.getpid()))
+                except OSError:
+                    pass
+                stop.wait(_HEARTBEAT_S)
+
+        t = threading.Thread(target=_beat, daemon=True)
+        t.start()
+        try:
+            obj = build()
+            if (
+                isinstance(obj, tuple)
+                and obj
+                and all(
+                    isinstance(a, np.ndarray) and a.dtype != object for a in obj
+                )
+            ):
+                _shared_save(d, obj)
+                del obj  # drop the private copy; hand back the mapped one
+                return _shared_load(d)
+            os.makedirs(d, exist_ok=True)
+            with open(noshare, "w"):
+                pass
+            return obj
+        except BaseException:
+            # a FAILED build (not a slow one) must not strand waiters:
+            # NOSHARE routes everyone to private builds of whatever
+            # error/result they each get
+            os.makedirs(d, exist_ok=True)
+            with open(noshare, "w"):
+                pass
+            raise
+        finally:
+            stop.set()
+            t.join(timeout=2)
 
 
 def stage_parquet(df: DataFrame, storage_dir: str | None = None) -> str:

@@ -183,3 +183,105 @@ def test_load_staged_shared_mode_through_kernel_ops(tmp_path, monkeypatch):
     assert int(np.searchsorted(got_ids, 7)) == 1
     np.testing.assert_allclose(got_mat[[2, 0]] @ got_mat.T, mat[[2, 0]] @ mat.T)
     staging._CACHE.clear()
+
+
+def test_shared_build_stale_winner_takeover(tmp_path, monkeypatch):
+    """A waiter that finds the lock held but the heartbeat stale (dead
+    winner: killed worker, dead JVM) must TAKE OVER the build instead of
+    falling back to a private copy. The old fixed-deadline fallback is a
+    measured scale hazard: when a 10^7-row build overran the deadline
+    under CPU contention, every waiter started a private ~6 GB build in
+    the same second and the herd global-OOM-killed the run."""
+    import tempfile
+
+    import numpy as np
+
+    from mysteryann_spark.sources import staging
+
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_STAGE", "1")
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    # simulate a winner that died mid-build: lockdir exists, heartbeat
+    # file old (or absent entirely)
+    d = staging._shared_dir("takeover")
+    import os
+
+    os.mkdir(d + ".lock")  # no HEARTBEAT file inside -> stale
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return (np.arange(4, dtype=np.int64),)
+
+    got = staging._shared_build("takeover", build)
+    assert calls["n"] == 1
+    # the takeover produced a SHARED artifact (mmap), not a private copy
+    assert isinstance(got[0], np.memmap)
+    assert os.path.exists(os.path.join(d, "MANIFEST.json"))
+
+    # and a second worker now loads without building at all
+    got2 = staging._shared_build("takeover", lambda: (_ for _ in ()).throw(AssertionError("must not build")))
+    np.testing.assert_array_equal(np.asarray(got2[0]), np.arange(4))
+
+
+def test_shared_build_fresh_heartbeat_blocks_takeover(tmp_path, monkeypatch):
+    """While the winner's heartbeat is FRESH, waiters keep waiting (no
+    takeover, no private build) until the manifest appears."""
+    import os
+    import tempfile
+    import threading
+    import time
+
+    import numpy as np
+
+    from mysteryann_spark.sources import staging
+
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_STAGE", "1")
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    d = staging._shared_dir("slowwin")
+    lock = d + ".lock"
+    os.mkdir(lock)
+    hb = os.path.join(lock, "HEARTBEAT")
+    with open(hb, "w") as f:
+        f.write("x")
+
+    def publish_late():
+        time.sleep(1.5)
+        staging._shared_save(d, (np.full(3, 7, dtype=np.int64),))
+
+    t = threading.Thread(target=publish_late)
+    t.start()
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return (np.zeros(3, dtype=np.int64),)
+
+    got = staging._shared_build("slowwin", build)
+    t.join()
+    # waiter never built: it waited out the live winner and mapped the
+    # published artifact
+    assert calls["n"] == 0
+    np.testing.assert_array_equal(np.asarray(got[0]), np.full(3, 7))
+
+
+def test_shared_save_concurrent_builders_intact(tmp_path, monkeypatch):
+    """Two builders racing _shared_save must leave a manifest that names
+    an INTACT file set (token-suffixed files, manifest-last)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from mysteryann_spark.sources import staging
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    d = staging._shared_dir("race")
+    staging._shared_save(d, (np.arange(5),))
+    staging._shared_save(d, (np.arange(6),))  # later builder wins
+    got = staging._shared_load(d)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.arange(6))
+    # both token sets exist on disk; the manifest points at the last
+    assert len([f for f in os.listdir(d) if f.endswith(".npy")]) == 2
