@@ -136,8 +136,37 @@ def ivf_knn_join(
         base_df, n_centroids, metric, max_iter, seed, train_sample, base_id, vec_col
     )
     bc_cent = spark.sparkContext.broadcast(cmat)
+    npr = min(n_probe, len(cmat))
 
-    q_path = stage_parquet(queries_df.select(query_id, vec_col), storage_dir)
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_cids(vecs: pd.Series) -> pd.Series:
+        """Per-query n_probe nearest centroids under the SEARCH metric.
+        Computed as a DISTRIBUTED stage and persisted with the staged
+        query set: the previous design ran this GEMM inside the
+        executor-side artifact build, i.e. single-threaded in ONE worker
+        per host — a serial wall that grows with the training set
+        (~4e12 flops at the 10^7 full-training scale, tens of minutes
+        while every other core idles). Row-independent math (the GEMM
+        identity and per-row argpartition), so batching does not change
+        any query's probe set."""
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = _route(metric, np.stack([np.asarray(v, dtype=np.float64) for v in vecs]))
+        d = np_distances(metric, m, bc_cent.value)
+        p = np.argpartition(d, npr - 1, axis=1)[:, :npr].astype(np.int32)
+        return pd.Series(list(p))
+
+    q_path = stage_parquet(
+        queries_df.select(
+            F.col(query_id),
+            F.col(vec_col),
+            probe_cids(F.col(vec_col)).alias("probes"),
+        ),
+        storage_dir,
+    )
     files = sorted(spark.read.parquet(q_path).inputFiles())
     if not files:
         return spark.createDataFrame([], _RANKED_SCHEMA)
@@ -148,33 +177,30 @@ def ivf_knn_join(
         flat_rows[bounds[j]:bounds[j+1]]) rather than a dict — a pure
         tuple-of-ndarrays artifact is host-shareable under
         SPARK_GRAFT_SHARED_STAGE (sources/staging.py), which matters
-        here: qmat alone is ~2.6 GB at the 10^7 full-training scale."""
+        here: qmat alone is ~2.6 GB at the 10^7 full-training scale.
+        With the probe GEMM done distributed at staging time, this build
+        is read + two sorts — cheap enough that the one worker per host
+        that pays it no longer serializes the stage."""
         import pyarrow.fs as pafs
         import pyarrow.parquet as pq
 
+        from mysteryann_spark.sources.staging import table_ragged
+
         fs, first = pafs.FileSystem.from_uri(files[0])
         rel = [first] + [pafs.FileSystem.from_uri(p)[1] for p in files[1:]]
-        tbl = pq.read_table(rel, filesystem=fs, columns=[query_id, vec_col])
+        tbl = pq.read_table(
+            rel, filesystem=fs, columns=[query_id, vec_col, "probes"]
+        )
         if tbl.num_rows == 0:
             return None
         qids, qmat = table_matrix(tbl, query_id, vec_col)
-        routed = _route(metric, qmat)
-        cmat_w = bc_cent.value
-        npr = min(n_probe, len(cmat_w))
-        # Chunk the (n_q x n_centroids) probe matrix under the shared
-        # distance-block budget: unchunked it is 3.7 GB per worker at
-        # 600k queries x 775 centroids, and every worker holds one —
-        # 32 workers of those global-OOM-killed the 600k rehearsal
-        # (scale hazard #5, same family as the knn_join block bound).
-        # argpartition is row-independent, so chunking is exact.
-        probes = np.empty((len(qids), npr), dtype=np.int64)
-        q_chunk = max(1, int(_DMAT_BUDGET_BYTES // max(1, 8 * len(cmat_w))))
-        for s in range(0, len(qids), q_chunk):
-            d = np_distances(metric, routed[s : s + q_chunk], cmat_w)
-            probes[s : s + q_chunk] = np.argpartition(d, npr - 1, axis=1)[:, :npr]
-        # inverted: one sort instead of a per-query Python loop
-        flat_cids = probes.ravel()
-        flat_rows = np.repeat(np.arange(len(qids), dtype=np.int64), npr)
+        # same stable id-argsort as table_matrix, so row i of the ragged
+        # view is row i of qmat
+        _, indptr, flat_cids = table_ragged(tbl, query_id, "probes")
+        flat_cids = flat_cids.astype(np.int64)
+        flat_rows = np.repeat(
+            np.arange(len(qids), dtype=np.int64), np.diff(indptr)
+        )
         order = np.argsort(flat_cids, kind="stable")
         flat_cids, flat_rows = flat_cids[order], flat_rows[order]
         uniq, starts = np.unique(flat_cids, return_index=True)
