@@ -294,6 +294,14 @@ def build_roargraph(
     adj1 = prune_candidates(phase1_cands, base_df, params.M_pjbp, metric,
                             base_id=base_id, vec_col=vec_col,
                             staged_base=staged_base)
+    # checkpoint BEFORE _prune_merged: it references its input twice
+    # (forward + reversed edges), and Spark does not reuse the shuffle
+    # under the mapInPandas subtree across the two branches — without
+    # the cut, phase 0 + phase 1 execute twice in one query (measured at
+    # 10^7: two full probe/score map stages, 2x the candidate shuffle on
+    # disk — ~40 GB of duplicate shuffle was the run's disk ceiling).
+    # adj1 itself is ~n x M_pjbp ids: two orders lighter than its lineage.
+    adj1 = adj1.localCheckpoint()
 
     # --- phases 2+3: reverse edges + re-prune overfull nodes
     adj3 = _prune_merged(_edges(adj1), base_df, params.M_pjbp, metric,

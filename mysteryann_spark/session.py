@@ -45,6 +45,18 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # SPARK_GRAFT_SPARK_CONF="k=v;k=v" — run-scoped config without code
+    # changes. The scale rehearsals use it for spark.io.compression.codec=
+    # zstd (the candidate shuffles are sorted-int-heavy: zstd roughly
+    # halves their on-disk size vs lz4, and single-host disk is the
+    # rehearsal's binding constraint) and a tighter
+    # spark.cleaner.periodicGC.interval so finished shuffles actually get
+    # deleted during a multi-phase build instead of at the default
+    # 30-minute tick.
+    for pair in os.environ.get("SPARK_GRAFT_SPARK_CONF", "").split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
 
 
