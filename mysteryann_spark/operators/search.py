@@ -46,6 +46,7 @@ from mysteryann_spark.functions.vector import np_pair_distances
 from mysteryann_spark.sources.staging import (
     load_staged,
     read_staged,
+    read_staged_multi,
     stage_parquet,
     staged_matrix,
     table_csr,
@@ -347,30 +348,34 @@ def search_graph(
     base_id: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = False,
-    staged: tuple[str | list[str], str] | None = None,
+    staged: tuple[str | list[str], str | list[str]] | None = None,
     expand_width: int = 1,
 ) -> DataFrame:
     """Top-k ANN for every query row; returns
     ``(qid, nn_id, dist, rank, cmps, hops)``.
 
-    ``staged``: optional ``(base_path(s), adj_path)`` from
+    ``staged``: optional ``(base_path(s), adj_path(s))`` from
     ``stage_graph_index`` — repeated searches over one index (sweeps)
-    stage once and reuse. The base side may be a LIST of staged paths
+    stage once and reuse. EITHER side may be a LIST of staged paths
     (StagedBase incremental form: concatenated, later paths override
-    duplicate ids, superset of the live graph allowed — extra rows are
-    never reachable). ``expand_width``: beam entries expanded per
-    lockstep round (1 = reference-strict best-first; see
-    _beam_search_batch).
+    duplicate ids/nodes; a base superset of the live graph is allowed —
+    extra rows are never reachable). The adjacency delta form is the
+    maintenance loop's path to per-batch staging cost ∝ |batch|: the
+    full graph stages once, each batch appends only its changed rows
+    (``read_staged_multi`` merges worker-side). ``expand_width``: beam
+    entries expanded per lockstep round (1 = reference-strict
+    best-first; see _beam_search_batch).
     """
     if staged is None:
         staged = stage_graph_index(base_df, adj_df, base_id=base_id, vec_col=vec_col)
     base_path, adj_path = staged
     base_paths = [base_path] if isinstance(base_path, str) else list(base_path)
-    cache_key = "|".join(base_paths) + "|" + adj_path
+    adj_paths = [adj_path] if isinstance(adj_path, str) else list(adj_path)
+    cache_key = "|".join(base_paths) + "|" + "|".join(adj_paths)
 
     def _build():
         ids, bmat = staged_matrix(base_paths, base_id, vec_col)
-        indptr, indices = table_csr(read_staged(adj_path), ids)
+        indptr, indices = table_csr(read_staged_multi(adj_paths), ids)
         return ids, bmat, indptr, indices
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

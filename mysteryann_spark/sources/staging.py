@@ -297,6 +297,34 @@ def read_staged(path: str):
     return pq.read_table(path)
 
 
+def read_staged_multi(paths: "list[str] | str", key_col: str = "node"):
+    """One Arrow table over several staged artifacts with LATER paths
+    overriding earlier rows that share ``key_col`` — the adjacency twin
+    of ``staged_matrix``'s update semantics (the StagedBase delta form).
+    A maintenance loop stages the full adjacency ONCE and each batch
+    appends only its changed rows (new nodes + reverse-touched re-pruned
+    nodes, ∝ batch × degree); the merged view is materialized worker-side
+    here instead of re-writing the whole graph per batch. One path (or a
+    plain string) degenerates to ``read_staged``. Row order of the
+    surviving rows follows the concatenation order; consumers
+    (``table_csr``) align by id, not position."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if isinstance(paths, str):
+        return pq.read_table(paths)
+    tbls = [pq.read_table(p) for p in paths]
+    if len(tbls) == 1:
+        return tbls[0]
+    tbl = pa.concat_tables(tbls, promote_options="default")
+    keys = tbl[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+    # last occurrence per key wins: first occurrence in the reversed
+    # array IS the last in the original
+    _, rev_first = np.unique(keys[::-1], return_index=True)
+    keep = np.sort(len(keys) - 1 - rev_first)
+    return tbl.take(pa.array(keep))
+
+
 def stage_dtype() -> np.dtype:
     """Element dtype of staged matrices. float64 by default (bit-parity
     with the DuckDB oracles); ``SPARK_GRAFT_STAGE_DTYPE=float32`` opts a
