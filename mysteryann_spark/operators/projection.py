@@ -393,9 +393,14 @@ def insert_into_roargraph(
     base_id: str = "vec_id",
     vec_col: str = "embedding",
     staged_base: "StagedBase | None" = None,
+    return_delta: bool = False,
 ) -> tuple[DataFrame, int]:
     """Batch-incremental insertion: add ``new_df`` vectors to an existing
-    projection graph WITHOUT a full rebuild.
+    projection graph WITHOUT a full rebuild. ``return_delta=True``
+    additionally returns the changed-rows-only adjacency (new nodes +
+    re-pruned reverse-touched nodes) as a third element — the batch-sized
+    artifact the delta-staging search path consumes
+    (``sources.staging.read_staged_multi``).
 
     The reference is build-once/static (BuildRoarGraph rebuilds from
     scratch; no insert API exists in src/index_bipartite.cpp) — this is
@@ -487,7 +492,16 @@ def insert_into_roargraph(
     )
 
     untouched = adj_df.join(touched, "node", "left_anti")
-    merged = untouched.unionByName(pruned_touched).unionByName(new_adj)
+    delta = pruned_touched.unionByName(new_adj)
+    merged = untouched.unionByName(delta)
+    if return_delta:
+        # the changed-rows-only view (re-pruned touched nodes + the new
+        # nodes, ∝ batch × degree): a maintenance loop stages THIS per
+        # batch and searches through [full_adj_path, *delta_paths] via
+        # read_staged_multi's later-overrides merge, instead of paying
+        # the O(|graph|) full-adjacency republish each batch — the
+        # measured floor of the 10^7 per-batch insert wall (SCALE.md).
+        return merged, ep, delta
     return merged, ep
 
 

@@ -86,3 +86,46 @@ def test_search_parity_delta_vs_merged_adjacency(spark, emb, built):
     b = sorted(((r["qid"], r["rank"], r["nn_id"], r["dist"], r["cmps"], r["hops"])
                 for r in res_delta))
     assert a == b and len(a) > 0
+
+
+def test_insert_delta_stages_like_merged(spark, emb, built):
+    """The maintenance fast path end-to-end: insert a batch with
+    return_delta=True, stage ONLY the delta, and search through
+    [pre-insert adjacency, delta] — bit-identical to searching the
+    merged adjacency staged whole, and the delta row set is exactly
+    the new nodes plus the reverse-touched nodes."""
+    from mysteryann_spark.operators.projection import insert_into_roargraph
+
+    adj, ep = built
+    new = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    ).where("vec_id < 100030")
+    merged, ep2, delta = insert_into_roargraph(
+        emb, adj, ep, new, PARAMS, return_delta=True)
+    merged = merged.localCheckpoint()
+    delta = delta.localCheckpoint()
+
+    delta_nodes = {r["node"] for r in delta.select("node").collect()}
+    assert {r["vec_id"] for r in new.select("vec_id").collect()} <= delta_nodes
+    # delta ∪ untouched == merged, with delta overriding
+    assert merged.count() == adj.count() + 30
+    assert delta.count() == len(delta_nodes)
+
+    all_vec = emb.select("vec_id", "embedding").unionByName(new)
+    base_path, adj_full_path = stage_graph_index(all_vec, adj)
+    q = all_vec.where("vec_id % 40 = 0").select(
+        F.col("vec_id").alias("qid"), "embedding")
+    res_m = search_graph(
+        q, all_vec, merged, ep2, k=10, l_search=PARAMS.L_pq, metric="l2",
+        staged=(base_path, stage_parquet(merged)),
+    ).collect()
+    res_d = search_graph(
+        q, all_vec, merged, ep2, k=10, l_search=PARAMS.L_pq, metric="l2",
+        staged=(base_path, [adj_full_path, stage_parquet(delta)]),
+    ).collect()
+    a = sorted(((r["qid"], r["rank"], r["nn_id"], r["dist"], r["cmps"], r["hops"])
+                for r in res_m))
+    b = sorted(((r["qid"], r["rank"], r["nn_id"], r["dist"], r["cmps"], r["hops"])
+                for r in res_d))
+    assert a == b and len(a) > 0
