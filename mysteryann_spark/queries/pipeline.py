@@ -1670,17 +1670,22 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): fit 8 components in one pass
     (per-partition moment partials -> positionwise distributed combine ->
     driver eigh on the d x d covariance, a model-bounded 33 KB collect),
-    then project every embedding with a map-only Arrow GEMM. Rows-only
-    (eigendecomposition isn't SQL); the numpy-parity / orthonormality /
-    variance-accounting gates live in tests/test_pca.py."""
+    then project every embedding with a map-only Arrow GEMM. Output is
+    SCALAR rows (vec_id, component, value) — one row per coordinate via
+    posexplode — because array columns break hash canonicalizers that
+    sort pandas frames; the fit is deterministic (seeded moments +
+    driver eigh), so this shape is also pinnable. The numpy-parity /
+    orthonormality / variance-accounting gates live in tests/test_pca.py."""
     from mysteryann_spark.operators.pca import fit_pca, project_pca
 
     emb = load_table(spark, "embeddings", sf_dir)
     model = fit_pca(emb, k=8)
     proj = project_pca(emb, model)
-    return proj.select(
+    return proj.select("vec_id", F.posexplode("pc").alias("component", "value")).select(
         "vec_id",
-        F.transform("pc", lambda x: F.round(x, 4)).alias("pc"),
+        F.col("component").cast("bigint").alias("component"),
+        # +0.0 canonicalizes IEEE negative zero (DuckDB renders -0.0)
+        (F.round("value", 6) + F.lit(0.0)).alias("value"),
     )
 
 

@@ -65,86 +65,26 @@ def _overlay_pinned(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
 
 
 # The correctness driver gates only the FIRST 50 entries in iteration order
-# (CORRECTNESS_r01..r05.json all cut off at exactly 50).  Registry order
-# is therefore a verification-coverage decision, not cosmetics.  Round-6
-# policy (r5 VERDICT "Next round" #1: rotate onto the 16 stale/never-
-# verified entries before the 3-round rule trips):
+# (CORRECTNESS_r01..r06.json all cut off at exactly 50).  Registry order
+# is therefore a verification-coverage decision, not cosmetics.  Round-7
+# policy (r6 VERDICT "Next round" #2: rotate onto the 19 r4-floor entries
+# before the 3-round cap trips):
 #
-#   * ``_FRONT`` — (a) the r3-floor debt (six batch events_* +
-#     multimodal_decode/meanpool — last driver-verified r3, the 3-round
-#     cap trips this round) and the eight r5-new never-driver-verified
-#     entries, plus multimodal_audio_spectral (r4 rows-ran, demoted twice);
-#     (b) entries NEW in round 6 (streaming churn, PCA covariance oracle);
-#     (c) entries whose code or ORACLE changed in round 6 (simhash md5
-#     signing, pinned degrees oracle, clip4clip meanpool, count-aware
-#     quota prefilter, StagedBase threading through insert/delete);
-#     (d) backfill from the r4-only floor in _BACK order.
+#   * ``_FRONT`` — (a) the 19 r4-floor entries (absent from BOTH the r5
+#     and r6 windows — the 3-round cap trips this round); (b) entries
+#     whose code or oracle changed in round 7: the reshaped-and-pinned
+#     emb_pca_project, the maintenance loops now threading delta-staged
+#     adjacency (insert/delete/stream insert/maintain), the search
+#     entries after the batched-round kernel change, the IVF-PQ entries
+#     after the ADC-batching change; (c) backfill from the last-seen-r5
+#     floor in prior order so they cannot trip in r8.
 #   * unlisted entries (anything NEW added mid-round) sort between _FRONT
 #     and _BACK, landing inside the window by default.
-#   * ``_BACK`` — head: the 19 r4-floor entries the 50-slot window could
-#     not seat this round (r7's FIRST pick — they go 3 rounds stale next
-#     round), then everything driver-green in r5 and untouched since.
+#   * ``_BACK`` — head: the 22 last-seen-r5 entries the 50-slot window
+#     could not seat this round (r8's FIRST pick — they go 3 rounds stale
+#     next round), then everything driver-verified in r6 and untouched.
 _FRONT = [
-    # (a) the r3-floor + r5-new rotation debt — the reason this round's
-    # window exists
-    "events_tumbling",
-    "events_interval_join",
-    "events_sliding",
-    "events_asof_click",
-    "events_pivot",
-    "events_approx_distinct",
-    "multimodal_decode",
-    "multimodal_meanpool",
-    "multimodal_audio_spectral",
-    "pipeline_decontaminate_semantic",
-    "roargraph_nsg_import",
-    "stream_neardup_docs",
-    "events_transitions",
-    "join_skew_topkeys",
-    "pipeline_quota_sample",
-    "emb_pca_project",
-    "roargraph_delete",
-    # (b) new in round 6
-    "roargraph_stream_maintain",
-    "emb_pca_variance",
-    # (c) changed in round 6: promoted oracles (md5 simhash family, pinned
-    # degrees), the maintenance loops now threading a shared StagedBase
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "roargraph_degrees",
-    "roargraph_stream_insert",
-    "roargraph_insert",
-    # (d) r4-floor backfill, in prior-_BACK order
-    "events_sessionize",
-    "doc_substring_spans",
-    "multimodal_decode_real",
-    "pipeline_decontaminate",
-    "doc_bm25_topk",
-    "hybrid_rrf_topk",
-    "bpe_pair_counts",
-    "ann_pq_topk",
-    "stream_tumbling_oracled",
-    "stream_dedup_oracled",
-    "ann_ivfpq_topk",
-    "pipeline_chunk_documents",
-    "doc_unigram_logprob",
-    "multimodal_image_features",
-    "multimodal_resize",
-    "pipeline_shard_manifest",
-    "events_retention",
-    "bucketed_join_revenue",
-    "dedup_minhash_lsh",
-    "roargraph_sweep",
-    "roargraph_search_filtered",
-    "ann_ivf_topk",
-    "ann_filtered_topk",
-    "dedup_semantic",
-    "dedup_fingerprint",
-    "dedup_jaccard_bigram",
-]
-_BACK = [
-    # r4-floor remainder the window could not seat — r7's FIRST pick
-    # (they reach the 3-round cap next round)
+    # (a) the r4-floor rotation debt — the reason this round's window exists
     "pipeline_curate",
     "dedup_components",
     "dedup_exact",
@@ -164,13 +104,25 @@ _BACK = [
     "anti_join_customers",
     "distinct_agg",
     "rollup_customer_balance",
-    # driver-green in round 5 (hash or rows-ran), untouched since
-    "roargraph_binary_interop",
+    # (b) code or oracle changed in round 7
+    "emb_pca_project",
+    "roargraph_insert",
+    "roargraph_delete",
+    "roargraph_stream_insert",
+    "roargraph_stream_maintain",
+    "roargraph_search_topk",
+    "roargraph_search_ip",
     "roargraph_search_cosine",
-    "roargraph_build_ivf",
-    "emb_outlier_zscore",
+    "roargraph_search_filtered",
+    "roargraph_save_load_search",
+    "roargraph_search_distributed",
+    "bipartite_search_topk",
+    "ann_ivfpq_topk",
     "ann_ivfpq_persisted",
-    "multimodal_audio_stats",
+    "ann_ivf_topk",
+    # (c) last-seen-r5 backfill so these cannot trip the cap in r8
+    "roargraph_build_ivf",
+    "roargraph_binary_interop",
     "knn_exact",
     "knn_medoid",
     "knn_recall_l2_vs_cosine",
@@ -179,37 +131,80 @@ _BACK = [
     "ann_quantized_topk",
     "ann_range_search",
     "ann_lsh_topk",
-    "roargraph_search_topk",
-    "roargraph_search_ip",
-    "roargraph_search_distributed",
-    "bipartite_search_topk",
-    "roargraph_save_load_search",
-    "string_functions",
-    "math_functions",
-    "date_functions",
-    "case_buckets",
-    "setops_nations",
-    "above_avg_balance",
-    "funnel_steps",
-    "grouping_sets_sales",
-    "json_events",
-    "cube_orders",
     "dedup_embedding",
     "dedup_groups_full",
     "dedup_ann_pairs",
-    "doc_pii_scrub",
+    "emb_outlier_zscore",
+    "multimodal_audio_stats",
+    "fbin_roundtrip_norms",
+]
+_BACK = [
+    # last-seen-r5 remainder the window could not seat — r8's FIRST pick
+    "above_avg_balance",
+    "brand_sales",
+    "case_buckets",
+    "cube_orders",
+    "date_functions",
+    "distance_pairs",
     "doc_gopher_quality",
+    "doc_pii_scrub",
+    "flagship_revenue_by_nation",
+    "funnel_steps",
+    "grouping_sets_sales",
+    "json_events",
+    "math_functions",
+    "multimodal_frame_sample",
     "pipeline_mix_sample",
     "pipeline_pack_sequences",
     "pipeline_profile",
-    "flagship_revenue_by_nation",
     "pricing_summary",
-    "brand_sales",
-    "vector_norms",
-    "fbin_roundtrip_norms",
+    "setops_nations",
+    "string_functions",
     "vector_normalize",
-    "distance_pairs",
-    "multimodal_frame_sample",
+    "vector_norms",
+    # driver-verified in round 6 (hash or rows-ran), untouched since
+    "events_tumbling",
+    "events_interval_join",
+    "events_sliding",
+    "events_asof_click",
+    "events_pivot",
+    "events_approx_distinct",
+    "multimodal_decode",
+    "multimodal_meanpool",
+    "multimodal_audio_spectral",
+    "pipeline_decontaminate_semantic",
+    "roargraph_nsg_import",
+    "stream_neardup_docs",
+    "events_transitions",
+    "join_skew_topkeys",
+    "pipeline_quota_sample",
+    "emb_pca_variance",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "roargraph_degrees",
+    "events_sessionize",
+    "doc_substring_spans",
+    "multimodal_decode_real",
+    "pipeline_decontaminate",
+    "doc_bm25_topk",
+    "hybrid_rrf_topk",
+    "bpe_pair_counts",
+    "ann_pq_topk",
+    "stream_tumbling_oracled",
+    "stream_dedup_oracled",
+    "pipeline_chunk_documents",
+    "doc_unigram_logprob",
+    "multimodal_image_features",
+    "multimodal_resize",
+    "pipeline_shard_manifest",
+    "events_retention",
+    "bucketed_join_revenue",
+    "dedup_minhash_lsh",
+    "roargraph_sweep",
+    "ann_filtered_topk",
+    "dedup_semantic",
+    "dedup_fingerprint",
+    "dedup_jaccard_bigram",
 ]
 
 

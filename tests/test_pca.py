@@ -80,6 +80,9 @@ def test_registry_entry_shape(spark):
     from mysteryann_spark.queries.pipeline import emb_pca_project
 
     df = emb_pca_project(spark, SF_DIR)
-    assert df.columns == ["vec_id", "pc"]
-    rows = df.limit(5).collect()
-    assert rows and all(len(r["pc"]) == K for r in rows)
+    # scalar (vec_id, component, value) rows: driver hash canonicalizers
+    # sort pandas frames and crash on array columns, so the entry
+    # posexplodes the projection
+    assert df.columns == ["vec_id", "component", "value"]
+    rows = df.where(F.col("vec_id") == df.select(F.min("vec_id")).first()[0]).collect()
+    assert sorted(r["component"] for r in rows) == list(range(K))

@@ -10,40 +10,48 @@ from mysteryann_spark.queries.registry import _BACK, _FRONT, all_queries
 
 DRIVER_WINDOW = 50
 
-# Round-6 must-verify set (r5 VERDICT "Next round" #1): the 16 entries
-# that were r3-stale or never driver-verified, multimodal_audio_spectral
-# (twice-demoted), the round-6 additions, and the entries whose code or
-# oracle changed in round 6 (promoted simhash/degrees oracles, StagedBase
-# maintenance loops).
+# Round-7 must-verify set (r6 VERDICT "Next round" #2): the 19 r4-floor
+# entries absent from both the r5 and r6 driver windows (3-round cap
+# trips this round), plus the entries whose code or oracle changed in
+# round 7 (reshaped emb_pca_project, delta-staged maintenance loops,
+# batched search kernel, IVF-PQ ADC batching).
 MUST_BE_IN_WINDOW = {
-    # r3 floor — 3-round cap trips this round
-    "events_tumbling",
-    "events_interval_join",
-    "events_sliding",
-    "events_asof_click",
-    "events_pivot",
-    "events_approx_distinct",
-    "multimodal_decode",
-    "multimodal_meanpool",
-    # never driver-verified (new in r5)
-    "pipeline_decontaminate_semantic",
-    "roargraph_nsg_import",
-    "stream_neardup_docs",
-    "events_transitions",
-    "join_skew_topkeys",
-    "pipeline_quota_sample",
+    # r4 floor — 3-round cap trips this round
+    "pipeline_curate",
+    "dedup_components",
+    "dedup_exact",
+    "doc_rolling_fingerprint",
+    "doc_bpe_tokens",
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_quality",
+    "doc_tfidf_topterms",
+    "bipartite_edges",
+    "udf_registry_distances",
+    "filter_project",
+    "topk_orders",
+    "window_rank",
+    "window_running",
+    "semi_join_customers",
+    "anti_join_customers",
+    "distinct_agg",
+    "rollup_customer_balance",
+    # changed in round 7
     "emb_pca_project",
-    "roargraph_delete",
-    "multimodal_audio_spectral",
-    # new in round 6
-    "roargraph_stream_maintain",
-    "emb_pca_variance",
-    # changed in round 6
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "roargraph_degrees",
-    "roargraph_stream_insert",
     "roargraph_insert",
+    "roargraph_delete",
+    "roargraph_stream_insert",
+    "roargraph_stream_maintain",
+    "roargraph_search_topk",
+    "roargraph_search_ip",
+    "roargraph_search_cosine",
+    "roargraph_search_filtered",
+    "roargraph_save_load_search",
+    "roargraph_search_distributed",
+    "bipartite_search_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_persisted",
+    "ann_ivf_topk",
 }
 
 

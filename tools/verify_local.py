@@ -97,6 +97,19 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             cols = sdf.columns
+            # Driver-canon constraint (r6 lesson: emb_pca_project): the
+            # driver's canonicalizer pandas-sorts output and crashes on
+            # Array/Map/Struct cells, so complex columns are a FAIL here
+            # even though this tool's own _canon could hash them.
+            complex_cols = [
+                f.name for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols:
+                print(f"FAIL  {name}: complex output columns {complex_cols} "
+                      f"(driver canonicalizer cannot hash Array/Map/Struct)")
+                n_fail += 1
+                continue
             rows = [tuple(r) for r in sdf.collect()]
         except Exception:
             print(f"FAIL  {name}: spark error")
