@@ -394,6 +394,7 @@ def insert_into_roargraph(
     vec_col: str = "embedding",
     staged_base: "StagedBase | None" = None,
     return_delta: bool = False,
+    staged_adj: "str | list[str] | None" = None,
 ) -> tuple[DataFrame, int]:
     """Batch-incremental insertion: add ``new_df`` vectors to an existing
     projection graph WITHOUT a full rebuild. ``return_delta=True``
@@ -431,6 +432,16 @@ def insert_into_roargraph(
     rebuild twice, defeating the docstring's |batch|-scaling claim. When
     omitted, the base∪batch set is staged once and shared across the
     three kernel calls of this one invocation.
+
+    ``staged_adj`` (a staged path or the StagedBase-style CHAIN of
+    [full, delta...] paths for the CURRENT adjacency) kills the last
+    O(|graph|) per-batch cost: without it every call re-stages the full
+    adjacency to parquet just so its internal beam search can load it —
+    the measured floor of the 10^7 per-batch insert wall (SCALE.md).
+    With it the search reads the caller's chain directly (later paths
+    override; worker artifacts patch incrementally —
+    staging.load_staged_graph), and the caller appends only the returned
+    delta per batch.
     """
     from mysteryann_spark.operators.search import search_graph
     from mysteryann_spark.session import spread
@@ -447,7 +458,9 @@ def insert_into_roargraph(
 
     if staged_base is None:
         staged_base = StagedBase.of(base_df.select(base_id, vec_col))
-    adj_path = stage_parquet(adj_df)
+    if staged_adj is None:
+        staged_adj = stage_parquet(adj_df)
+    adj_paths = [staged_adj] if isinstance(staged_adj, str) else list(staged_adj)
 
     # 1: candidate pools from a beam search of the current graph
     visited = search_graph(
@@ -460,7 +473,7 @@ def insert_into_roargraph(
         metric=metric,
         base_id=base_id,
         vec_col=vec_col,
-        staged=(list(staged_base.paths), adj_path),
+        staged=(list(staged_base.paths), adj_paths),
     )
     new_cands = visited.select(
         F.col("qid").alias("node"), F.col("nn_id").alias("cand_id")
@@ -515,6 +528,7 @@ def delete_from_roargraph(
     vec_col: str = "embedding",
     ensure_reachable: bool = False,
     staged_base: "StagedBase | None" = None,
+    return_delta: bool = False,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Batch deletion with neighborhood splicing — the maintenance twin
     of ``insert_into_roargraph``. The reference is build-once/static (no
@@ -540,6 +554,12 @@ def delete_from_roargraph(
     base) is reused as-is for the repair prune — deleted ids keep their
     staged rows, which is inert (pools reference survivors only), so a
     maintenance loop never re-stages on deletes.
+
+    ``return_delta=True`` additionally returns the changed-rows-only
+    adjacency (re-pruned touched survivors + empty-list tombstones for
+    the deleted nodes) as a fourth element, for delta-staged chains
+    (``staging.read_staged_multi``); incompatible with
+    ``ensure_reachable`` (repair touches arbitrary rows).
     """
     dels = delete_df.select(F.col(base_id).alias("del_id")).distinct()
     survivors = base_df.join(
@@ -593,4 +613,28 @@ def delete_from_roargraph(
             survivors, merged, new_ep, params.metric,
             base_id=base_id, vec_col=vec_col,
         )
+    if return_delta:
+        # changed-rows-only view for delta-staged adjacency chains
+        # (∝ reverse-degree of the batch, not |graph|): the re-pruned
+        # touched survivors (empty-pool stragglers included, same guard
+        # as `merged`) plus a TOMBSTONE row (empty nbrs) per deleted
+        # node — in read_staged_multi's later-overrides merge the
+        # tombstone makes the deleted node unreachable (nothing links to
+        # it after the splice), which is CSR-equivalent to dropping the
+        # row. ensure_reachable callers must not use the delta (repair
+        # may touch arbitrary rows); enforced here.
+        if ensure_reachable:
+            raise ValueError(
+                "return_delta cannot be combined with ensure_reachable: "
+                "reachability repair changes rows outside the touched set"
+            )
+        touched_rows = touched.join(merged, "node", "left").select(
+            "node",
+            F.coalesce("nbrs", F.array().cast("array<bigint>")).alias("nbrs"),
+        )
+        tombstones = dels.select(
+            F.col("del_id").alias("node"),
+            F.array().cast("array<bigint>").alias("nbrs"),
+        )
+        return survivors, merged, new_ep, touched_rows.unionByName(tombstones)
     return survivors, merged, new_ep

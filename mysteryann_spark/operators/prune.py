@@ -131,15 +131,13 @@ def prune_candidates(
     it replaces.
     """
     from mysteryann_spark.sources.staging import (
-        load_staged,
+        load_staged_matrix,
         stage_parquet,
-        staged_matrix,
     )
 
     if staged_base is None:
         staged_base = stage_parquet(base_df.select(base_id, vec_col))
     paths = [staged_base] if isinstance(staged_base, str) else list(staged_base)
-    path = "|".join(paths)
 
     pools = (
         cand_df.where(F.col("cand_id") != F.col("node"))
@@ -148,11 +146,10 @@ def prune_candidates(
     )
 
     def prune_batch(batches) -> "pd.DataFrame":
-        ids_mat = load_staged(
-            "prunebase|" + path,
-            lambda: staged_matrix(paths, base_id, vec_col),
-        )
-        all_ids, mat = ids_mat
+        # incremental: a previously-built chain prefix is patched with the
+        # suffix deltas (staging.load_staged_matrix) — per-batch refresh
+        # cost follows the batch, not the staged set
+        all_ids, mat = load_staged_matrix(paths, base_id, vec_col)
 
         def rows_of(wanted: np.ndarray) -> np.ndarray:
             pos = np.searchsorted(all_ids, wanted)

@@ -45,6 +45,7 @@ from pyspark.sql.types import (
 from mysteryann_spark.functions.vector import np_pair_distances
 from mysteryann_spark.sources.staging import (
     load_staged,
+    load_staged_graph,
     read_staged,
     read_staged_multi,
     stage_parquet,
@@ -371,15 +372,15 @@ def search_graph(
     base_path, adj_path = staged
     base_paths = [base_path] if isinstance(base_path, str) else list(base_path)
     adj_paths = [adj_path] if isinstance(adj_path, str) else list(adj_path)
-    cache_key = "|".join(base_paths) + "|" + "|".join(adj_paths)
-
-    def _build():
-        ids, bmat = staged_matrix(base_paths, base_id, vec_col)
-        indptr, indices = table_csr(read_staged_multi(adj_paths), ids)
-        return ids, bmat, indptr, indices
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_ids, b_mat, b_indptr, b_indices = load_staged(cache_key, _build)
+        # incremental worker artifact: a previously-built chain prefix is
+        # PATCHED with the suffix deltas instead of re-reading the whole
+        # chain from parquet (sources/staging.load_staged_graph) — the
+        # per-batch maintenance refresh follows the batch, not the graph
+        b_ids, b_mat, b_indptr, b_indices = load_staged_graph(
+            base_paths, adj_paths, base_id, vec_col
+        )
         b_ep = int(np.searchsorted(b_ids, entry_point))
         for pdf in batches:
             if pdf.empty:

@@ -47,6 +47,11 @@ from pyspark.sql.types import (
 
 from mysteryann_spark.params import IndexParams
 
+# re-stage the merged adjacency whole (and reset the delta chain) once
+# the chain reaches this many paths: bounds tombstone/override overhang
+# and the per-path parquet open cost of worker rebuilds from scratch
+_ADJ_COMPACT_EVERY = int(os.environ.get("SPARK_GRAFT_ADJ_COMPACT", "64"))
+
 _VEC_SCHEMA = StructType(
     [
         StructField("vec_id", LongType()),
@@ -121,7 +126,7 @@ def stream_insert_roargraph(
     sources should dedup upstream (streaming/windows.stream_dedup_exact).
     """
     from mysteryann_spark.operators.projection import insert_into_roargraph
-    from mysteryann_spark.sources.staging import StagedBase
+    from mysteryann_spark.sources.staging import StagedBase, stage_parquet
 
     state = {
         "base": base_df.select("vec_id", "embedding").localCheckpoint(eager=True),
@@ -129,23 +134,35 @@ def stream_insert_roargraph(
         "ep": ep,
         "batches": 0,
     }
-    # staged once; each batch appends only its delta (see StagedBase) —
-    # per-batch staging cost ∝ |batch|, and the per-worker matrix cache
-    # key advances with the path list so workers rebuild incrementally
-    # from the staged parts instead of a fresh full-base write per prune
+    # BOTH index halves stage once and append per-batch deltas: the base
+    # vectors via StagedBase, the adjacency via an explicit [full,
+    # delta...] path chain handed to insert_into_roargraph as staged_adj
+    # (its internal beam search otherwise re-stages the FULL adjacency
+    # every micro-batch — the measured O(|graph|) floor of the 10^7
+    # insert wall). Worker-side artifacts patch the prior chain prefix
+    # incrementally (staging.load_staged_graph), so per-batch staging
+    # cost follows the batch on every axis. _ADJ_COMPACT_EVERY bounds
+    # chain length (tombstone/override overhang and per-path parquet
+    # open cost) by periodically re-staging the merged adjacency whole.
     staged = StagedBase.of(state["base"])
+    adj_chain = [stage_parquet(state["adj"])]
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select("vec_id", "embedding")
         if batch.isEmpty():
             return
-        merged, ep2 = insert_into_roargraph(
+        merged, ep2, delta = insert_into_roargraph(
             state["base"], state["adj"], state["ep"], batch, params,
-            staged_base=staged,
+            staged_base=staged, staged_adj=list(adj_chain),
+            return_delta=True,
         )
         # Cut lineage NOW: without this, batch k's plan nests k insert
         # pipelines and analysis time grows superlinearly in batch count.
         state["adj"] = merged.localCheckpoint(eager=True)
+        if len(adj_chain) >= _ADJ_COMPACT_EVERY:
+            adj_chain[:] = [stage_parquet(state["adj"])]
+        else:
+            adj_chain.append(stage_parquet(delta))
         state["base"] = (
             state["base"].unionByName(batch).localCheckpoint(eager=True)
         )
@@ -236,7 +253,7 @@ def stream_maintain_roargraph(
         delete_from_roargraph,
         insert_into_roargraph,
     )
-    from mysteryann_spark.sources.staging import StagedBase
+    from mysteryann_spark.sources.staging import StagedBase, stage_parquet
 
     state = {
         "base": base_df.select("vec_id", "embedding").localCheckpoint(eager=True),
@@ -247,8 +264,19 @@ def stream_maintain_roargraph(
     # one staged vector set across the whole drain: deletes reuse it
     # verbatim (deleted rows are inert supersets), inserts append their
     # delta; a delete-then-reinsert update resolves to the newest row
-    # (StagedBase later-path-wins semantics)
+    # (StagedBase later-path-wins semantics). The adjacency stages the
+    # same way: one full artifact up front, per-batch deltas after —
+    # delete deltas carry empty-list TOMBSTONES for removed nodes (the
+    # splice guarantees nothing links to them, so an empty row is
+    # CSR-equivalent to absence); compaction bounds the chain.
     staged = StagedBase.of(state["base"])
+    adj_chain = [stage_parquet(state["adj"])]
+
+    def _advance_chain(delta: DataFrame) -> None:
+        if len(adj_chain) >= _ADJ_COMPACT_EVERY:
+            adj_chain[:] = [stage_parquet(state["adj"])]
+        else:
+            adj_chain.append(stage_parquet(delta))
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
         dels = batch_df.where(F.col("op") == "delete").select("vec_id")
@@ -257,20 +285,23 @@ def stream_maintain_roargraph(
         )
         changed = False
         if not dels.isEmpty():
-            surv, adj2, ep2 = delete_from_roargraph(
+            surv, adj2, ep2, ddelta = delete_from_roargraph(
                 state["base"], state["adj"], state["ep"], dels, params,
-                staged_base=staged,
+                staged_base=staged, return_delta=True,
             )
             state["base"] = surv.localCheckpoint(eager=True)
             state["adj"] = adj2.localCheckpoint(eager=True)
             state["ep"] = ep2
+            _advance_chain(ddelta)
             changed = True
         if not ins.isEmpty():
-            merged, ep2 = insert_into_roargraph(
+            merged, ep2, idelta = insert_into_roargraph(
                 state["base"], state["adj"], state["ep"], ins, params,
-                staged_base=staged,
+                staged_base=staged, staged_adj=list(adj_chain),
+                return_delta=True,
             )
             state["adj"] = merged.localCheckpoint(eager=True)
+            _advance_chain(idelta)
             state["base"] = (
                 state["base"].unionByName(ins).localCheckpoint(eager=True)
             )

@@ -147,12 +147,18 @@ def test_shared_build_roundtrip_and_noshare(tmp_path, monkeypatch):
     out = staging._shared_build("k3", lambda: obj_arr)
     assert out[0].dtype == object
 
-    # a build that raises leaves a NOSHARE marker: the next caller builds
-    # privately instead of waiting for a manifest that never comes
+    # a build that raises RELEASES the lock instead of poisoning the key
+    # with a permanent NOSHARE (one transient failure must not route every
+    # later worker on the host to private multi-GB builds): the next
+    # caller retries the SHARED build and, succeeding, publishes it
+    import os
+
     import pytest
 
     with pytest.raises(RuntimeError):
         staging._shared_build("k4", lambda: (_ for _ in ()).throw(RuntimeError("boom")))
+    assert not os.path.exists(os.path.join(staging._shared_dir("k4"), "NOSHARE"))
+    assert not os.path.exists(staging._shared_dir("k4") + ".lock")
     calls2 = {"n": 0}
 
     def b4():
@@ -160,8 +166,8 @@ def test_shared_build_roundtrip_and_noshare(tmp_path, monkeypatch):
         return (np.zeros(2),)
 
     out4 = staging._shared_build("k4", b4)
-    assert calls2["n"] == 1  # NOSHARE short-circuits to a private build
-    assert not isinstance(out4[0], np.memmap)
+    assert calls2["n"] == 1  # retry wins the released lock and shares
+    assert isinstance(out4[0], np.memmap)
 
 
 def test_load_staged_shared_mode_through_kernel_ops(tmp_path, monkeypatch):

@@ -17,16 +17,19 @@ Protocol:
   5. Invariants after every step: adjacency row count, degree cap,
      inserted ids present / deleted ids absent.
 
-What is and is NOT ∝ |batch| here: the beam search + both prunes look
-vectors up from the staged set (batch-sized deltas appended per step) —
-∝ |batch| × degree. The CHANGED adjacency itself must be re-staged for
-the next batch's search (`stage_parquet(adj_df)` inside insert) — at
-10^7 nodes that is an O(|graph|)-bytes parquet write per batch (~1.3 GB
-of uint32 lists), the measured floor of the per-batch wall. A cluster
-amortizes it the same way this tool does everything else: the write is
-distributed, and an incremental adjacency store (delta files, the same
-StagedBase trick) is the next cut if micro-batch latency ever matters
-more than throughput.
+Per-batch cost is ∝ |batch| on EVERY axis now: the beam search + both
+prunes look vectors up from the staged set (batch-sized deltas appended
+per step), the adjacency stages as a [full, delta...] chain handed to
+insert as ``staged_adj`` (batch k writes only its changed rows), and
+the worker/host index artifacts PATCH the prior chain prefix instead of
+rebuilding from all parquet (staging.load_staged_graph /
+load_staged_matrix — in shared mode the per-batch publish is one
+sequential O(n)-bytes npy write, seconds, not the minutes-long full
+parquet decode that was the measured 557 s floor of r6). Each shared
+chain step leaves its predecessor's npy set on scratch (~2×n×dim×4 B
+per step at fp32) — long chains on one host should GC prior
+mysteryann-shared-* dirs between batches or lower
+SPARK_GRAFT_ADJ_COMPACT.
 
 Run:  python tools/scale_maintain.py [N] [BATCH] [N_BATCHES]
       (defaults 10_000_000, 10_000, 3; one JSON line per stage —
@@ -127,6 +130,14 @@ def main() -> None:
         "stage": "stage_base", "sec": round(time.time() - t0, 1),
         "note": "paid once per maintenance loop, amortized across batches",
     }), flush=True)
+    from mysteryann_spark.sources.staging import stage_parquet
+
+    t0 = time.time()
+    adj_chain = [stage_parquet(adj)]
+    print(json.dumps({
+        "stage": "stage_adj", "sec": round(time.time() - t0, 1),
+        "note": "paid once per maintenance loop; batches append deltas",
+    }), flush=True)
 
     cur_base, cur_adj, cur_ep = base, adj, ep
     first_batch_df = None
@@ -137,9 +148,11 @@ def main() -> None:
         if first_batch_df is None:
             first_batch_df = new_df
         t0 = time.time()
-        cur_adj, cur_ep = insert_into_roargraph(
-            cur_base, cur_adj, cur_ep, new_df, params, staged_base=staged)
+        cur_adj, cur_ep, delta = insert_into_roargraph(
+            cur_base, cur_adj, cur_ep, new_df, params, staged_base=staged,
+            staged_adj=list(adj_chain), return_delta=True)
         cur_adj = cur_adj.localCheckpoint()
+        adj_chain.append(stage_parquet(delta))
         rows = cur_adj.count()
         wall = time.time() - t0
         degs = cur_adj.select(F.size("nbrs").alias("d")).agg(
