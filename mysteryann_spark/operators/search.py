@@ -88,7 +88,7 @@ _RESULT_SCHEMA = StructType(
 )
 
 
-def _beam_search_batch(
+def _beam_search_batch_ref(
     qmat: np.ndarray,
     ep_row: int,
     indptr: np.ndarray,
@@ -181,6 +181,269 @@ def _beam_search_batch(
                     if len(pool) > l_search:
                         pool.pop()
                         worst = pool[-1][0]
+    return pools, cmps, hops
+
+
+class _VisitedLSM:
+    """Batch visited-set over (query, row) composite keys: a few sorted
+    int64 arrays (LSM levels), membership = one vectorized searchsorted
+    per level, insertion = append a sorted level and merge when the level
+    count passes the fanout. This is the lockstep replacement for the
+    reference's per-query visited lists (visited_list_pool.h): per-row
+    epoch tags can't work here because concurrent queries in one chunk
+    would overwrite each other's marks in a shared array, and per-query
+    2D bitmaps are O(n_rows x chunk) memory at 10^7 rows."""
+
+    _FANOUT = 8
+
+    def __init__(self, init_keys: np.ndarray):
+        self.levels = [np.sort(init_keys)]
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(keys), dtype=bool)
+        for lv in self.levels:
+            idx = np.searchsorted(lv, keys)
+            idxc = np.minimum(idx, len(lv) - 1)
+            out |= (idx < len(lv)) & (lv[idxc] == keys)
+        return out
+
+    def add_sorted(self, keys: np.ndarray) -> None:
+        if not len(keys):
+            return
+        self.levels.append(keys)
+        # geometric merge policy (the logarithmic method): merge runs of
+        # similar size so total merge work is O(N log N) over the whole
+        # search, not O(N^2 / fanout) — the naive merge-all-every-K
+        # profile showed THIS as the top cost at large L (95 s of a
+        # 210 s run re-sorting the full visited set every K rounds)
+        while (
+            len(self.levels) > 1
+            and len(self.levels[-2]) <= 2 * len(self.levels[-1])
+        ):
+            b = self.levels.pop()
+            a = self.levels.pop()
+            self.levels.append(np.sort(np.concatenate([a, b])))
+
+
+def _merge_pools(
+    pool_d: np.ndarray,
+    pool_r: np.ndarray,
+    pool_e: np.ndarray,
+    live_n: int,
+    orow: np.ndarray,
+    dists: np.ndarray,
+    nbr: np.ndarray,
+    L: int,
+) -> None:
+    """Insert candidates into (dist, row)-sorted bounded pools WITHOUT
+    sorting the pools: candidate insertion positions come from a
+    vectorized binary search over all candidates at once (exact (d, r)
+    comparisons — no packed-key approximations), old entries shift right
+    by a per-column cumulative candidate count, and both sides scatter
+    into a padded buffer whose spill past column L is the eviction.
+    O(K log L) search + O(n_aff x L) memcpy-grade scatters per call,
+    versus the O(n_aff x (L+C) log(L+C)) row sorts this replaced —
+    the difference is the whole win at large L (SCALE.md r7)."""
+    K = len(orow)
+    o = np.lexsort((nbr, dists, orow))
+    orow, dists, nbr = orow[o], dists[o], nbr[o]
+    lo = np.zeros(K, dtype=np.int64)
+    hi = np.full(K, L, dtype=np.int64)
+    while True:
+        active = lo < hi
+        if not active.any():
+            break
+        mid = (lo + hi) >> 1
+        vd, vr = pool_d[orow, mid], pool_r[orow, mid]
+        less = (vd < dists) | ((vd == dists) & (vr < nbr))
+        lo = np.where(active & less, mid + 1, lo)
+        hi = np.where(active & ~less, mid, hi)
+    pos = lo
+    seg = np.bincount(orow, minlength=live_n)
+    aff = np.nonzero(seg)[0]
+    seg_aff = seg[aff]
+    ends_q = np.cumsum(seg_aff)
+    k_within = np.arange(K, dtype=np.int64) - np.repeat(ends_q - seg_aff, seg_aff)
+    la = len(aff)
+    aff_row_of = np.empty(live_n, dtype=np.int64)
+    aff_row_of[aff] = np.arange(la)
+    r_idx = aff_row_of[orow]
+    cmax = int(seg_aff.max())
+    cnt = np.bincount(
+        r_idx * np.int64(L + 1) + pos, minlength=la * (L + 1)
+    ).reshape(la, L + 1)
+    shift = np.cumsum(cnt[:, :L], axis=1)
+    dest_old = np.arange(L, dtype=np.int64)[None, :] + shift
+    W = L + cmax
+    new_d = np.empty((la, W))
+    new_r = np.empty((la, W), dtype=np.int64)
+    new_e = np.empty((la, W), dtype=bool)
+    ax = np.arange(la)[:, None]
+    new_d[ax, dest_old] = pool_d[aff]
+    new_r[ax, dest_old] = pool_r[aff]
+    new_e[ax, dest_old] = pool_e[aff]
+    dest_c = pos + k_within
+    new_d[r_idx, dest_c] = dists
+    new_r[r_idx, dest_c] = nbr
+    new_e[r_idx, dest_c] = False
+    pool_d[aff] = new_d[:, :L]
+    pool_r[aff] = new_r[:, :L]
+    pool_e[aff] = new_e[:, :L]
+
+
+def _beam_search_batch(
+    qmat: np.ndarray,
+    ep_row: int,
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    bmat: np.ndarray,
+    l_search: int,
+    metric: str,
+    exclude_rows: np.ndarray,
+    expand_width: int = 1,
+) -> tuple[list[list[tuple[float, int]]], np.ndarray, np.ndarray]:
+    """Vectorized lockstep rendering of ``_beam_search_batch_ref`` —
+    bit-identical state evolution (pools ordered by the same (dist, row)
+    total order, same visited-first-occurrence semantics, same cmps/hops
+    counters; parity-gated in tests/test_graph.py), with the per-round
+    per-query Python bookkeeping that dominated small-batch throughput
+    (pool scans, per-neighbor set ops, insort) replaced by whole-batch
+    numpy:
+
+    * pools live in (n_live, L) arrays kept (dist, row)-sorted and
+      COMPACTED to live queries (a finished query's row is emitted and
+      dropped), so no per-round full-width gathers;
+    * frontier selection: strict best-first (width 1) is a row argmin
+      over the expanded flags; wider is a masked cumsum — padding slots
+      carry expanded=True so no validity mask is needed;
+    * candidates that cannot beat their pool's current worst are dropped
+      up front (the scalar insertion test), and the survivors merge via
+      sort-free batched scatter (``_merge_pools``);
+    * visited tracking is an LSM of sorted (query, row) composite-key
+      arrays (``_VisitedLSM``) — membership and marking are vectorized
+      over the whole round's candidates at once;
+    * within-round first-occurrence dedup is one np.unique over the same
+      composite keys, preserving the scalar loop's mark-as-you-go order.
+
+    SCALE.md's r6 finding motivates this: at 1k queries the per-round
+    Python loop was the wall (threads 16->32 bought nothing); the
+    distance kernel was already batched. Measured single-thread on a
+    2x10^5-node degree-32 graph, 256 queries: 1.25-2.8x over the scalar
+    loop across (L, width) in {100,400,1600} x {1,4,8}.
+    """
+    n_q, L = qmat.shape[0], l_search
+    n_rows = bmat.shape[0]
+    sent = n_rows  # sentinel row id: sorts after every real row
+    d0 = np_pair_distances(metric, qmat, np.broadcast_to(bmat[ep_row], qmat.shape))
+    # pools are compacted to live queries; padding slots are (inf, sent)
+    # and PRE-MARKED expanded so frontier scans need no validity mask
+    pool_d = np.full((n_q, L), np.inf)
+    pool_r = np.full((n_q, L), sent, dtype=np.int64)
+    pool_e = np.ones((n_q, L), dtype=bool)
+    pool_d[:, 0] = d0
+    pool_r[:, 0] = ep_row
+    pool_e[:, 0] = False
+    cmps = np.zeros(n_q, dtype=np.int64)
+    hops = np.zeros(n_q, dtype=np.int64)
+    out_d = np.empty((n_q, L))
+    out_r = np.empty((n_q, L), dtype=np.int64)
+
+    nr64 = np.int64(n_rows)
+    visited = _VisitedLSM(
+        np.arange(n_q, dtype=np.int64) * nr64 + np.int64(ep_row)
+    )
+    live = np.arange(n_q, dtype=np.int64)  # global qid of each pool row
+    row_of = np.arange(n_q, dtype=np.int64)  # global qid -> pool row
+    while len(live):
+        lq = len(live)
+        if expand_width == 1:
+            # strict best-first: first unexpanded column per row
+            col = np.argmin(pool_e, axis=1)
+            has = ~pool_e[np.arange(lq), col]
+            qi_l = np.nonzero(has)[0]
+            col = col[qi_l]
+        else:
+            unexp = ~pool_e
+            pick = unexp & (np.cumsum(unexp, axis=1) <= expand_width)
+            has = pick.any(axis=1)
+            qi_l, col = np.nonzero(pick)
+        if not has.all():
+            # emit finished queries and compact the pool arrays; picks
+            # are re-derived against the compacted rows (compaction is
+            # rare — once per finished query)
+            done = np.nonzero(~has)[0]
+            out_d[live[done]] = pool_d[done]
+            out_r[live[done]] = pool_r[done]
+            keep = np.nonzero(has)[0]
+            pool_d, pool_r, pool_e = pool_d[keep], pool_r[keep], pool_e[keep]
+            live = live[keep]
+            if not len(live):
+                break
+            row_of[live] = np.arange(len(live))
+            if expand_width == 1:
+                qi_l = np.arange(len(live))
+                col = np.argmin(pool_e, axis=1)
+            else:
+                unexp = ~pool_e
+                pick = unexp & (np.cumsum(unexp, axis=1) <= expand_width)
+                qi_l, col = np.nonzero(pick)
+        qi = live[qi_l]  # global qids, one per expansion
+        pool_e[qi_l, col] = True
+        hops += np.bincount(qi, minlength=n_q)
+        rows = pool_r[qi_l, col]
+
+        # gather the expanded rows' neighbor lists (ragged -> flat)
+        starts = indptr[rows]
+        lens = indptr[rows + 1] - starts
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        ends = np.cumsum(lens)
+        flat_pos = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(ends - lens, lens)
+            + np.repeat(starts, lens)
+        )
+        nbr = indices[flat_pos]
+        owner = np.repeat(qi, lens)
+
+        # visited / self-exclusion filter + within-round first-occurrence
+        # dedup, both preserving the scalar loop's mark-as-you-go order
+        key = owner * nr64 + nbr
+        fresh = ~visited.contains(key) & (nbr != exclude_rows[owner])
+        nbr, owner, key = nbr[fresh], owner[fresh], key[fresh]
+        if len(nbr):
+            ukey, first = np.unique(key, return_index=True)
+            first.sort()
+            nbr, owner = nbr[first], owner[first]
+            visited.add_sorted(ukey)
+        if not len(nbr):
+            continue
+        dists = np_pair_distances(metric, qmat[owner], bmat[nbr])
+        cmps += np.bincount(owner, minlength=n_q)
+
+        # the scalar insertion test, applied up front: a candidate that
+        # does not beat its pool's current worst (by the (d, r) order,
+        # full pools only) can never enter — dropping it here means late
+        # rounds touch only the pools that actually change
+        orow = row_of[owner]
+        wd, wr = pool_d[orow, L - 1], pool_r[orow, L - 1]
+        beat = (dists < wd) | ((dists == wd) & (nbr < wr)) | (wr == sent)
+        if not beat.any():
+            continue
+        _merge_pools(
+            pool_d, pool_r, pool_e, len(live),
+            orow[beat], dists[beat], nbr[beat], L,
+        )
+
+    pools = [
+        [
+            (float(out_d[i, j]), int(out_r[i, j]))
+            for j in range(L)
+            if out_r[i, j] != sent
+        ]
+        for i in range(n_q)
+    ]
     return pools, cmps, hops
 
 

@@ -774,3 +774,46 @@ def test_delete_entry_point_reseeds_medoid(spark, emb, index):
     per_q = res.groupBy("qid").count().collect()
     assert len(per_q) == 5 and all(r["count"] == 10 for r in per_q)
     assert ep not in {r["nn_id"] for r in res.select("nn_id").collect()}
+
+
+def test_vectorized_beam_kernel_bit_parity_with_scalar_reference():
+    """The production beam kernel (_beam_search_batch: compacted pools,
+    sort-free scatter merge, LSM visited set) must evolve bit-identically
+    to the plain scalar loop (_beam_search_batch_ref) — pools, cmps and
+    hops all equal — across metrics, widths, pool sizes, exclusions and
+    graph shapes. This is the gate that lets the pinned search oracles
+    keep certifying the fast kernel."""
+    import numpy as np
+
+    from mysteryann_spark.operators.search import (
+        _beam_search_batch,
+        _beam_search_batch_ref,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        n = int(rng.integers(30, 400))
+        deg = int(rng.integers(2, 12))
+        bmat = rng.standard_normal((n, 16))
+        lists = [
+            rng.choice(n, size=rng.integers(1, deg + 1), replace=False)
+            for _ in range(n)
+        ]
+        indptr = np.concatenate([[0], np.cumsum([len(l) for l in lists])]).astype(np.int64)
+        indices = np.concatenate(lists).astype(np.int64)
+        nq = int(rng.integers(1, 50))
+        qmat = rng.standard_normal((nq, 16))
+        L = int(rng.integers(2, 40))
+        w = int(rng.choice([1, 1, 2, 4, 8]))
+        metric = str(rng.choice(["l2", "ip", "cosine"]))
+        excl = np.where(
+            rng.random(nq) < 0.3, rng.integers(0, n, size=nq), -1
+        ).astype(np.int64)
+        ep = int(rng.integers(0, n))
+        p1, c1, h1 = _beam_search_batch_ref(
+            qmat, ep, indptr, indices, bmat, L, metric, excl, expand_width=w)
+        p2, c2, h2 = _beam_search_batch(
+            qmat, ep, indptr, indices, bmat, L, metric, excl, expand_width=w)
+        assert np.array_equal(c1, c2), (trial, metric, w)
+        assert np.array_equal(h1, h2), (trial, metric, w)
+        assert p1 == p2, (trial, metric, w)
