@@ -604,57 +604,209 @@ def search_ivfpq_index(
     base_id: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    staged: bool = True,
 ) -> DataFrame:
     """Search a built (or loaded) IVF-PQ index: probe n_probe inverted
-    lists, ADC-score the PQ codes (decoded per Arrow batch from the
-    broadcast codebooks), keep k*refine, exact-rerank against ``base_df``
-    full-precision vectors (skipped when base_df is None — pure-ADC
-    distances are returned, the regime where only the index survives).
+    lists, ADC-score the PQ codes via per-query lookup tables, keep
+    k*refine, exact-rerank against ``base_df`` full-precision vectors
+    (skipped when base_df is None — pure-ADC distances are returned,
+    the regime where only the index survives).
 
-    All candidate scoring is one equi-join on cid plus Arrow-batched
-    einsums; nothing quadratic, nothing collected at the driver."""
+    ``staged=True`` (default): the probe+ADC stage runs as ONE
+    ``mapInPandas`` over the queries with the inverted lists STAGED
+    worker-side (ids + (n, m) uint8 code matrix + per-centroid CSR
+    offsets — 17 B/vector at m=16, the FAISS ``IndexIVFPQ`` memory
+    layout): per Arrow chunk it computes the (m, n_codes) ADC lookup
+    tables with one einsum, gathers the probed lists' code blocks, and
+    scores every candidate with LUT gathers — no per-candidate shuffle
+    rows. The old plan joined queries to the lists ON cid, which
+    materialized a 64-float ``qvec`` per (query, candidate) row: ~40 GB
+    of shuffle at 10^7 ~1k-vector lists, the measured 3 QPS wall
+    (SCALE.md r6). Assumes the code matrix fits worker memory —
+    17 GB/host at 10^9 vectors, the same residency class as the graph
+    index and far below it per vector.
+
+    ``staged=False``: the cid-equi-join plan — Catalyst partition-prunes
+    the persisted cid-partitioned lists (dynamic pruning, plan-gated in
+    tests/test_plans.py), so a probe reads only its n_probe directories.
+    The beyond-worker-memory fallback, exactly like the graph search's
+    distributed path; bit-parity with the staged path is test-gated."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
+
+    from mysteryann_spark.sources.staging import (
+        load_staged,
+        read_staged,
+        stage_parquet,
+    )
 
     spark_sc = queries_df.sparkSession.sparkContext
     bc_cent = spark_sc.broadcast(index["centroids"])
     bc_books = spark_sc.broadcast(index["books"])
-    l2norm = l2norm_udf()
-
-    probes = queries_df.select(
-        F.col(query_id).alias("qid"),
-        l2norm(F.col(vec_col)).alias("qvec"),
-        F.explode(nearest_centroids_udf(bc_cent, n_probe)(F.col(vec_col))).alias("cid"),
-    )
-    cand = probes.join(index["lists"], "cid").select("qid", "nn_id", "qvec", "code")
-    if exclude_self:
-        cand = cand.where(F.col("qid") != F.col("nn_id"))
-
-    @pandas_udf(DoubleType())
-    def adc_dist(qv: pd.Series, codes: pd.Series) -> pd.Series:
-        books = bc_books.value
-        a = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
-        c = np.stack([np.asarray(v, dtype=np.int64) for v in codes])
-        m_sub = c.shape[1]
-        r = np.concatenate([books[j][c[:, j]] for j in range(m_sub)], axis=1)
-        # query is unit, reconstruction approximates a unit vector:
-        # ADC inner product stands in for cosine
-        return pd.Series(1.0 - np.einsum("ij,ij->i", a, r))
+    n_centroids = int(index["centroids"].shape[0])
+    n_codes = int(index["books"].shape[1])
 
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nn_id").asc())
-    pq_scored = cand.select("qid", "nn_id", adc_dist("qvec", "code").alias("dist"))
-    if base_df is None:
-        return (
+    if not staged:
+        l2norm = l2norm_udf()
+        probes = queries_df.select(
+            F.col(query_id).alias("qid"),
+            l2norm(F.col(vec_col)).alias("qvec"),
+            F.explode(
+                nearest_centroids_udf(bc_cent, n_probe)(F.col(vec_col))
+            ).alias("cid"),
+        )
+        cand = probes.join(index["lists"], "cid").select(
+            "qid", "nn_id", "qvec", "code"
+        )
+        if exclude_self:
+            cand = cand.where(F.col("qid") != F.col("nn_id"))
+
+        @pandas_udf(DoubleType())
+        def adc_dist(qv: pd.Series, codes: pd.Series) -> pd.Series:
+            books = bc_books.value
+            a = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+            c = np.stack([np.asarray(v, dtype=np.int64) for v in codes])
+            m_sub = c.shape[1]
+            r = np.concatenate([books[j][c[:, j]] for j in range(m_sub)], axis=1)
+            # query is unit, reconstruction approximates a unit vector:
+            # ADC inner product stands in for cosine
+            return pd.Series(1.0 - np.einsum("ij,ij->i", a, r))
+
+        pq_scored = cand.select(
+            "qid", "nn_id", adc_dist("qvec", "code").alias("dist")
+        )
+        if base_df is None:
+            return (
+                pq_scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("qid", "nn_id", "dist", "rank")
+            )
+        pq_top = (
             pq_scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("qid", "nn_id", "dist", "rank")
+            .where(F.col("rank") <= k * refine)
+            .select("qid", "nn_id")
+        )
+        return _ivfpq_refine(
+            queries_df, base_df, pq_top, k, w, query_id, base_id, vec_col
         )
 
-    pq_top = (
-        pq_scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k * refine)
-        .select("qid", "nn_id")
+    # stage the lists once per index dict (cached across searches)
+    lists_path = index.get("_staged_lists")
+    if lists_path is None:
+        lists_path = stage_parquet(index["lists"].select("cid", "nn_id", "code"))
+        index["_staged_lists"] = lists_path
+
+    code_dtype = np.uint8 if n_codes <= 256 else np.uint16
+
+    def _build():
+        tbl = read_staged(lists_path)
+        cid = tbl["cid"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = tbl["nn_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = tbl["code"].combine_chunks()
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        if len(widths) == 0 or not np.all(widths == widths[0]):
+            raise ValueError("IVF-PQ code lists must be fixed-width and non-empty")
+        m_sub = int(widths[0])
+        codes = (
+            arr.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(code_dtype)
+            .reshape(len(ids), m_sub)
+        )
+        order = np.argsort(cid, kind="stable")
+        cid, ids, codes = cid[order], ids[order], np.ascontiguousarray(codes[order])
+        indptr = np.searchsorted(cid, np.arange(n_centroids + 1, dtype=np.int64))
+        return ids, codes, indptr
+
+    top_n = k if base_df is None else k * refine
+
+    def run(batches):
+        ids, codes, indptr = load_staged("ivfpqlists|" + lists_path, _build)
+        books = bc_books.value  # (m, n_codes, dsub)
+        cents = bc_cent.value
+        m_sub, _, dsub = books.shape
+        c_sq = (cents * cents).sum(axis=1)[None, :]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {c: [] for c in ("qid", "nn_id", "dist", "rank")}
+            for s in range(0, len(pdf), 256):
+                sub = pdf.iloc[s : s + 256]
+                qids = sub["qid"].to_numpy()
+                qm = _unit(sub["qvec"])
+                # probe selection: same formula + argsort order as
+                # nearest_centroids_udf (assignment parity)
+                d2c = (qm * qm).sum(axis=1)[:, None] - 2.0 * (qm @ cents.T) + c_sq
+                probes = np.argsort(d2c, axis=1)[:, :n_probe]
+                # per-query ADC lookup tables in one einsum
+                luts = np.einsum(
+                    "qmd,mcd->qmc", qm.reshape(len(sub), m_sub, dsub), books
+                )
+                jj = np.arange(m_sub)
+                for qi in range(len(sub)):
+                    pr = probes[qi]
+                    st, en = indptr[pr], indptr[pr + 1]
+                    lens = en - st
+                    total = int(lens.sum())
+                    if total == 0:
+                        continue
+                    endsc = np.cumsum(lens)
+                    rows = (
+                        np.arange(total, dtype=np.int64)
+                        - np.repeat(endsc - lens, lens)
+                        + np.repeat(st, lens)
+                    )
+                    c_ids = ids[rows]
+                    if exclude_self:
+                        keep = c_ids != qids[qi]
+                        rows, c_ids = rows[keep], c_ids[keep]
+                        if not len(rows):
+                            continue
+                    lut = luts[qi]
+                    dists = 1.0 - lut[jj, codes[rows].astype(np.int64)].sum(axis=1)
+                    t = min(top_n, len(dists))
+                    sel = np.lexsort((c_ids, dists))[:t]
+                    out["qid"].extend([qids[qi]] * t)
+                    out["nn_id"].extend(c_ids[sel].tolist())
+                    out["dist"].extend(dists[sel].tolist())
+                    out["rank"].extend(range(1, t + 1))
+            yield pd.DataFrame(out)
+
+    # raw vectors cross into the worker once; _unit there reproduces both
+    # the probe-assignment floats (nearest_centroids_udf normalizes raw
+    # input) and the ADC query floats (the old plan's l2norm_udf wraps
+    # the same _unit)
+    q_in = queries_df.select(
+        F.col(query_id).alias("qid"), F.col(vec_col).alias("qvec")
     )
+    pq_scored = q_in.mapInPandas(
+        run, "qid bigint, nn_id bigint, dist double, rank int"
+    )
+    if base_df is None:
+        return pq_scored.select("qid", "nn_id", "dist", "rank")
+    return _ivfpq_refine(
+        queries_df, base_df, pq_scored.select("qid", "nn_id"), k, w,
+        query_id, base_id, vec_col,
+    )
+
+
+def _ivfpq_refine(
+    queries_df: DataFrame,
+    base_df: DataFrame,
+    pq_top: DataFrame,
+    k: int,
+    w,
+    query_id: str,
+    base_id: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine rerank of the k*refine ADC survivors against the
+    full-precision base — the only distributed exchange of the staged
+    search path, sized by k*refine*|queries| rows, never the corpus."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
 
     @pandas_udf(DoubleType())
     def exact_cos(qv: pd.Series, nv: pd.Series) -> pd.Series:
