@@ -159,6 +159,12 @@ def _write_adjacency_stream(out, adj: DataFrame, npts: int) -> None:
     blobs = (
         adj.select("node", "nbrs")
         .repartitionByRange(n_parts, "node")
+        # explicit local sort: repartitionByRange happens to sort within
+        # partitions in current Spark (deterministic-retry sort), but
+        # that is an implementation detail, not a contract — the encoder
+        # requires contiguous node spans, and this is free when the rows
+        # already arrive sorted
+        .sortWithinPartitions("node")
         .mapInPandas(encode, "start long, end long, blob binary")
     )
     next_node = 0

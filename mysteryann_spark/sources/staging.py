@@ -254,6 +254,16 @@ class StagedBase:
         self.paths.append(stage_parquet(df, storage_dir))
         return self
 
+    def compact(self, live_df: DataFrame, storage_dir: str | None = None) -> "StagedBase":
+        """Re-stage the LIVE vector set as a single artifact and reset the
+        chain — reclaims the delete-churn overhang (tombstoned ids keep
+        rows in the chain form) and bounds the per-path parquet open cost
+        of cold worker rebuilds. Call when `len(paths)` or measured
+        overhang crosses a budget (the maintenance loops use the same
+        cadence knob as their adjacency chain, SPARK_GRAFT_ADJ_COMPACT)."""
+        self.paths = [stage_parquet(live_df, storage_dir)]
+        return self
+
 
 def staged_matrix(
     paths: list[str], id_col: str, vec_col: str

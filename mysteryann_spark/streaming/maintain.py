@@ -275,6 +275,10 @@ def stream_maintain_roargraph(
     def _advance_chain(delta: DataFrame) -> None:
         if len(adj_chain) >= _ADJ_COMPACT_EVERY:
             adj_chain[:] = [stage_parquet(state["adj"])]
+            # same cadence for the vector chain: compaction drops the
+            # delete-churn overhang (tombstoned ids keep staged rows in
+            # the chain form) and re-bounds cold-rebuild open cost
+            staged.compact(state["base"])
         else:
             adj_chain.append(stage_parquet(delta))
 
