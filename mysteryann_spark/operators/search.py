@@ -447,7 +447,7 @@ def _beam_search_batch(
     return pools, cmps, hops
 
 
-def _beam_search_bipartite_batch(
+def _beam_search_bipartite_batch_ref(
     qmat: np.ndarray,
     seed_rows_list: list[list[int]],
     indptr: np.ndarray,
@@ -531,6 +531,136 @@ def _beam_search_bipartite_batch(
                     if len(pool) > l_search:
                         pool.pop()
                         worst = pool[-1][0]
+    return pools, cmps, hops
+
+
+def _beam_search_bipartite_batch(
+    qmat: np.ndarray,
+    seed_rows_list: list[list[int]],
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    bmat: np.ndarray,
+    l_search: int,
+    metric: str,
+) -> tuple[list[list[tuple[float, int]]], np.ndarray, np.ndarray]:
+    """Vectorized rendering of ``_beam_search_bipartite_batch_ref`` —
+    bit-identical state evolution (parity-gated in tests/test_graph.py),
+    built from the same parts as the projection-graph kernel: compacted
+    (n_live, L) sorted pools, sort-free scatter merges (_merge_pools),
+    an LSM visited set, and strict best-first frontier selection. The
+    only structural difference is the 2-hop expansion (base ->
+    query-node -> base: two chained CSR gathers) and multi-seed pool
+    initialization (seeds merge into an empty pool; their scoring is
+    excluded from cmps, the reference's counter convention)."""
+    n_q, L = qmat.shape[0], l_search
+    total = len(indptr) - 1  # base + query nodes; pool rows are base-only
+    sent = total
+    pool_d = np.full((n_q, L), np.inf)
+    pool_r = np.full((n_q, L), sent, dtype=np.int64)
+    pool_e = np.ones((n_q, L), dtype=bool)
+    cmps = np.zeros(n_q, dtype=np.int64)
+    hops = np.zeros(n_q, dtype=np.int64)
+    out_d = np.empty((n_q, L))
+    out_r = np.empty((n_q, L), dtype=np.int64)
+
+    t64 = np.int64(total)
+    s_counts = np.fromiter(
+        (len(s) for s in seed_rows_list), dtype=np.int64, count=n_q
+    )
+    s_qidx = np.repeat(np.arange(n_q, dtype=np.int64), s_counts)
+    s_rows = np.fromiter(
+        (r for s in seed_rows_list for r in s), dtype=np.int64,
+        count=int(s_counts.sum()),
+    )
+    skey, first = np.unique(s_qidx * t64 + s_rows, return_index=True)
+    first.sort()
+    s_qidx, s_rows = s_qidx[first], s_rows[first]
+    visited = _VisitedLSM(skey)
+    s_d = np_pair_distances(metric, qmat[s_qidx], bmat[s_rows])
+    _merge_pools(pool_d, pool_r, pool_e, n_q, s_qidx, s_d, s_rows, L)
+
+    live = np.arange(n_q, dtype=np.int64)
+    row_of = np.arange(n_q, dtype=np.int64)
+    while len(live):
+        col = np.argmin(pool_e, axis=1)
+        has = ~pool_e[np.arange(len(live)), col]
+        qi_l = np.nonzero(has)[0]
+        col = col[qi_l]
+        if not has.all():
+            done = np.nonzero(~has)[0]
+            out_d[live[done]] = pool_d[done]
+            out_r[live[done]] = pool_r[done]
+            keep = np.nonzero(has)[0]
+            pool_d, pool_r, pool_e = pool_d[keep], pool_r[keep], pool_e[keep]
+            live = live[keep]
+            if not len(live):
+                break
+            row_of[live] = np.arange(len(live))
+            qi_l = np.arange(len(live))
+            col = np.argmin(pool_e, axis=1)
+        qi = live[qi_l]
+        pool_e[qi_l, col] = True
+        hops += np.bincount(qi, minlength=n_q)
+        rows = pool_r[qi_l, col]
+
+        # 2-hop gather: base -> query-node (hop 1) -> base (hop 2), flat
+        # order matching the scalar loop's nested CSR iteration exactly
+        st1 = indptr[rows]
+        l1 = indptr[rows + 1] - st1
+        tot1 = int(l1.sum())
+        if tot1 == 0:
+            continue
+        e1 = np.cumsum(l1)
+        h1 = indices[
+            np.arange(tot1, dtype=np.int64)
+            - np.repeat(e1 - l1, l1)
+            + np.repeat(st1, l1)
+        ]
+        own1 = np.repeat(qi, l1)
+        st2 = indptr[h1]
+        l2 = indptr[h1 + 1] - st2
+        tot2 = int(l2.sum())
+        if tot2 == 0:
+            continue
+        e2 = np.cumsum(l2)
+        nbr = indices[
+            np.arange(tot2, dtype=np.int64)
+            - np.repeat(e2 - l2, l2)
+            + np.repeat(st2, l2)
+        ]
+        owner = np.repeat(own1, l2)
+
+        key = owner * t64 + nbr
+        fresh = ~visited.contains(key)
+        nbr, owner, key = nbr[fresh], owner[fresh], key[fresh]
+        if len(nbr):
+            ukey, first2 = np.unique(key, return_index=True)
+            first2.sort()
+            nbr, owner = nbr[first2], owner[first2]
+            visited.add_sorted(ukey)
+        if not len(nbr):
+            continue
+        dists = np_pair_distances(metric, qmat[owner], bmat[nbr])
+        cmps += np.bincount(owner, minlength=n_q)
+
+        orow = row_of[owner]
+        wd, wr = pool_d[orow, L - 1], pool_r[orow, L - 1]
+        beat = (dists < wd) | ((dists == wd) & (nbr < wr)) | (wr == sent)
+        if not beat.any():
+            continue
+        _merge_pools(
+            pool_d, pool_r, pool_e, len(live),
+            orow[beat], dists[beat], nbr[beat], L,
+        )
+
+    pools = [
+        [
+            (float(out_d[i, j]), int(out_r[i, j]))
+            for j in range(L)
+            if out_r[i, j] != sent
+        ]
+        for i in range(n_q)
+    ]
     return pools, cmps, hops
 
 

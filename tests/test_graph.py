@@ -817,3 +817,49 @@ def test_vectorized_beam_kernel_bit_parity_with_scalar_reference():
         assert np.array_equal(c1, c2), (trial, metric, w)
         assert np.array_equal(h1, h2), (trial, metric, w)
         assert p1 == p2, (trial, metric, w)
+
+
+def test_vectorized_bipartite_kernel_bit_parity_with_scalar_reference():
+    """Same gate as the projection-graph kernel, for the 2-hop bipartite
+    search: the vectorized kernel must match the scalar loop exactly —
+    pools, cmps, hops — across metrics, seed multisets (duplicates
+    included) and graph shapes."""
+    import numpy as np
+
+    from mysteryann_spark.operators.search import (
+        _beam_search_bipartite_batch,
+        _beam_search_bipartite_batch_ref,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        nb = int(rng.integers(20, 200))
+        nq_nodes = int(rng.integers(5, 80))
+        d = 12
+        bmat = rng.standard_normal((nb, d))
+        lists = [
+            nb + rng.choice(nq_nodes, size=rng.integers(0, 5), replace=False)
+            for _ in range(nb)
+        ] + [
+            rng.choice(nb, size=rng.integers(0, 6), replace=False)
+            for _ in range(nq_nodes)
+        ]
+        indptr = np.concatenate([[0], np.cumsum([len(l) for l in lists])]).astype(np.int64)
+        indices = (
+            np.concatenate([np.asarray(l, dtype=np.int64) for l in lists])
+            if indptr[-1] else np.empty(0, np.int64)
+        )
+        nq = int(rng.integers(1, 30))
+        qmat = rng.standard_normal((nq, d))
+        L = int(rng.integers(2, 30))
+        seeds = [
+            [int(x) for x in rng.integers(0, nb, size=rng.integers(1, 10))]
+            for _ in range(nq)
+        ]
+        metric = str(rng.choice(["l2", "ip", "cosine"]))
+        p1, c1, h1 = _beam_search_bipartite_batch_ref(
+            qmat, seeds, indptr, indices, bmat, L, metric)
+        p2, c2, h2 = _beam_search_bipartite_batch(
+            qmat, seeds, indptr, indices, bmat, L, metric)
+        assert np.array_equal(c1, c2) and np.array_equal(h1, h2), (trial, metric)
+        assert p1 == p2, (trial, metric)
