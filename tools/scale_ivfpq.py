@@ -54,21 +54,27 @@ def main() -> None:
     print(json.dumps({"stage": "synth", "n": n, "sec": round(time.time() - t0, 1)}),
           flush=True)
 
-    t0 = time.time()
-    index = build_ivfpq_index(
-        emb, n_centroids=n_centroids, m=m, n_codes=256,
-        train_sample=64 * n_centroids,
-    )
     path = os.environ.get("SCALE_IVFPQ_DIR", "/tmp/scale_ivfpq") + f"/n{n}_m{m}"
-    save_ivfpq(index, path)
-    t_build = time.time() - t0
-    n_lists = spark.read.parquet(f"{path}/lists").count()
-    print(json.dumps({
-        "stage": "build_save", "n": n, "sec": round(t_build, 1),
-        "rows_persisted": n_lists, "n_centroids": n_centroids,
-        "m": m, "n_codes": 256,
-        "code_bytes_per_vec": m,
-    }), flush=True)
+    if os.environ.get("SCALE_IVFPQ_SEARCH_ONLY"):
+        # search-only re-measurement against a previously persisted index
+        # (the r7 QPS A/B protocol): skip train/encode, go straight to GT
+        # + loaded-index search. Two reps below make warm-vs-cold visible.
+        print(json.dumps({"stage": "search_only", "path": path}), flush=True)
+    else:
+        t0 = time.time()
+        index = build_ivfpq_index(
+            emb, n_centroids=n_centroids, m=m, n_codes=256,
+            train_sample=64 * n_centroids,
+        )
+        save_ivfpq(index, path)
+        t_build = time.time() - t0
+        n_lists = spark.read.parquet(f"{path}/lists").count()
+        print(json.dumps({
+            "stage": "build_save", "n": n, "sec": round(t_build, 1),
+            "rows_persisted": n_lists, "n_centroids": n_centroids,
+            "m": m, "n_codes": 256,
+            "code_bytes_per_vec": m,
+        }), flush=True)
 
     q = spread(
         emb.where(F.col("vec_id") < nq).select(F.col("vec_id").alias("qid"), "embedding")
@@ -82,7 +88,9 @@ def main() -> None:
     }), flush=True)
 
     loaded = load_ivfpq(spark, path)
-    for probes in (n_probe // 2, n_probe):
+    reps = (1, 2) if os.environ.get("SCALE_IVFPQ_SEARCH_ONLY") else (1,)
+    for rep in reps:
+      for probes in (n_probe // 2, n_probe):
         t0 = time.time()
         res = search_ivfpq_index(
             q, loaded, 10, n_probe=probes, refine=refine, base_df=emb
@@ -96,7 +104,7 @@ def main() -> None:
         )
         recall = mean_recall(res_arr, gt, 10)
         print(json.dumps({
-            "stage": "search_loaded", "n": n, "n_queries": nq,
+            "stage": "search_loaded", "n": n, "n_queries": nq, "rep": rep,
             "n_probe": probes, "sec": round(t_search, 1),
             "qps": round(nq / t_search, 1), "rows": n_res,
             "recall_at_10": round(recall, 4),
