@@ -159,13 +159,16 @@ def stream_insert_roargraph(
         # Cut lineage NOW: without this, batch k's plan nests k insert
         # pipelines and analysis time grows superlinearly in batch count.
         state["adj"] = merged.localCheckpoint(eager=True)
-        if len(adj_chain) >= _ADJ_COMPACT_EVERY:
-            adj_chain[:] = [stage_parquet(state["adj"])]
-        else:
-            adj_chain.append(stage_parquet(delta))
         state["base"] = (
             state["base"].unionByName(batch).localCheckpoint(eager=True)
         )
+        if len(adj_chain) >= _ADJ_COMPACT_EVERY:
+            adj_chain[:] = [stage_parquet(state["adj"])]
+            # same cadence for the vector chain: bounds the per-path
+            # parquet open cost of cold worker rebuilds
+            staged.compact(state["base"])
+        else:
+            adj_chain.append(stage_parquet(delta))
         state["ep"] = ep2
         state["batches"] += 1
 
