@@ -406,3 +406,50 @@ def test_stream_maintain_churn_parity(spark, emb, tmp_path):
     gt = knn_join_arrays(q, base_s, 10, "l2")
     recall = mean_recall(res_arr, gt, 10)
     assert recall >= 0.9, f"post-churn recall@10={recall}"
+
+
+def test_stream_insert_chain_compaction_is_transparent(spark, emb, tmp_path, monkeypatch):
+    """The adjacency/vector chain COMPACTION branch (len(chain) >=
+    SPARK_GRAFT_ADJ_COMPACT re-stages the merged state whole and resets
+    both chains) must be invisible in the result: forcing compaction on
+    every batch yields exactly the adjacency the default long-chain run
+    produces."""
+    from pyspark.sql import functions as F
+
+    from mysteryann_spark.operators.projection import build_roargraph_from_table
+    from mysteryann_spark.params import IndexParams
+    from mysteryann_spark.streaming import maintain
+    from mysteryann_spark.streaming.maintain import (
+        stage_vector_stream,
+        stream_insert_roargraph,
+    )
+
+    params = IndexParams(M_sq=20, M_pjbp=8, L_pjpq=40, k=10, L_pq=40, metric="l2")
+    n = emb.count()
+    cut = int(n * 0.9)
+    old = emb.where(F.col("vec_id") < cut)
+    new = emb.where(F.col("vec_id") >= cut)
+    adj, ep = build_roargraph_from_table(spark, old, params)
+    adj = adj.localCheckpoint()
+
+    def run(tag):
+        stream = stage_vector_stream(
+            spark, new, str(tmp_path / f"cfeed_{tag}"), n_batches=3
+        )
+        _, merged, _, nb = stream_insert_roargraph(
+            spark, old.select("vec_id", "embedding"), adj, ep,
+            stream, params, str(tmp_path / f"cckpt_{tag}"),
+        )
+        assert nb == 3
+        return {
+            r["node"]: r["nbrs"]
+            for r in merged.select(
+                "node", F.array_sort("nbrs").alias("nbrs")
+            ).collect()
+        }
+
+    monkeypatch.setattr(maintain, "_ADJ_COMPACT_EVERY", 1)  # compact every batch
+    compacted = run("every")
+    monkeypatch.setattr(maintain, "_ADJ_COMPACT_EVERY", 64)  # never (3 batches)
+    chained = run("never")
+    assert compacted == chained and len(chained) == n
