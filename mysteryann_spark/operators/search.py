@@ -174,13 +174,19 @@ def _beam_search_batch_ref(
             off += nf
             cmps[i] += nf
             pool = pools[i]
-            worst = pool[-1][0] if len(pool) >= l_search else np.inf
+            # boundary test uses the FULL (dist, id) tuple order — a
+            # candidate tied on distance with a smaller row id at a full
+            # pool's boundary replaces the boundary entry, matching
+            # NeighborPriorityQueue's total order (neighbor.h:138-223)
+            # and the vectorized kernel's merge
+            worst = pool[-1] if len(pool) >= l_search else (np.inf, -1)
             for d, r in zip(ds, rs):
-                if d < worst or len(pool) < l_search:
-                    insort(pool, (float(d), int(r)))
+                cand = (float(d), int(r))
+                if cand < worst or len(pool) < l_search:
+                    insort(pool, cand)
                     if len(pool) > l_search:
                         pool.pop()
-                        worst = pool[-1][0]
+                        worst = pool[-1]
     return pools, cmps, hops
 
 
@@ -202,6 +208,8 @@ class _VisitedLSM:
     def contains(self, keys: np.ndarray) -> np.ndarray:
         out = np.zeros(len(keys), dtype=bool)
         for lv in self.levels:
+            if not len(lv):  # seedless init (e.g. every seed list empty)
+                continue
             idx = np.searchsorted(lv, keys)
             idxc = np.minimum(idx, len(lv) - 1)
             out |= (idx < len(lv)) & (lv[idxc] == keys)
@@ -245,6 +253,8 @@ def _merge_pools(
     versus the O(n_aff x (L+C) log(L+C)) row sorts this replaced —
     the difference is the whole win at large L (SCALE.md r7)."""
     K = len(orow)
+    if K == 0:  # e.g. seed-merge with every seed list empty
+        return
     o = np.lexsort((nbr, dists, orow))
     orow, dists, nbr = orow[o], dists[o], nbr[o]
     lo = np.zeros(K, dtype=np.int64)
@@ -524,13 +534,16 @@ def _beam_search_bipartite_batch_ref(
             off += nf
             cmps[i] += nf
             pool = pools[i]
-            worst = pool[-1][0] if len(pool) >= l_search else np.inf
+            # full (dist, id) tuple order at the pool boundary — see
+            # _beam_search_batch_ref
+            worst = pool[-1] if len(pool) >= l_search else (np.inf, -1)
             for d, r in zip(ds, rs):
-                if d < worst or len(pool) < l_search:
-                    insort(pool, (float(d), int(r)))
+                cand = (float(d), int(r))
+                if cand < worst or len(pool) < l_search:
+                    insort(pool, cand)
                     if len(pool) > l_search:
                         pool.pop()
-                        worst = pool[-1][0]
+                        worst = pool[-1]
     return pools, cmps, hops
 
 

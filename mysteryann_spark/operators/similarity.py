@@ -630,7 +630,11 @@ def search_ivfpq_index(
     the persisted cid-partitioned lists (dynamic pruning, plan-gated in
     tests/test_plans.py), so a probe reads only its n_probe directories.
     The beyond-worker-memory fallback, exactly like the graph search's
-    distributed path; bit-parity with the staged path is test-gated."""
+    distributed path. The two paths agree within 1e-9 on ADC distances
+    (test-gated), NOT bit-identically: the staged path sums per-subspace
+    LUT partials while the join path does one full-dim einsum — a
+    different FP summation order, so near-tied candidates can in
+    principle rank differently between the paths."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 

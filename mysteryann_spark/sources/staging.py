@@ -63,6 +63,13 @@ def _shared_enabled() -> bool:
 _HEARTBEAT_S = float(os.environ.get("SPARK_GRAFT_SHARED_HEARTBEAT_S", "5"))
 _STALE_S = float(os.environ.get("SPARK_GRAFT_SHARED_STALE_S", "60"))
 
+# consecutive winner failures tolerated before the key falls back to
+# NOSHARE (private builds): transient failures (OOM, FS blip) get a
+# bounded serial retry via lock takeover; a deterministically failing
+# build must not be retried by every waiter until Spark exhausts task
+# retries (0.5 s poll + takeover churn with no bound)
+_MAX_SHARED_FAILURES = int(os.environ.get("SPARK_GRAFT_SHARED_MAX_FAILURES", "3"))
+
 
 def _shared_dir(key: str) -> str:
     import hashlib
@@ -205,12 +212,27 @@ def _shared_build(key: str, build: Callable[[], object]) -> object:
             # transient failure (OOM, FS blip) would route every later
             # worker to private multi-GB builds — recreating exactly the
             # n_workers× residency regime shared staging exists to kill.
-            # Instead RELEASE the lock: the stale heartbeat lets the next
-            # waiter take over and retry; a deterministic failure still
-            # terminates (each successive winner raises into its own
-            # task, Spark fails the stage after task retries).
+            # Instead record the failure (FAILED-<n> marker — writes are
+            # serialized by the lock, so the count is race-free) and
+            # RELEASE the lock: the stale heartbeat lets the next waiter
+            # take over and retry. After _MAX_SHARED_FAILURES consecutive
+            # winner failures the build is presumed deterministic and the
+            # key falls back to NOSHARE, bounding the takeover/retry
+            # churn instead of looping until Spark exhausts task retries.
             stop.set()
             t.join(timeout=2)
+            try:
+                os.makedirs(d, exist_ok=True)
+                n_failed = 1 + sum(
+                    1 for f in os.listdir(d) if f.startswith("FAILED-")
+                )
+                with open(os.path.join(d, f"FAILED-{n_failed}"), "w"):
+                    pass
+                if n_failed >= _MAX_SHARED_FAILURES:
+                    with open(noshare, "w"):
+                        pass
+            except OSError:
+                pass
             shutil.rmtree(lock, ignore_errors=True)
             raise
         finally:

@@ -863,3 +863,132 @@ def test_vectorized_bipartite_kernel_bit_parity_with_scalar_reference():
             qmat, seeds, indptr, indices, bmat, L, metric)
         assert np.array_equal(c1, c2) and np.array_equal(h1, h2), (trial, metric)
         assert p1 == p2, (trial, metric)
+
+
+def test_beam_kernel_parity_on_tied_distances():
+    """Duplicate base vectors force EXACT distance ties at the pool
+    boundary — both kernels must resolve them by the full (dist, id)
+    tuple order (NeighborPriorityQueue, neighbor.h:138-223), including
+    replacing a full pool's boundary entry with an equal-distance
+    smaller-id candidate. The Gaussian parity trials above can never
+    produce ties, so this case gates the boundary rule specifically
+    (r7 ADVICE: the scalar refs used a dist-only boundary test and
+    diverged from the production kernels on tie-bearing data)."""
+    import numpy as np
+
+    from mysteryann_spark.operators.search import (
+        _beam_search_batch,
+        _beam_search_batch_ref,
+    )
+
+    rng = np.random.default_rng(23)
+    for trial in range(15):
+        n = int(rng.integers(60, 300))
+        # base rows drawn from a tiny vocabulary of distinct vectors ->
+        # masses of bit-exact duplicate rows, hence exact distance ties
+        vocab = rng.standard_normal((int(rng.integers(3, 8)), 8))
+        bmat = vocab[rng.integers(0, len(vocab), size=n)]
+        deg = int(rng.integers(2, 10))
+        lists = [
+            rng.choice(n, size=rng.integers(1, deg + 1), replace=False)
+            for _ in range(n)
+        ]
+        indptr = np.concatenate([[0], np.cumsum([len(l) for l in lists])]).astype(np.int64)
+        indices = np.concatenate(lists).astype(np.int64)
+        nq = int(rng.integers(2, 25))
+        qmat = vocab[rng.integers(0, len(vocab), size=nq)]
+        L = int(rng.integers(2, 20))
+        w = int(rng.choice([1, 2, 4]))
+        metric = str(rng.choice(["l2", "ip", "cosine"]))
+        excl = np.where(
+            rng.random(nq) < 0.3, rng.integers(0, n, size=nq), -1
+        ).astype(np.int64)
+        ep = int(rng.integers(0, n))
+        p1, c1, h1 = _beam_search_batch_ref(
+            qmat, ep, indptr, indices, bmat, L, metric, excl, expand_width=w)
+        p2, c2, h2 = _beam_search_batch(
+            qmat, ep, indptr, indices, bmat, L, metric, excl, expand_width=w)
+        assert np.array_equal(c1, c2), (trial, metric, w)
+        assert np.array_equal(h1, h2), (trial, metric, w)
+        assert p1 == p2, (trial, metric, w)
+
+
+def test_bipartite_kernel_parity_on_tied_distances():
+    """Tie-bearing case for the 2-hop bipartite kernel: duplicate base
+    vectors AND duplicate seed draws, same (dist, id) boundary-order
+    gate as the projection-graph case."""
+    import numpy as np
+
+    from mysteryann_spark.operators.search import (
+        _beam_search_bipartite_batch,
+        _beam_search_bipartite_batch_ref,
+    )
+
+    rng = np.random.default_rng(29)
+    for trial in range(12):
+        nb = int(rng.integers(30, 150))
+        nq_nodes = int(rng.integers(5, 50))
+        vocab = rng.standard_normal((int(rng.integers(3, 7)), 8))
+        bmat = vocab[rng.integers(0, len(vocab), size=nb)]
+        lists = [
+            nb + rng.choice(nq_nodes, size=rng.integers(0, 5), replace=False)
+            for _ in range(nb)
+        ] + [
+            rng.choice(nb, size=rng.integers(0, 6), replace=False)
+            for _ in range(nq_nodes)
+        ]
+        indptr = np.concatenate([[0], np.cumsum([len(l) for l in lists])]).astype(np.int64)
+        indices = (
+            np.concatenate([np.asarray(l, dtype=np.int64) for l in lists])
+            if indptr[-1] else np.empty(0, np.int64)
+        )
+        nq = int(rng.integers(2, 20))
+        qmat = vocab[rng.integers(0, len(vocab), size=nq)]
+        L = int(rng.integers(2, 15))
+        seeds = [
+            [int(x) for x in rng.integers(0, nb, size=rng.integers(1, 10))]
+            for _ in range(nq)
+        ]
+        metric = str(rng.choice(["l2", "ip", "cosine"]))
+        p1, c1, h1 = _beam_search_bipartite_batch_ref(
+            qmat, seeds, indptr, indices, bmat, L, metric)
+        p2, c2, h2 = _beam_search_bipartite_batch(
+            qmat, seeds, indptr, indices, bmat, L, metric)
+        assert np.array_equal(c1, c2) and np.array_equal(h1, h2), (trial, metric)
+        assert p1 == p2, (trial, metric)
+
+
+def test_bipartite_kernel_empty_seed_lists():
+    """Seedless queries must return empty pools gracefully from BOTH
+    kernels — the vectorized kernel used to crash in _merge_pools
+    (zero-size reduction) when every seed list was empty (r7 ADVICE).
+    Covers all-empty and mixed empty/non-empty seed sets."""
+    import numpy as np
+
+    from mysteryann_spark.operators.search import (
+        _beam_search_bipartite_batch,
+        _beam_search_bipartite_batch_ref,
+    )
+
+    rng = np.random.default_rng(31)
+    nb, nq_nodes = 40, 10
+    bmat = rng.standard_normal((nb, 8))
+    lists = [
+        nb + rng.choice(nq_nodes, size=2, replace=False) for _ in range(nb)
+    ] + [rng.choice(nb, size=3, replace=False) for _ in range(nq_nodes)]
+    indptr = np.concatenate([[0], np.cumsum([len(l) for l in lists])]).astype(np.int64)
+    indices = np.concatenate(lists).astype(np.int64)
+    qmat = rng.standard_normal((3, 8))
+    for seeds in (
+        [[], [], []],                      # every seed list empty
+        [[], [0, 5, 5], []],               # mixed, with duplicate seeds
+    ):
+        p1, c1, h1 = _beam_search_bipartite_batch_ref(
+            qmat, seeds, indptr, indices, bmat, 8, "l2")
+        p2, c2, h2 = _beam_search_bipartite_batch(
+            qmat, seeds, indptr, indices, bmat, 8, "l2")
+        assert np.array_equal(c1, c2) and np.array_equal(h1, h2)
+        assert p1 == p2
+        for s, pool in zip(seeds, p2):
+            if not s:
+                assert pool == []

@@ -170,6 +170,55 @@ def test_shared_build_roundtrip_and_noshare(tmp_path, monkeypatch):
     assert isinstance(out4[0], np.memmap)
 
 
+def test_shared_build_deterministic_failure_bounded(tmp_path, monkeypatch):
+    """A deterministically failing build is retried at most
+    _MAX_SHARED_FAILURES times across takeovers, then the key falls back
+    to NOSHARE: later workers build privately instead of looping on the
+    0.5 s poll + lock-takeover churn until Spark exhausts task retries."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pytest
+
+    from mysteryann_spark.sources import staging
+
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_STAGE", "1")
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    boom = {"n": 0}
+
+    def bad():
+        boom["n"] += 1
+        raise RuntimeError("deterministic boom")
+
+    d = staging._shared_dir("kfail")
+    for i in range(staging._MAX_SHARED_FAILURES):
+        with pytest.raises(RuntimeError):
+            staging._shared_build("kfail", bad)
+        markers = [f for f in os.listdir(d) if f.startswith("FAILED-")]
+        assert len(markers) == i + 1
+    # cap reached: key is NOSHARE'd, lock released
+    assert os.path.exists(os.path.join(d, "NOSHARE"))
+    assert not os.path.exists(d + ".lock")
+    # later workers take the private-build path (no more winner retries
+    # of the shared build — build() runs per caller, NOT under the lock)
+    calls = {"n": 0}
+
+    def good():
+        calls["n"] += 1
+        return (np.zeros(2),)
+
+    out = staging._shared_build("kfail", good)
+    assert calls["n"] == 1
+    assert not isinstance(out[0], np.memmap)  # private, not mmap-shared
+    # a failure below the cap never NOSHAREs (transient-retry preserved)
+    d2 = staging._shared_dir("kfail2")
+    with pytest.raises(RuntimeError):
+        staging._shared_build("kfail2", bad)
+    assert not os.path.exists(os.path.join(d2, "NOSHARE"))
+
+
 def test_load_staged_shared_mode_through_kernel_ops(tmp_path, monkeypatch):
     """The mapped arrays must behave under the kernels' access patterns:
     fancy indexing, searchsorted, GEMM — all read-only."""
