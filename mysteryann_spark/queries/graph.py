@@ -202,16 +202,38 @@ def roargraph_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < _N_SEARCH_QUERIES).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    # run_roargraph_search_test.sh:14 verbatim
-    l_values = (
-        list(range(10, 101, 5))
-        + list(range(110, 201, 10))
-        + list(range(220, 301, 20))
-        + list(range(350, 801, 50))
-        + list(range(900, 2001, 100))
-    )
-    return search_sweep(q, emb, adj, ep, k=PARAMS.k, l_values=l_values,
+    return search_sweep(q, emb, adj, ep, k=PARAMS.k, l_values=_SWEEP_L_VALUES,
                         metric=PARAMS.metric)
+
+
+# run_roargraph_search_test.sh:14 verbatim — the full 56-point protocol
+_SWEEP_L_VALUES = (
+    list(range(10, 101, 5))
+    + list(range(110, 201, 10))
+    + list(range(220, 301, 20))
+    + list(range(350, 801, 50))
+    + list(range(900, 2001, 100))
+)
+
+
+def roargraph_sweep_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETERMINISTIC half of the sweep protocol, split out so it can
+    carry a hash oracle: recall@k, rderr, avg cmps and avg hops per L_pq
+    are machine-independent constants of the seeded testdata (the
+    lockstep beam evolves identically on every run), while QPS/latency
+    are wall-clock. This mirrors the reference's own CSV split — its
+    recall/cmps/hops columns are machine-independent, QPS/latency are
+    not (tests/test_search_roargraph.cpp:190,231-232). The timing
+    columns remain in the rows-only ``roargraph_sweep`` entry."""
+    from mysteryann_spark.operators.sweep import search_sweep
+
+    emb, adj, ep = _build(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < _N_SEARCH_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    res = search_sweep(q, emb, adj, ep, k=PARAMS.k, l_values=_SWEEP_L_VALUES,
+                       metric=PARAMS.metric)
+    return res.select("l_pq", "recall", "rderr", "avg_cmps", "avg_hops")
 
 
 def filtered_search_graph(
@@ -537,6 +559,7 @@ from mysteryann_spark.queries import _pinned_oracles as _PINNED
 
 QUERIES: dict[str, QuerySpec] = {
     "roargraph_sweep": QuerySpec(roargraph_sweep, None),
+    "roargraph_sweep_quality": QuerySpec(roargraph_sweep_quality, None),
     "roargraph_degrees": QuerySpec(roargraph_degrees, _PINNED.DEGREES_SF001_SQL),
     "roargraph_search_topk": QuerySpec(roargraph_search_topk, None),
     "roargraph_search_ip": QuerySpec(roargraph_search_ip, None),

@@ -65,81 +65,25 @@ def _overlay_pinned(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
 
 
 # The correctness driver gates only the FIRST 50 entries in iteration order
-# (CORRECTNESS_r01..r06.json all cut off at exactly 50).  Registry order
-# is therefore a verification-coverage decision, not cosmetics.  Round-7
-# policy (r6 VERDICT "Next round" #2: rotate onto the 19 r4-floor entries
+# (CORRECTNESS_r01..r07.json all cut off at exactly 50).  Registry order
+# is therefore a verification-coverage decision, not cosmetics.  Round-8
+# policy (r7 VERDICT "Next round" #1: seat the 22 last-seen-r5 entries
 # before the 3-round cap trips):
 #
-#   * ``_FRONT`` — (a) the 19 r4-floor entries (absent from BOTH the r5
-#     and r6 windows — the 3-round cap trips this round); (b) entries
-#     whose code or oracle changed in round 7: the reshaped-and-pinned
-#     emb_pca_project, the maintenance loops now threading delta-staged
-#     adjacency (insert/delete/stream insert/maintain), the search
-#     entries after the batched-round kernel change, the IVF-PQ entries
-#     after the ADC-batching change; (c) backfill from the last-seen-r5
-#     floor in prior order so they cannot trip in r8.
+#   * ``_FRONT`` — (a) the 22 last-seen-r5 entries (absent from BOTH the
+#     r6 and r7 windows — the 3-round cap trips this round); (b) entries
+#     whose oracle changed in round 8: the newly PINNED streaming
+#     maintenance entries (rows-only -> hash oracle) and the new
+#     roargraph_sweep_quality split (the sweep's deterministic columns,
+#     pinned); (c) backfill from the last-seen-r6 floor in prior order
+#     so they cannot trip in r9.
 #   * unlisted entries (anything NEW added mid-round) sort between _FRONT
 #     and _BACK, landing inside the window by default.
-#   * ``_BACK`` — head: the 22 last-seen-r5 entries the 50-slot window
-#     could not seat this round (r8's FIRST pick — they go 3 rounds stale
-#     next round), then everything driver-verified in r6 and untouched.
+#   * ``_BACK`` — head: the 17 last-seen-r6 entries the 50-slot window
+#     could not seat this round (r9's FIRST pick — they go 3 rounds stale
+#     next round), then everything driver-verified in r7 and untouched.
 _FRONT = [
-    # (a) the r4-floor rotation debt — the reason this round's window exists
-    "pipeline_curate",
-    "dedup_components",
-    "dedup_exact",
-    "doc_rolling_fingerprint",
-    "doc_bpe_tokens",
-    "doc_token_stats",
-    "doc_lang_id",
-    "doc_quality",
-    "doc_tfidf_topterms",
-    "bipartite_edges",
-    "udf_registry_distances",
-    "filter_project",
-    "topk_orders",
-    "window_rank",
-    "window_running",
-    "semi_join_customers",
-    "anti_join_customers",
-    "distinct_agg",
-    "rollup_customer_balance",
-    # (b) code or oracle changed in round 7
-    "emb_pca_project",
-    "roargraph_insert",
-    "roargraph_delete",
-    "roargraph_stream_insert",
-    "roargraph_stream_maintain",
-    "roargraph_search_topk",
-    "roargraph_search_ip",
-    "roargraph_search_cosine",
-    "roargraph_search_filtered",
-    "roargraph_save_load_search",
-    "roargraph_search_distributed",
-    "bipartite_search_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_persisted",
-    "ann_ivf_topk",
-    # (c) last-seen-r5 backfill so these cannot trip the cap in r8
-    "roargraph_build_ivf",
-    "roargraph_binary_interop",
-    "knn_exact",
-    "knn_medoid",
-    "knn_recall_l2_vs_cosine",
-    "knn_rderr_truncated",
-    "ann_cosine_topk",
-    "ann_quantized_topk",
-    "ann_range_search",
-    "ann_lsh_topk",
-    "dedup_embedding",
-    "dedup_groups_full",
-    "dedup_ann_pairs",
-    "emb_outlier_zscore",
-    "multimodal_audio_stats",
-    "fbin_roundtrip_norms",
-]
-_BACK = [
-    # last-seen-r5 remainder the window could not seat — r8's FIRST pick
+    # (a) the r5-floor rotation debt — the reason this round's window exists
     "above_avg_balance",
     "brand_sales",
     "case_buckets",
@@ -162,7 +106,11 @@ _BACK = [
     "string_functions",
     "vector_normalize",
     "vector_norms",
-    # driver-verified in round 6 (hash or rows-ran), untouched since
+    # (b) oracle changed in round 8 (pinned this round)
+    "roargraph_stream_insert",
+    "roargraph_stream_maintain",
+    "roargraph_sweep_quality",
+    # (c) last-seen-r6 backfill so these cannot trip the cap in r9
     "events_tumbling",
     "events_interval_join",
     "events_sliding",
@@ -188,6 +136,9 @@ _BACK = [
     "pipeline_decontaminate",
     "doc_bm25_topk",
     "hybrid_rrf_topk",
+]
+_BACK = [
+    # last-seen-r6 remainder the window could not seat — r9's FIRST pick
     "bpe_pair_counts",
     "ann_pq_topk",
     "stream_tumbling_oracled",
@@ -205,6 +156,55 @@ _BACK = [
     "dedup_semantic",
     "dedup_fingerprint",
     "dedup_jaccard_bigram",
+    # driver-verified in round 7 (hash or rows-ran), untouched since
+    "pipeline_curate",
+    "dedup_components",
+    "dedup_exact",
+    "doc_rolling_fingerprint",
+    "doc_bpe_tokens",
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_quality",
+    "doc_tfidf_topterms",
+    "bipartite_edges",
+    "udf_registry_distances",
+    "filter_project",
+    "topk_orders",
+    "window_rank",
+    "window_running",
+    "semi_join_customers",
+    "anti_join_customers",
+    "distinct_agg",
+    "rollup_customer_balance",
+    "emb_pca_project",
+    "roargraph_insert",
+    "roargraph_delete",
+    "roargraph_search_topk",
+    "roargraph_search_ip",
+    "roargraph_search_cosine",
+    "roargraph_search_filtered",
+    "roargraph_save_load_search",
+    "roargraph_search_distributed",
+    "bipartite_search_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_persisted",
+    "ann_ivf_topk",
+    "roargraph_build_ivf",
+    "roargraph_binary_interop",
+    "knn_exact",
+    "knn_medoid",
+    "knn_recall_l2_vs_cosine",
+    "knn_rderr_truncated",
+    "ann_cosine_topk",
+    "ann_quantized_topk",
+    "ann_range_search",
+    "ann_lsh_topk",
+    "dedup_embedding",
+    "dedup_groups_full",
+    "dedup_ann_pairs",
+    "emb_outlier_zscore",
+    "multimodal_audio_stats",
+    "fbin_roundtrip_norms",
 ]
 
 

@@ -10,48 +10,39 @@ from mysteryann_spark.queries.registry import _BACK, _FRONT, all_queries
 
 DRIVER_WINDOW = 50
 
-# Round-7 must-verify set (r6 VERDICT "Next round" #2): the 19 r4-floor
-# entries absent from both the r5 and r6 driver windows (3-round cap
-# trips this round), plus the entries whose code or oracle changed in
-# round 7 (reshaped emb_pca_project, delta-staged maintenance loops,
-# batched search kernel, IVF-PQ ADC batching).
+# Round-8 must-verify set (r7 VERDICT "Next round" #1): the 22 r5-floor
+# entries absent from both the r6 and r7 driver windows (3-round cap
+# trips this round), plus the entries whose oracle changed in round 8
+# (the newly pinned streaming maintenance entries and the new
+# roargraph_sweep_quality split).
 MUST_BE_IN_WINDOW = {
-    # r4 floor — 3-round cap trips this round
-    "pipeline_curate",
-    "dedup_components",
-    "dedup_exact",
-    "doc_rolling_fingerprint",
-    "doc_bpe_tokens",
-    "doc_token_stats",
-    "doc_lang_id",
-    "doc_quality",
-    "doc_tfidf_topterms",
-    "bipartite_edges",
-    "udf_registry_distances",
-    "filter_project",
-    "topk_orders",
-    "window_rank",
-    "window_running",
-    "semi_join_customers",
-    "anti_join_customers",
-    "distinct_agg",
-    "rollup_customer_balance",
-    # changed in round 7
-    "emb_pca_project",
-    "roargraph_insert",
-    "roargraph_delete",
+    # r5 floor — 3-round cap trips this round
+    "above_avg_balance",
+    "brand_sales",
+    "case_buckets",
+    "cube_orders",
+    "date_functions",
+    "distance_pairs",
+    "doc_gopher_quality",
+    "doc_pii_scrub",
+    "flagship_revenue_by_nation",
+    "funnel_steps",
+    "grouping_sets_sales",
+    "json_events",
+    "math_functions",
+    "multimodal_frame_sample",
+    "pipeline_mix_sample",
+    "pipeline_pack_sequences",
+    "pipeline_profile",
+    "pricing_summary",
+    "setops_nations",
+    "string_functions",
+    "vector_normalize",
+    "vector_norms",
+    # oracle changed in round 8 (pinned this round)
     "roargraph_stream_insert",
     "roargraph_stream_maintain",
-    "roargraph_search_topk",
-    "roargraph_search_ip",
-    "roargraph_search_cosine",
-    "roargraph_search_filtered",
-    "roargraph_save_load_search",
-    "roargraph_search_distributed",
-    "bipartite_search_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_persisted",
-    "ann_ivf_topk",
+    "roargraph_sweep_quality",
 }
 
 
