@@ -1,6 +1,12 @@
 """Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query runs $SPARK_GRAFT_BENCH_SHOTS times (default 3); "queries"
+reports the per-query MIN and "shots" the raw times. One-shot numbers on
+this box carry ~2x run-to-run jitter (BASELINE.md) — r7's driver total
+read as a 24% regression that an idle-box re-run disproved; min-of-N
+measures the plan, not the scheduler weather.
 """
 
 from __future__ import annotations
@@ -28,12 +34,18 @@ def main() -> None:
 
     spark = get_spark(app_name="mysteryann-bench")
     registry = all_queries()
+    n_shots = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SHOTS", "3")))
     timings: dict[str, float] = {}
+    shots: dict[str, list[float]] = {}
 
     def run(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        ts: list[float] = []
+        for _ in range(n_shots):
+            t0 = time.time()
+            fn()
+            ts.append(round(time.time() - t0, 3))
+        timings[name] = min(ts)
+        shots[name] = ts
 
     # warm-up: JVM + parquet footer caches + Python/Arrow worker spawn
     # (reference warms 100 queries before timing,
@@ -141,6 +153,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "shots": shots,
                 "sf": sf,
             }
         )

@@ -70,6 +70,24 @@ _STALE_S = float(os.environ.get("SPARK_GRAFT_SHARED_STALE_S", "60"))
 # retries (0.5 s poll + takeover churn with no bound)
 _MAX_SHARED_FAILURES = int(os.environ.get("SPARK_GRAFT_SHARED_MAX_FAILURES", "3"))
 
+# scratch budget for host-shared generations: each maintenance-chain step
+# publishes a fresh mysteryann-shared-* npy set (~5 GB at 10^7 x 64-d),
+# and before r8 every superseded generation stayed on scratch until a
+# manual /tmp clean (SCALE.md). Publish-time GC now (a) unlinks the
+# generation BEFORE the one just superseded (lineage PREV links — the
+# immediate prior is kept for readers mid-open; already-mapped readers
+# are unaffected by unlink, POSIX keeps their pages), and (b) applies
+# this host-wide LRU cap so chains RETIRED wholesale (compaction starts
+# a new lineage; the old chain's tail would otherwise linger forever)
+# age out as later publishes land. Deleting a still-wanted artifact is
+# a rebuild, never a wrong answer (_peek misses rebuild from parquet).
+_MAX_GENERATIONS = int(os.environ.get("SPARK_GRAFT_SHARED_MAX_GENERATIONS", "8"))
+
+# winner-process lineage: artifact key -> the prior-prefix key it was
+# incrementally patched from (set by load_staged_matrix/_graph builders,
+# consumed by _gc_scratch right after the publish)
+_LINEAGE: dict[str, str] = {}
+
 
 def _shared_dir(key: str) -> str:
     import hashlib
@@ -108,9 +126,77 @@ def _shared_load(d: str) -> tuple:
         meta = json.load(f)
     # legacy manifests ({"n": k}) name files a{i}.npy
     names = meta.get("files") or [f"a{i}.npy" for i in range(meta["n"])]
-    return tuple(
+    out = tuple(
         np.load(os.path.join(d, name), mmap_mode="r") for name in names
     )
+    try:
+        os.utime(d)  # refresh LRU recency so _gc_scratch spares live dirs
+    except OSError:
+        pass
+    return out
+
+
+def _gc_scratch(key: str, d: str) -> None:
+    """Publish-time scratch GC (see _MAX_GENERATIONS). Runs in the
+    winner right after its manifest lands; best-effort throughout —
+    scratch GC must never fail a build. Two mechanisms:
+
+    * lineage: the new artifact records the generation it was patched
+      from (``PREV``); the generation BEFORE that one is unlinked. The
+      immediate prior survives one more step for readers that read its
+      manifest just before ours landed (keep-exactly-one-prior).
+    * host LRU cap: every other manifest-bearing shared dir beyond
+      ``_MAX_GENERATIONS`` (oldest mtime first) is removed — the path
+      by which chains retired WHOLESALE (compaction, index drop) age
+      out. Dirs with a live lockdir (build in progress) are never
+      touched; neither are the new artifact and its PREV."""
+    import shutil
+
+    prev_key = _LINEAGE.pop(key, None)
+    d_prev = _shared_dir(prev_key) if prev_key else None
+    try:
+        if d_prev:
+            with open(os.path.join(d, "PREV"), "w") as f:
+                f.write(d_prev)
+            gp = None
+            pf = os.path.join(d_prev, "PREV")
+            if os.path.exists(pf):
+                with open(pf) as f:
+                    gp = f.read().strip()
+            if (
+                gp
+                and gp not in (d, d_prev)
+                and os.path.basename(gp).startswith("mysteryann-shared-")
+                and os.path.isdir(gp)
+            ):
+                shutil.rmtree(gp, ignore_errors=True)
+                shutil.rmtree(gp + ".lock", ignore_errors=True)
+        root = tempfile.gettempdir()
+        gens = []
+        for name in os.listdir(root):
+            if not name.startswith("mysteryann-shared-") or name.endswith(".lock"):
+                continue
+            p = os.path.join(root, name)
+            if p in (d, d_prev) or not os.path.isdir(p):
+                continue
+            # only PUBLISHED generations are eligible: a dir without a
+            # manifest is a build in progress (winner holds the lockdir)
+            # or small failure residue — never touch either. A dir WITH
+            # a manifest is complete; its lockdir is success residue
+            # (winners don't remove it), removed along with the dir.
+            if not os.path.exists(os.path.join(p, "MANIFEST.json")):
+                continue
+            try:
+                gens.append((os.path.getmtime(p), p))
+            except OSError:
+                pass
+        keep = max(0, _MAX_GENERATIONS - (2 if d_prev else 1))
+        doomed = sorted(gens)[:-keep] if keep else sorted(gens)
+        for _, p in doomed:
+            shutil.rmtree(p, ignore_errors=True)
+            shutil.rmtree(p + ".lock", ignore_errors=True)
+    except OSError:
+        pass
 
 
 def _heartbeat_stale(hb: str) -> bool:
@@ -201,10 +287,13 @@ def _shared_build(key: str, build: Callable[[], object]) -> object:
             ):
                 _shared_save(d, obj)
                 del obj  # drop the private copy; hand back the mapped one
-                return _shared_load(d)
+                out = _shared_load(d)
+                _gc_scratch(key, d)
+                return out
             os.makedirs(d, exist_ok=True)
             with open(noshare, "w"):
                 pass
+            _LINEAGE.pop(key, None)
             return obj
         except BaseException:
             # a FAILED build must not strand waiters, but it must not
@@ -461,9 +550,12 @@ def load_staged_matrix(
 
     def _build():
         for cut in range(len(paths) - 1, 0, -1):
-            prior = _peek_artifact(_matrix_key(paths[:cut], id_col, vec_col))
+            prior_key = _matrix_key(paths[:cut], id_col, vec_col)
+            prior = _peek_artifact(prior_key)
             if prior is None:
                 continue
+            if _shared_enabled():
+                _LINEAGE[key] = prior_key  # publish-time GC lineage
             ids, mat = prior
             d_ids, d_mat = staged_matrix(paths[cut:], id_col, vec_col)
             ids2, mat2, _ = _patch_matrix(ids, mat, d_ids, d_mat.astype(mat.dtype, copy=False))
@@ -523,6 +615,10 @@ def load_staged_graph(
         if best is None:
             return _full()
         bi, ai, (ids, bmat, indptr, indices) = best
+        if _shared_enabled():
+            _LINEAGE[key] = _graph_key(  # publish-time GC lineage
+                base_paths[:bi], adj_paths[:ai], base_id, vec_col
+            )
         if bi < len(base_paths):
             d_ids, d_mat = staged_matrix(base_paths[bi:], base_id, vec_col)
             ids2, bmat2, old_dest = _patch_matrix(

@@ -219,6 +219,69 @@ def test_shared_build_deterministic_failure_bounded(tmp_path, monkeypatch):
     assert not os.path.exists(os.path.join(d2, "NOSHARE"))
 
 
+def test_shared_scratch_gc_bounded_across_compactions(tmp_path, monkeypatch):
+    """Publish-time scratch GC: a maintenance chain that keeps stepping
+    (and periodically COMPACTS — new chain, lineage break) must leave a
+    BOUNDED number of mysteryann-shared-* generations on host scratch,
+    not one ~5 GB npy set per step (the r7 SCALE.md manual-clean debt).
+    Lineage unlinks the grandparent each publish (keep exactly one
+    prior); the host LRU cap ages out chains retired wholesale."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysteryann_spark.sources import staging
+
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_STAGE", "1")
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(staging, "_MAX_GENERATIONS", 3)
+    staging._CACHE.clear()
+
+    part_n = 0
+
+    def write_part(lo):
+        nonlocal part_n
+        ids = list(range(lo, lo + 5))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [[float(i), 1.0] for i in ids], pa.list_(pa.float32())
+                ),
+            }
+        )
+        p = str(tmp_path / f"part{part_n}.parquet")
+        part_n += 1
+        pq.write_table(tbl, p)
+        return p
+
+    def n_generations():
+        return sum(
+            1
+            for n in os.listdir(tmp_path)
+            if n.startswith("mysteryann-shared-")
+            and not n.endswith(".lock")
+            and os.path.exists(os.path.join(tmp_path, n, "MANIFEST.json"))
+        )
+
+    for _compaction in range(3):
+        paths = [write_part(0)]  # compaction: fresh chain, lineage break
+        staging.load_staged_matrix(list(paths), "vec_id", "embedding")
+        for step in range(4):
+            paths.append(write_part(5 * (step + 1)))
+            ids, mat = staging.load_staged_matrix(
+                list(paths), "vec_id", "embedding"
+            )
+            assert n_generations() <= 3, (
+                f"scratch grew unbounded: {n_generations()} generations"
+            )
+        # the churned chain still resolves to the right merged artifact
+        assert len(ids) == 25 and mat.shape == (25, 2)
+    assert n_generations() <= 3
+
+
 def test_load_staged_shared_mode_through_kernel_ops(tmp_path, monkeypatch):
     """The mapped arrays must behave under the kernels' access patterns:
     fancy indexing, searchsorted, GEMM — all read-only."""
