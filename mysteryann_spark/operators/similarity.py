@@ -148,17 +148,46 @@ def train_centroids(
     return base_df.sparkSession.sparkContext.broadcast(cmat)
 
 
+# above this many (rows x n_centroids) distance cells per Arrow batch the
+# assignment UDF switches to the chunked float32 path: the full float64
+# matrix at 10k rows x 10k+ centroids is ~0.8 GB PER WORKER per batch
+# (the 10^8-rehearsal residency hazard), while below it the original
+# exact-float64 math is kept bit-identical — the sf-scale pinned oracles
+# certify that path and must not drift on a dtype change
+_CENT_F32_CELLS = 1 << 25
+
+
 def nearest_centroids_udf(bc, n: int):
     """Arrow-batched centroid scoring: one GEMM per batch against the
     broadcast (n_centroids x dim) matrix; input is the RAW vector
     (normalized inline) so assignment needs no second normalization
-    pass."""
+    pass. Large batch x centroid products (rehearsal scale) run the
+    chunked float32 GEMM with argmin/argpartition — bounded memory and
+    no full sort; assignment quality is recall-gated, not pinned, at
+    that scale."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(ArrayType(IntegerType()))
     def nearest(vecs: pd.Series) -> pd.Series:
         c = bc.value
         m = _unit(vecs)
+        if len(m) * len(c) > _CENT_F32_CELLS:
+            c32 = np.ascontiguousarray(c, dtype=np.float32)
+            cc = (c32 * c32).sum(axis=1)[None, :]
+            chunk = max(256, (1 << 24) // max(1, len(c)))
+            outs = []
+            for s in range(0, len(m), chunk):
+                mb = np.ascontiguousarray(m[s : s + chunk], dtype=np.float32)
+                # ||x||^2 is constant per row — argmin/argpartition drop it
+                d = cc - 2.0 * (mb @ c32.T)
+                if n == 1:
+                    sel = d.argmin(axis=1)[:, None]
+                else:
+                    part = np.argpartition(d, n - 1, axis=1)[:, :n]
+                    o = np.take_along_axis(d, part, axis=1).argsort(axis=1)
+                    sel = np.take_along_axis(part, o, axis=1)
+                outs.append(sel.astype(np.int32))
+            return pd.Series(list(np.concatenate(outs)))
         # GEMM expansion, not the (batch, k, dim) cube — at 1024 centroids
         # the cube is ~5 GB per 10k-row Arrow batch per worker
         d = (

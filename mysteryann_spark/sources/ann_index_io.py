@@ -33,7 +33,18 @@ def save_ivfpq(index: dict, path: str) -> None:
     data-scale write; cid-partitioning makes later probes partition-pruned
     scans."""
     spark = index["lists"].sparkSession
-    index["lists"].write.mode("overwrite").partitionBy("cid").parquet(f"{path}/lists")
+    # repartition ON cid first: partitionBy alone writes one file per
+    # (task, cid) pair — up to tasks x n_centroids small files (655k at
+    # 10^7 rows / 10,240 lists, a measured chunk of the r7 build wall
+    # and the classic small-files failure at cluster scale). Hashing
+    # each cid to exactly one task bounds it at one file per list.
+    (
+        index["lists"]
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/lists")
+    )
 
     cent = index["centroids"]
     spark.createDataFrame(

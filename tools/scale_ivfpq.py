@@ -48,10 +48,18 @@ def main() -> None:
 
     spark = get_spark(app_name=f"scale-ivfpq-{n}")
 
-    emb = synth_embeddings(spark, n, parts=64).cache()
+    # above ~2x10^7 rows the cached array rows exceed the box (Spark's
+    # deserialized row form is several x the 4-byte-float payload at
+    # 10^8 x 64-d); the synth is deterministic and recomputes in ~30 s a
+    # pass, so big runs stream it instead of caching
+    parts = max(64, n // 500_000)
+    emb = synth_embeddings(spark, n, parts=parts)
+    if n <= 20_000_000:
+        emb = emb.cache()
     t0 = time.time()
     emb.count()
-    print(json.dumps({"stage": "synth", "n": n, "sec": round(time.time() - t0, 1)}),
+    print(json.dumps({"stage": "synth", "n": n, "parts": parts,
+                      "sec": round(time.time() - t0, 1)}),
           flush=True)
 
     path = os.environ.get("SCALE_IVFPQ_DIR", "/tmp/scale_ivfpq") + f"/n{n}_m{m}"
