@@ -89,6 +89,17 @@ _MAX_GENERATIONS = int(os.environ.get("SPARK_GRAFT_SHARED_MAX_GENERATIONS", "8")
 _LINEAGE: dict[str, str] = {}
 
 
+def _async_publish_enabled() -> bool:
+    """SPARK_GRAFT_ASYNC_PUBLISH=1 moves the winner's O(n) sequential npy
+    publish off the batch critical path (see _shared_build): at 10^8 x
+    64-d the patched base matrix is ~25.6 GB, and a blocking write gates
+    every maintenance batch on the winner's disk bandwidth. Default off:
+    the blocking form hands even the winner the mapped copy, the lowest
+    steady-state residency, which is right whenever the write is small
+    relative to the batch."""
+    return os.environ.get("SPARK_GRAFT_ASYNC_PUBLISH") == "1"
+
+
 def _shared_dir(key: str) -> str:
     import hashlib
 
@@ -276,6 +287,7 @@ def _shared_build(key: str, build: Callable[[], object]) -> object:
 
         t = threading.Thread(target=_beat, daemon=True)
         t.start()
+        handed_off = False
         try:
             obj = build()
             if (
@@ -285,6 +297,29 @@ def _shared_build(key: str, build: Callable[[], object]) -> object:
                     isinstance(a, np.ndarray) and a.dtype != object for a in obj
                 )
             ):
+                if _async_publish_enabled():
+                    # SPARK_GRAFT_ASYNC_PUBLISH=1: the O(n) sequential
+                    # npy write comes OFF the batch critical path — the
+                    # winner starts its own task work immediately on the
+                    # private copy while a background thread publishes
+                    # for everyone else (heartbeat keeps feeding waiters
+                    # until the manifest lands; a publish crash goes
+                    # stale and the takeover path rebuilds). Cost: the
+                    # winner's worker caches the anon copy instead of
+                    # the map until its LRU evicts it — one transient
+                    # private copy per host, the same peak the blocking
+                    # write already had while saving.
+                    def _publish() -> None:
+                        try:
+                            _shared_save(d, obj)
+                            _gc_scratch(key, d)
+                        finally:
+                            stop.set()
+
+                    pub = threading.Thread(target=_publish, daemon=True)
+                    pub.start()
+                    handed_off = True  # heartbeat now owned by _publish
+                    return obj
                 _shared_save(d, obj)
                 del obj  # drop the private copy; hand back the mapped one
                 out = _shared_load(d)
@@ -325,8 +360,9 @@ def _shared_build(key: str, build: Callable[[], object]) -> object:
             shutil.rmtree(lock, ignore_errors=True)
             raise
         finally:
-            stop.set()
-            t.join(timeout=2)
+            if not handed_off:
+                stop.set()
+                t.join(timeout=2)
 
 
 def stage_parquet(df: DataFrame, storage_dir: str | None = None) -> str:

@@ -219,6 +219,45 @@ def test_shared_build_deterministic_failure_bounded(tmp_path, monkeypatch):
     assert not os.path.exists(os.path.join(d2, "NOSHARE"))
 
 
+def test_shared_build_async_publish(tmp_path, monkeypatch):
+    """SPARK_GRAFT_ASYNC_PUBLISH=1: the winner returns its private copy
+    immediately (no memmap — the write happens in the background), the
+    manifest lands shortly after, and a second caller then gets the
+    mapped copy without rebuilding."""
+    import os
+    import tempfile
+    import time
+
+    import numpy as np
+
+    from mysteryann_spark.sources import staging
+
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_STAGE", "1")
+    monkeypatch.setenv("SPARK_GRAFT_ASYNC_PUBLISH", "1")
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return (np.arange(8, dtype=np.int64), np.full((4, 2), 7.0))
+
+    got = staging._shared_build("kasync", build)
+    assert calls["n"] == 1
+    # winner path: private anon arrays, not memmaps
+    assert not isinstance(got[0], np.memmap)
+    np.testing.assert_array_equal(got[0], np.arange(8))
+    d = staging._shared_dir("kasync")
+    deadline = time.time() + 10
+    while not os.path.exists(os.path.join(d, "MANIFEST.json")):
+        assert time.time() < deadline, "async publish never landed"
+        time.sleep(0.05)
+    got2 = staging._shared_build("kasync", build)
+    assert calls["n"] == 1  # no rebuild
+    assert isinstance(got2[1], np.memmap)
+    np.testing.assert_array_equal(np.asarray(got2[1]), np.full((4, 2), 7.0))
+
+
 def test_shared_scratch_gc_bounded_across_compactions(tmp_path, monkeypatch):
     """Publish-time scratch GC: a maintenance chain that keeps stepping
     (and periodically COMPACTS — new chain, lineage break) must leave a
