@@ -38,6 +38,14 @@ Scale notes:
   the reference assumes always), frontier path beyond it.
 - Lineage is cut per round (localCheckpoint) or the plan would double
   every iteration.
+- Plan STATISTICS are reset every ``_STATS_RESET_EVERY`` rounds by a
+  parquet round-trip: localCheckpoint cuts lineage but KEEPS the child
+  plan's estimated sizeInBytes, and the loop's self-referencing joins
+  roughly double those BigInteger bits per round — after enough rounds
+  Spark's estimator throws ``ArithmeticException: BigInteger would
+  overflow supported range`` (hit at 2x10^4 nodes / ~60 rounds; invisible
+  at sf scale). A parquet re-read restarts stats from the real file size;
+  values are unchanged, so the broadcast-path bit-parity holds.
 """
 
 from __future__ import annotations
@@ -46,6 +54,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mysteryann_spark.functions.vector import distance_col
+
+# parquet stats-reset cadence (see module docstring): bits of estimated
+# sizeInBytes roughly double per round between resets, so 16 rounds from
+# a fresh file-size baseline stays ~6 orders below BigInteger's 2^31-bit
+# ceiling while costing one small state write per 16 driver rounds
+_STATS_RESET_EVERY = 16
 
 
 def search_graph_distributed(
@@ -98,7 +112,14 @@ def search_graph_distributed(
 
     pool_w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nn_id").asc())
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
+        if rnd and rnd % _STATS_RESET_EVERY == 0:
+            # stats reset: re-read the state from parquet so estimated
+            # sizeInBytes restarts from the actual file size (values
+            # unchanged — bit-parity with the broadcast path holds)
+            from mysteryann_spark.sources.staging import stage_parquet
+
+            visited = spark.read.parquet(stage_parquet(visited))
         pool = visited.withColumn("rk", F.row_number().over(pool_w)).where(
             F.col("rk") <= l_search
         )

@@ -133,6 +133,44 @@ def test_distributed_search_parity_at_k_equals_l_search(spark, emb, index):
     assert sum(1 for r in di if r["qid"] == int(ep)) == 7
 
 
+def test_distributed_search_survives_many_rounds(spark):
+    """Regression: localCheckpoint keeps the child plan's ESTIMATED
+    sizeInBytes, and the round loop's self-referencing joins roughly
+    double those BigInteger bits every round — past ~60 rounds Spark's
+    estimator threw `ArithmeticException: BigInteger would overflow
+    supported range` (hit at the 2x10^4-node rehearsal, invisible at sf
+    scale). The periodic parquet stats reset must carry a search whose
+    frontier genuinely needs >100 rounds: a chain graph walked end to
+    end, still bit-identical to the broadcast path."""
+    from mysteryann_spark.operators.search_distributed import (
+        search_graph_distributed,
+    )
+
+    n = 130
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    adj = spark.createDataFrame(
+        [
+            (i, [j for j in (i - 1, i + 1) if 0 <= j < n])
+            for i in range(n)
+        ],
+        "node bigint, nbrs array<bigint>",
+    ).localCheckpoint()
+    q = emb.where(F.col("vec_id") == n - 1).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    kw = dict(k=3, l_search=4, metric="l2")
+    di = search_graph_distributed(q, emb, adj, 0, max_rounds=4 * n, **kw).collect()
+    bc = search_graph(q, emb, adj, 0, **kw).collect()
+    # the walk really crossed the chain (that's what makes rounds > 100)
+    assert max(r["hops"] for r in di) > 100
+    key = lambda r: (r["qid"], r["rank"])  # noqa: E731
+    assert {key(r): (r["nn_id"], round(r["dist"], 9), r["cmps"], r["hops"]) for r in di} == \
+           {key(r): (r["nn_id"], round(r["dist"], 9), r["cmps"], r["hops"]) for r in bc}
+
+
 def test_bipartite_two_hop_search_recall(spark, emb):
     """Q2: 2-hop beam search over the bipartite graph (10 seeded random
     entry points) must recover most exact neighbors on the self-query
