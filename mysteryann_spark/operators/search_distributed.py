@@ -137,12 +137,20 @@ def search_graph_distributed(
 
         # expand: frontier ⋈ adjacency → fresh candidate ids per query
         # (anti-join against the PRE-mark state — same id set, already
-        # materialized, so the mark join isn't recomputed here)
+        # materialized, so the mark join isn't recomputed here).
+        # BROADCAST the frontier explicitly: the stats the planner sees
+        # for a checkpointed loop state are estimates, and a sort-merge
+        # pick here re-shuffles the FULL adjacency every round — scale
+        # hazard #9, measured as ~GBs of shuffle write per round at 10^7
+        # (local scratch exhaustion in minutes; on a cluster, the whole
+        # static index crossing the network once per round). With the
+        # hint only the per-round frontier/candidate rows ever move.
         cand = (
-            frontier.join(adj_df, frontier["nn_id"] == adj_df["node"])
+            F.broadcast(frontier).join(adj_df, frontier["nn_id"] == adj_df["node"])
             .select("qid", F.explode("nbrs").alias("nn_id"))
             .dropDuplicates(["qid", "nn_id"])
             .join(visited.select("qid", "nn_id"), ["qid", "nn_id"], "left_anti")
+            .localCheckpoint(eager=True)
         )
         if exclude_self:
             cand = cand.where(F.col("nn_id") != F.col("qid"))
@@ -158,10 +166,14 @@ def search_graph_distributed(
             .drop("mark")
         )
 
-        # score: candidate ⋈ base vector ⋈ query vector
+        # score: candidate ⋈ base vector ⋈ query vector. The candidate
+        # set is per-round small (≤ queries x width x degree rows) while
+        # the base side is the whole index — broadcast the candidates so
+        # the base is STREAMED in place (scanned, never shuffled), same
+        # hazard-#9 reasoning as the expansion join.
         scored = (
-            cand.join(base, "nn_id")
-            .join(q, "qid")
+            F.broadcast(cand).join(base, "nn_id")
+            .join(F.broadcast(q), "qid")
             .select(
                 "qid",
                 "nn_id",
