@@ -65,80 +65,28 @@ def _overlay_pinned(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
 
 
 # The correctness driver gates only the FIRST 50 entries in iteration order
-# (CORRECTNESS_r01..r07.json all cut off at exactly 50).  Registry order
-# is therefore a verification-coverage decision, not cosmetics.  Round-8
-# policy (r7 VERDICT "Next round" #1: seat the 22 last-seen-r5 entries
+# (CORRECTNESS_r01..r08.json all cut off at exactly 50).  Registry order
+# is therefore a verification-coverage decision, not cosmetics.  Round-9
+# policy (r8 VERDICT "Next round" #1: seat the 17 last-seen-r6 entries
 # before the 3-round cap trips):
 #
-#   * ``_FRONT`` — (a) the 22 last-seen-r5 entries (absent from BOTH the
-#     r6 and r7 windows — the 3-round cap trips this round); (b) entries
-#     whose oracle changed in round 8: the newly PINNED streaming
-#     maintenance entries (rows-only -> hash oracle) and the new
-#     roargraph_sweep_quality split (the sweep's deterministic columns,
-#     pinned); (c) backfill from the last-seen-r6 floor in prior order
-#     so they cannot trip in r9.
-#   * unlisted entries (anything NEW added mid-round) sort between _FRONT
-#     and _BACK, landing inside the window by default.
-#   * ``_BACK`` — head: the 17 last-seen-r6 entries the 50-slot window
-#     could not seat this round (r9's FIRST pick — they go 3 rounds stale
-#     next round), then everything driver-verified in r7 and untouched.
+#   * ``_FRONT`` — (a) the 17 last-seen-r6 entries (absent from BOTH the
+#     r7 and r8 windows — the 3-round cap trips this round); (b) entries
+#     whose PLAN changed in round 9 (the IVF-PQ refine broadcast fix and
+#     the distributed search's gated broadcast hints — oracles unchanged,
+#     but the changed plan should be driver-verified the round it lands);
+#     (c) backfill from the last-seen-r7 floor in prior order so they
+#     cannot trip in r10.
+#   * ``_FRONT`` is deliberately SHORTER than the 50-slot window: the
+#     slack means entries added mid-round (unlisted, sorting between
+#     _FRONT and _BACK) land inside the window by default instead of
+#     silently missing driver verification at position 51+; with no new
+#     entries the slack backfills from the _BACK head (the next-stalest).
+#   * ``_BACK`` — head: the 18 last-seen-r7 entries the window could not
+#     seat this round (r10's FIRST pick — they go 3 rounds stale next
+#     round), then everything driver-verified in r8 and untouched.
 _FRONT = [
-    # (a) the r5-floor rotation debt — the reason this round's window exists
-    "above_avg_balance",
-    "brand_sales",
-    "case_buckets",
-    "cube_orders",
-    "date_functions",
-    "distance_pairs",
-    "doc_gopher_quality",
-    "doc_pii_scrub",
-    "flagship_revenue_by_nation",
-    "funnel_steps",
-    "grouping_sets_sales",
-    "json_events",
-    "math_functions",
-    "multimodal_frame_sample",
-    "pipeline_mix_sample",
-    "pipeline_pack_sequences",
-    "pipeline_profile",
-    "pricing_summary",
-    "setops_nations",
-    "string_functions",
-    "vector_normalize",
-    "vector_norms",
-    # (b) oracle changed in round 8 (pinned this round)
-    "roargraph_stream_insert",
-    "roargraph_stream_maintain",
-    "roargraph_sweep_quality",
-    # (c) last-seen-r6 backfill so these cannot trip the cap in r9
-    "events_tumbling",
-    "events_interval_join",
-    "events_sliding",
-    "events_asof_click",
-    "events_pivot",
-    "events_approx_distinct",
-    "multimodal_decode",
-    "multimodal_meanpool",
-    "multimodal_audio_spectral",
-    "pipeline_decontaminate_semantic",
-    "roargraph_nsg_import",
-    "stream_neardup_docs",
-    "events_transitions",
-    "join_skew_topkeys",
-    "pipeline_quota_sample",
-    "emb_pca_variance",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "roargraph_degrees",
-    "events_sessionize",
-    "doc_substring_spans",
-    "multimodal_decode_real",
-    "pipeline_decontaminate",
-    "doc_bm25_topk",
-    "hybrid_rrf_topk",
-]
-_BACK = [
-    # last-seen-r6 remainder the window could not seat — r9's FIRST pick
+    # (a) the r6-floor rotation debt — the reason this round's window exists
     "bpe_pair_counts",
     "ann_pq_topk",
     "stream_tumbling_oracled",
@@ -156,7 +104,11 @@ _BACK = [
     "dedup_semantic",
     "dedup_fingerprint",
     "dedup_jaccard_bigram",
-    # driver-verified in round 7 (hash or rows-ran), untouched since
+    # (b) plan changed in round 9 (refine broadcast / gated hints)
+    "ann_ivfpq_topk",
+    "ann_ivfpq_persisted",
+    "roargraph_search_distributed",
+    # (c) last-seen-r7 backfill so these cannot trip the cap in r10
     "pipeline_curate",
     "dedup_components",
     "dedup_exact",
@@ -184,10 +136,12 @@ _BACK = [
     "roargraph_search_cosine",
     "roargraph_search_filtered",
     "roargraph_save_load_search",
-    "roargraph_search_distributed",
+]
+_BACK = [
+    # last-seen-r7 remainder the window could not seat — r10's FIRST pick
+    # (with no mid-round additions the first 3 backfill into the r9
+    # window through the _FRONT slack)
     "bipartite_search_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_persisted",
     "ann_ivf_topk",
     "roargraph_build_ivf",
     "roargraph_binary_interop",
@@ -205,6 +159,57 @@ _BACK = [
     "emb_outlier_zscore",
     "multimodal_audio_stats",
     "fbin_roundtrip_norms",
+    # driver-verified in round 8 (hash or rows-ran), untouched since
+    "above_avg_balance",
+    "brand_sales",
+    "case_buckets",
+    "cube_orders",
+    "date_functions",
+    "distance_pairs",
+    "doc_gopher_quality",
+    "doc_pii_scrub",
+    "flagship_revenue_by_nation",
+    "funnel_steps",
+    "grouping_sets_sales",
+    "json_events",
+    "math_functions",
+    "multimodal_frame_sample",
+    "pipeline_mix_sample",
+    "pipeline_pack_sequences",
+    "pipeline_profile",
+    "pricing_summary",
+    "setops_nations",
+    "string_functions",
+    "vector_normalize",
+    "vector_norms",
+    "roargraph_stream_insert",
+    "roargraph_stream_maintain",
+    "roargraph_sweep_quality",
+    "events_tumbling",
+    "events_interval_join",
+    "events_sliding",
+    "events_asof_click",
+    "events_pivot",
+    "events_approx_distinct",
+    "multimodal_decode",
+    "multimodal_meanpool",
+    "multimodal_audio_spectral",
+    "pipeline_decontaminate_semantic",
+    "roargraph_nsg_import",
+    "stream_neardup_docs",
+    "events_transitions",
+    "join_skew_topkeys",
+    "pipeline_quota_sample",
+    "emb_pca_variance",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "roargraph_degrees",
+    "events_sessionize",
+    "doc_substring_spans",
+    "multimodal_decode_real",
+    "pipeline_decontaminate",
+    "doc_bm25_topk",
+    "hybrid_rrf_topk",
 ]
 
 

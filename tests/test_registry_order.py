@@ -10,55 +10,63 @@ from mysteryann_spark.queries.registry import _BACK, _FRONT, all_queries
 
 DRIVER_WINDOW = 50
 
-# Round-8 must-verify set (r7 VERDICT "Next round" #1): the 22 r5-floor
-# entries absent from both the r6 and r7 driver windows (3-round cap
-# trips this round), plus the entries whose oracle changed in round 8
-# (the newly pinned streaming maintenance entries and the new
-# roargraph_sweep_quality split).
+# Round-9 must-verify set (r8 VERDICT "Next round" #1): the 17 r6-floor
+# entries absent from both the r7 and r8 driver windows (3-round cap
+# trips this round), plus the entries whose PLAN changed in round 9
+# (IVF-PQ refine broadcast fix, distributed search's gated hints).
 MUST_BE_IN_WINDOW = {
-    # r5 floor — 3-round cap trips this round
-    "above_avg_balance",
-    "brand_sales",
-    "case_buckets",
-    "cube_orders",
-    "date_functions",
-    "distance_pairs",
-    "doc_gopher_quality",
-    "doc_pii_scrub",
-    "flagship_revenue_by_nation",
-    "funnel_steps",
-    "grouping_sets_sales",
-    "json_events",
-    "math_functions",
-    "multimodal_frame_sample",
-    "pipeline_mix_sample",
-    "pipeline_pack_sequences",
-    "pipeline_profile",
-    "pricing_summary",
-    "setops_nations",
-    "string_functions",
-    "vector_normalize",
-    "vector_norms",
-    # oracle changed in round 8 (pinned this round)
-    "roargraph_stream_insert",
-    "roargraph_stream_maintain",
-    "roargraph_sweep_quality",
+    # r6 floor — 3-round cap trips this round
+    "bpe_pair_counts",
+    "ann_pq_topk",
+    "stream_tumbling_oracled",
+    "stream_dedup_oracled",
+    "pipeline_chunk_documents",
+    "doc_unigram_logprob",
+    "multimodal_image_features",
+    "multimodal_resize",
+    "pipeline_shard_manifest",
+    "events_retention",
+    "bucketed_join_revenue",
+    "dedup_minhash_lsh",
+    "roargraph_sweep",
+    "ann_filtered_topk",
+    "dedup_semantic",
+    "dedup_fingerprint",
+    "dedup_jaccard_bigram",
+    # plan changed in round 9
+    "ann_ivfpq_topk",
+    "ann_ivfpq_persisted",
+    "roargraph_search_distributed",
 }
+
+
+# _FRONT stays at least this far below the window so entries added
+# mid-round (which sort between _FRONT and _BACK) land INSIDE the window
+# by default instead of silently missing driver verification at 51+.
+WINDOW_SLACK = 3
 
 
 def test_must_verify_entries_inside_driver_window():
     names = list(all_queries())
     window = set(names[:DRIVER_WINDOW])
     missing = MUST_BE_IN_WINDOW - window
-    assert not missing, f"round-6 must-verify entries outside first 50: {missing}"
+    assert not missing, f"round-9 must-verify entries outside first 50: {missing}"
 
 
-def test_front_fills_the_window_exactly():
-    """_FRONT is curated to be exactly the driver window: shorter wastes
-    verification slots, longer silently drops its own tail outside."""
+def test_front_leads_the_window_with_slack():
+    """_FRONT is the curated head of the driver window, kept short of the
+    full 50 so new unlisted entries displace _BACK-head backfill (which
+    gets re-verified next round anyway) rather than falling outside."""
     names = list(all_queries())
-    assert len(_FRONT) == DRIVER_WINDOW
-    assert names[:DRIVER_WINDOW] == _FRONT
+    assert len(_FRONT) <= DRIVER_WINDOW - WINDOW_SLACK
+    assert names[: len(_FRONT)] == _FRONT
+    # the slack slots hold only new (unlisted) entries or _BACK-head
+    # backfill — in _BACK order, so the stalest entries get the slots
+    slack = names[len(_FRONT) : DRIVER_WINDOW]
+    backfill = [n for n in slack if n in _BACK]
+    assert backfill == _BACK[: len(backfill)], (
+        f"window slack must backfill from the _BACK head in order: {slack}"
+    )
 
 
 def test_only_stable_back_entries_past_window():
