@@ -53,6 +53,17 @@ _DMAT_BUDGET_BYTES = int(
     _os.environ.get("SPARK_GRAFT_DMAT_BUDGET_MB", "256")
 ) * 1024 * 1024
 
+
+def dmat_chunk_rows(n_cols: int, itemsize: int = 8) -> int:
+    """Rows per chunk so one transient (rows x n_cols) scratch matrix of
+    ``itemsize``-byte cells stays under the shared per-worker
+    SPARK_GRAFT_DMAT_BUDGET_MB budget. Every bounded GEMM/distance block
+    in the package sizes itself through this ONE helper so the budget knob
+    means the same thing everywhere (a hand-rolled cell-count floor in the
+    centroid-assignment UDF over-allocated 4x the intended bound at the
+    256k-centroid 10^8 geometry)."""
+    return max(1, int(_DMAT_BUDGET_BYTES // max(1, itemsize * n_cols)))
+
 _CAND_SCHEMA = StructType(
     [
         StructField("qid", LongType(), False),
@@ -196,7 +207,7 @@ def knn_join(
                 # of those OOM-killed the 300k scale rehearsal. Per-query
                 # top-k is row-independent, so chunking the query axis is
                 # exact — only the transient block size changes.
-                q_chunk = max(1, int(_DMAT_BUDGET_BYTES // max(1, 8 * len(bids))))
+                q_chunk = dmat_chunk_rows(len(bids))
                 for s in range(0, len(b_qids), q_chunk):
                     qids_c = b_qids[s : s + q_chunk]
                     dmat = np_distances(metric, b_qmat[s : s + q_chunk], bmat)
@@ -338,7 +349,7 @@ def range_join(
             bmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             # same bounded-distance-block regime as knn_join — the radius
             # predicate is per-pair, so query-axis chunking is exact
-            q_chunk = max(1, int(_DMAT_BUDGET_BYTES // max(1, 8 * len(bids))))
+            q_chunk = dmat_chunk_rows(len(bids))
             for s in range(0, len(b_qids), q_chunk):
                 qids_c = b_qids[s : s + q_chunk]
                 dmat = np_distances(metric, b_qmat[s : s + q_chunk], bmat)

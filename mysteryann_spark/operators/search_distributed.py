@@ -50,10 +50,14 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mysteryann_spark.functions.vector import distance_col
+from mysteryann_spark.session import broadcast_if_under
 
 # parquet stats-reset cadence (see module docstring): bits of estimated
 # sizeInBytes roughly double per round between resets, so 16 rounds from
@@ -90,7 +94,22 @@ def search_graph_distributed(
     bit-parity with the broadcast path; wider is recall-gated
     (tests/test_graph.py)."""
     spark = queries_df.sparkSession
-    q = queries_df.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qvec"))
+    # the query set is re-joined every round: checkpoint once, and size
+    # the per-round broadcast-hint estimates from its REAL row count so
+    # a giant query batch degrades to the planner's exchange instead of
+    # hard-failing Spark's 8 GB broadcast ceiling (the hints below
+    # deliberately bypass the planner's size guard — see hazard #9)
+    q = queries_df.select(
+        F.col(query_id).alias("qid"), F.col(vec_col).alias("qvec")
+    ).localCheckpoint(eager=True)
+    n_q = q.count()
+    head = q.head()
+    dim = len(head["qvec"]) if head is not None else 0
+    deg_row = adj_df.select(F.size("nbrs").alias("d")).head()
+    deg = int(deg_row["d"]) if deg_row is not None else 1
+    frontier_bytes = n_q * expand_width * 24.0
+    cand_bytes = n_q * expand_width * max(deg, 1) * 24.0
+    q_bytes = n_q * (dim * 8 + 24.0)
     base = base_df.select(F.col(base_id).alias("nn_id"), F.col(vec_col).alias("bvec"))
 
     # Seed: every query starts at the medoid entry point.
@@ -112,14 +131,28 @@ def search_graph_distributed(
 
     pool_w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nn_id").asc())
 
+    # stats-reset snapshots reuse ONE scratch dir (overwrite mode): a
+    # fresh mkdtemp per reset leaked one full state snapshot per 16
+    # rounds for the life of the session — the same scratch-exhaustion
+    # class as hazard #9. The dir is removed on exit unless the loop
+    # broke with `visited` still BEING the parquet scan (the returned
+    # lazy plan then reads it; one bounded dir survives per such call).
+    reset_dir: str | None = None
+    reset_scan_live = False
+
     for rnd in range(max_rounds):
         if rnd and rnd % _STATS_RESET_EVERY == 0:
             # stats reset: re-read the state from parquet so estimated
             # sizeInBytes restarts from the actual file size (values
             # unchanged — bit-parity with the broadcast path holds)
-            from mysteryann_spark.sources.staging import stage_parquet
+            import tempfile
 
-            visited = spark.read.parquet(stage_parquet(visited))
+            if reset_dir is None:
+                reset_dir = tempfile.mkdtemp(prefix="mysteryann-stage-")
+            state_path = os.path.join(reset_dir, "state")
+            visited.write.mode("overwrite").parquet(state_path)
+            visited = spark.read.parquet(state_path)
+            reset_scan_live = True
         pool = visited.withColumn("rk", F.row_number().over(pool_w)).where(
             F.col("rk") <= l_search
         )
@@ -146,7 +179,8 @@ def search_graph_distributed(
         # static index crossing the network once per round). With the
         # hint only the per-round frontier/candidate rows ever move.
         cand = (
-            F.broadcast(frontier).join(adj_df, frontier["nn_id"] == adj_df["node"])
+            broadcast_if_under(frontier, frontier_bytes)
+            .join(adj_df, frontier["nn_id"] == adj_df["node"])
             .select("qid", F.explode("nbrs").alias("nn_id"))
             .dropDuplicates(["qid", "nn_id"])
             .join(visited.select("qid", "nn_id"), ["qid", "nn_id"], "left_anti")
@@ -158,7 +192,9 @@ def search_graph_distributed(
         # mark the frontier nodes expanded
         marked = (
             visited.join(
-                F.broadcast(frontier.withColumn("mark", F.lit(True))),
+                broadcast_if_under(
+                    frontier.withColumn("mark", F.lit(True)), frontier_bytes
+                ),
                 ["qid", "nn_id"],
                 "left",
             )
@@ -172,8 +208,9 @@ def search_graph_distributed(
         # the base is STREAMED in place (scanned, never shuffled), same
         # hazard-#9 reasoning as the expansion join.
         scored = (
-            F.broadcast(cand).join(base, "nn_id")
-            .join(F.broadcast(q), "qid")
+            broadcast_if_under(cand, cand_bytes)
+            .join(base, "nn_id")
+            .join(broadcast_if_under(q, q_bytes), "qid")
             .select(
                 "qid",
                 "nn_id",
@@ -182,6 +219,12 @@ def search_graph_distributed(
             )
         )
         visited = marked.unionByName(scored).localCheckpoint(eager=True)
+        # the eager checkpoint just materialized everything derived from
+        # the reset scan — the snapshot files are no longer referenced
+        reset_scan_live = False
+
+    if reset_dir is not None and not reset_scan_live:
+        shutil.rmtree(reset_dir, ignore_errors=True)
 
     # every visited row was scored exactly once; the single seed row is
     # excluded from cmps per the reference's counter convention (matches

@@ -50,12 +50,12 @@ def _sample_kmeans(
     — the allocation traffic, not the flops, dominated the wall (the
     10^7 rehearsal driver sat at 100% for 15+ min oscillating 20-50 GB
     RSS). Chunking is exact: argmin is row-independent."""
-    from mysteryann_spark.operators.knn import _DMAT_BUDGET_BYTES
+    from mysteryann_spark.operators.knn import dmat_chunk_rows
 
     rng = np.random.default_rng(seed)
     n = len(vecs)
     cent = vecs[rng.choice(n, size=min(k, n), replace=False)].copy()
-    chunk = max(1, int(_DMAT_BUDGET_BYTES // max(1, 8 * len(cent))))
+    chunk = dmat_chunk_rows(len(cent))
     assign = np.empty(n, dtype=np.int64)
     for _ in range(max_iter):
         # argmin_c ||x-c||^2 = argmax_c (x.c - ||c||^2/2): the ||x||^2
@@ -172,9 +172,15 @@ def nearest_centroids_udf(bc, n: int):
         c = bc.value
         m = _unit(vecs)
         if len(m) * len(c) > _CENT_F32_CELLS:
+            from mysteryann_spark.operators.knn import dmat_chunk_rows
+
             c32 = np.ascontiguousarray(c, dtype=np.float32)
             cc = (c32 * c32).sum(axis=1)[None, :]
-            chunk = max(256, (1 << 24) // max(1, len(c)))
+            # sized from the SAME per-worker budget every other distance
+            # block obeys (the old max(256, 2^24-cell) floor over-allocated
+            # 4x its intended ~64 MB bound at the 256k-centroid 10^8
+            # geometry: 256 rows x 256k cents x 4 B = 262 MB per chunk)
+            chunk = dmat_chunk_rows(len(c), itemsize=4)
             outs = []
             for s in range(0, len(m), chunk):
                 mb = np.ascontiguousarray(m[s : s + chunk], dtype=np.float32)
@@ -637,9 +643,13 @@ def search_ivfpq_index(
 ) -> DataFrame:
     """Search a built (or loaded) IVF-PQ index: probe n_probe inverted
     lists, ADC-score the PQ codes via per-query lookup tables, keep
-    k*refine, exact-rerank against ``base_df`` full-precision vectors
-    (skipped when base_df is None — pure-ADC distances are returned,
-    the regime where only the index survives).
+    k*refine, exact-rerank against full-precision vectors — ``base_df``
+    when given, else the index's own persisted ``vectors`` dataset when
+    one was saved (``save_ivfpq(..., base_df=...)``: cid-partitioned, so
+    the rerank scan is partition-pruned to the probed lists instead of
+    re-reading — or worse, re-shuffling — the corpus). With neither,
+    pure-ADC distances are returned, the regime where only the index
+    survives.
 
     ``staged=True`` (default): the probe+ADC stage runs as ONE
     ``mapInPandas`` over the queries with the inverted lists STAGED
@@ -690,7 +700,7 @@ def search_ivfpq_index(
             ).alias("cid"),
         )
         cand = probes.join(index["lists"], "cid").select(
-            "qid", "nn_id", "qvec", "code"
+            "qid", "nn_id", "cid", "qvec", "code"
         )
         if exclude_self:
             cand = cand.where(F.col("qid") != F.col("nn_id"))
@@ -707,9 +717,10 @@ def search_ivfpq_index(
             return pd.Series(1.0 - np.einsum("ij,ij->i", a, r))
 
         pq_scored = cand.select(
-            "qid", "nn_id", adc_dist("qvec", "code").alias("dist")
+            "qid", "nn_id", "cid", adc_dist("qvec", "code").alias("dist")
         )
-        if base_df is None:
+        vectors = index.get("vectors")
+        if base_df is None and vectors is None:
             return (
                 pq_scored.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
@@ -718,10 +729,20 @@ def search_ivfpq_index(
         pq_top = (
             pq_scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k * refine)
-            .select("qid", "nn_id")
+            .select("qid", "nn_id", "cid")
         )
+        sb, qb = _refine_estimates(queries_df, index, k, refine)
+        if base_df is not None:
+            return _ivfpq_refine(
+                queries_df, _refine_base(base_df, base_id, vec_col),
+                pq_top.select("qid", "nn_id"), k, w, query_id, vec_col,
+                surv_bytes=sb, q_bytes=qb,
+            )
         return _ivfpq_refine(
-            queries_df, base_df, pq_top, k, w, query_id, base_id, vec_col
+            queries_df,
+            vectors.select("cid", "nn_id", F.col("vec").alias("nv")),
+            pq_top, k, w, query_id, vec_col,
+            join_on=("cid", "nn_id"), surv_bytes=sb, q_bytes=qb,
         )
 
     # stage the lists once per index dict (cached across searches)
@@ -753,7 +774,11 @@ def search_ivfpq_index(
         indptr = np.searchsorted(cid, np.arange(n_centroids + 1, dtype=np.int64))
         return ids, codes, indptr
 
-    top_n = k if base_df is None else k * refine
+    top_n = (
+        k * refine
+        if (base_df is not None or index.get("vectors") is not None)
+        else k
+    )
 
     def run(batches):
         ids, codes, indptr = load_staged("ivfpqlists|" + lists_path, _build)
@@ -764,7 +789,7 @@ def search_ivfpq_index(
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = {c: [] for c in ("qid", "nn_id", "dist", "rank")}
+            out = {c: [] for c in ("qid", "nn_id", "cid", "dist", "rank")}
             for s in range(0, len(pdf), 256):
                 sub = pdf.iloc[s : s + 256]
                 qids = sub["qid"].to_numpy()
@@ -792,9 +817,13 @@ def search_ivfpq_index(
                         + np.repeat(st, lens)
                     )
                     c_ids = ids[rows]
+                    # each survivor remembers its inverted list: the
+                    # persisted-base rerank joins on (cid, nn_id) so the
+                    # cid-partitioned vectors scan is partition-pruned
+                    c_cids = np.repeat(pr, lens)
                     if exclude_self:
                         keep = c_ids != qids[qi]
-                        rows, c_ids = rows[keep], c_ids[keep]
+                        rows, c_ids, c_cids = rows[keep], c_ids[keep], c_cids[keep]
                         if not len(rows):
                             continue
                     lut = luts[qi]
@@ -803,6 +832,7 @@ def search_ivfpq_index(
                     sel = np.lexsort((c_ids, dists))[:t]
                     out["qid"].extend([qids[qi]] * t)
                     out["nn_id"].extend(c_ids[sel].tolist())
+                    out["cid"].extend(c_cids[sel].tolist())
                     out["dist"].extend(dists[sel].tolist())
                     out["rank"].extend(range(1, t + 1))
             yield pd.DataFrame(out)
@@ -815,31 +845,79 @@ def search_ivfpq_index(
         F.col(query_id).alias("qid"), F.col(vec_col).alias("qvec")
     )
     pq_scored = q_in.mapInPandas(
-        run, "qid bigint, nn_id bigint, dist double, rank int"
+        run, "qid bigint, nn_id bigint, cid int, dist double, rank int"
     )
-    if base_df is None:
-        return pq_scored.select("qid", "nn_id", "dist", "rank")
-    return _ivfpq_refine(
-        queries_df, base_df, pq_scored.select("qid", "nn_id"), k, w,
-        query_id, base_id, vec_col,
+    if base_df is not None:
+        sb, qb = _refine_estimates(queries_df, index, k, refine)
+        return _ivfpq_refine(
+            queries_df, _refine_base(base_df, base_id, vec_col),
+            pq_scored.select("qid", "nn_id"), k, w, query_id, vec_col,
+            surv_bytes=sb, q_bytes=qb,
+        )
+    vectors = index.get("vectors")
+    if vectors is not None:
+        # persisted full-precision base: rerank reads ONLY the probed
+        # lists' vector partitions (the survivors side carries cid, and
+        # the broadcast join's dynamic partition pruning routes the scan)
+        sb, qb = _refine_estimates(queries_df, index, k, refine)
+        return _ivfpq_refine(
+            queries_df,
+            vectors.select("cid", "nn_id", F.col("vec").alias("nv")),
+            pq_scored.select("qid", "cid", "nn_id"), k, w, query_id, vec_col,
+            join_on=("cid", "nn_id"), surv_bytes=sb, q_bytes=qb,
+        )
+    return pq_scored.select("qid", "nn_id", "dist", "rank")
+
+
+def _refine_base(base_df: DataFrame, base_id: str, vec_col: str) -> DataFrame:
+    return base_df.select(
+        F.col(base_id).alias("nn_id"), F.col(vec_col).alias("nv")
     )
+
+
+def _refine_estimates(
+    queries_df: DataFrame, index: dict, k: int, refine: int
+) -> tuple[float, float]:
+    """Upper-bound byte estimates for the refine join's two broadcast
+    sides: (survivor id rows, query vectors). One count() over the query
+    set per search call — noise next to the ADC scan it precedes."""
+    n_q = queries_df.count()
+    dim = int(index["meta"]["dim"])
+    return n_q * k * refine * 24.0, n_q * (dim * 8 + 24.0)
 
 
 def _ivfpq_refine(
     queries_df: DataFrame,
-    base_df: DataFrame,
+    refine_base: DataFrame,
     pq_top: DataFrame,
     k: int,
     w,
     query_id: str,
-    base_id: str,
     vec_col: str,
+    join_on: tuple[str, ...] = ("nn_id",),
+    surv_bytes: float = 0.0,
+    q_bytes: float = 0.0,
 ) -> DataFrame:
     """Exact-cosine rerank of the k*refine ADC survivors against the
-    full-precision base — the only distributed exchange of the staged
-    search path, sized by k*refine*|queries| rows, never the corpus."""
+    full-precision base (``refine_base``: join_on columns + ``nv``).
+
+    Both joins BROADCAST the survivors-derived side — it is
+    k*refine*|queries| rows, never the corpus — so the full-precision
+    base is STREAMED in place (scanned, never shuffled). The unhinted
+    plan's sort-merge pick shuffled the WHOLE base per search call:
+    measured ~26 GB of shuffle at the 10^8 rehearsal, the local-scratch
+    exhaustion that killed its probe-64 point (SCALE.md r8) — on a
+    cluster, the entire corpus crossing the network per query batch.
+    When ``join_on`` includes ``cid`` the broadcast additionally drives
+    dynamic partition pruning on a cid-partitioned persisted base, so
+    the rerank scan reads only the probed lists' vector partitions.
+    ``surv_bytes``/``q_bytes`` are the callers' upper-bound size
+    estimates — a giant query batch falls back to the planner's exchange
+    instead of hard-failing Spark's 8 GB broadcast ceiling."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
+
+    from mysteryann_spark.session import broadcast_if_under
 
     @pandas_udf(DoubleType())
     def exact_cos(qv: pd.Series, nv: pd.Series) -> pd.Series:
@@ -850,15 +928,13 @@ def _ivfpq_refine(
         den[den == 0] = 1.0
         return pd.Series(1.0 - num / den)
 
+    q_side = queries_df.select(
+        F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")
+    )
     scored = (
-        pq_top.join(
-            queries_df.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")),
-            "qid",
-        )
-        .join(
-            base_df.select(F.col(base_id).alias("nn_id"), F.col(vec_col).alias("nv")),
-            "nn_id",
-        )
+        broadcast_if_under(pq_top, surv_bytes)
+        .join(refine_base, list(join_on))
+        .join(broadcast_if_under(q_side, q_bytes), "qid")
         .select("qid", "nn_id", exact_cos("qv", "nv").alias("dist"))
     )
     return (

@@ -81,6 +81,33 @@ def spread(df, min_partitions: int | None = None):
     return df
 
 
+# Ceiling for FORCED broadcast hints sized by a caller-side estimate.
+# Spark hard-fails any broadcast over 8 GB ("Cannot broadcast the table
+# that is larger than 8GB"), and a driver/executor must also hold the
+# built hash relation — so the default stays well under the hard limit.
+_BCAST_CEILING_BYTES = int(
+    os.environ.get("SPARK_GRAFT_BCAST_CEILING_MB", "2048")
+) * 1024 * 1024
+
+
+def broadcast_if_under(df, est_bytes: float):
+    """``F.broadcast`` hint gated on a caller-side size ESTIMATE.
+
+    The iterative operators hint their per-round small sides explicitly
+    because the planner only sees stats estimates for checkpointed loop
+    state (scale hazard #9: a sort-merge pick re-shuffles the full static
+    side every round). But a forced hint bypasses the planner's own size
+    guard, and past ~8 GB the job hard-fails where the unhinted plan was
+    merely slow — so every forced hint routes through this gate: above
+    the ceiling the caller's conservative upper-bound estimate says the
+    "small" side isn't, and the planner keeps the (correct) exchange."""
+    from pyspark.sql import functions as F
+
+    if est_bytes <= _BCAST_CEILING_BYTES:
+        return F.broadcast(df)
+    return df
+
+
 def ensure_utc(spark: SparkSession) -> SparkSession:
     """Pin session timezone to UTC on an externally-created session.
 

@@ -28,10 +28,28 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
-def save_ivfpq(index: dict, path: str) -> None:
+def save_ivfpq(
+    index: dict,
+    path: str,
+    base_df=None,
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_dtype: str = "double",
+) -> None:
     """Persist a ``build_ivfpq_index`` result. ``lists`` is the only
-    data-scale write; cid-partitioning makes later probes partition-pruned
-    scans."""
+    mandatory data-scale write; cid-partitioning makes later probes
+    partition-pruned scans.
+
+    ``base_df`` (optional) additionally persists the FULL-PRECISION
+    vectors as ``<path>/vectors/`` — (cid, nn_id, vec) partitioned by the
+    same cid as the lists — so the exact-refine rerank can read just the
+    probed lists' vector partitions instead of recomputing or re-shuffling
+    the corpus (the measured 10^8 rerank wall, SCALE.md r8). The cid is
+    re-derived with the SAME deterministic assignment UDF the lists write
+    uses on the same input, so the two datasets agree row-for-row.
+    ``vec_dtype="float"`` halves the footprint where the rerank is
+    recall-gated rather than pinned (refine distances then differ in the
+    float32 rounding of the stored vectors)."""
     spark = index["lists"].sparkSession
     # repartition ON cid first: partitionBy alone writes one file per
     # (task, cid) pair — up to tasks x n_centroids small files (655k at
@@ -45,6 +63,9 @@ def save_ivfpq(index: dict, path: str) -> None:
         .partitionBy("cid")
         .parquet(f"{path}/lists")
     )
+
+    if base_df is not None:
+        save_ivfpq_vectors(index, path, base_df, base_id, vec_col, vec_dtype)
 
     cent = index["centroids"]
     spark.createDataFrame(
@@ -67,6 +88,36 @@ def save_ivfpq(index: dict, path: str) -> None:
         [(m["metric"], m["dim"], m["n_centroids"], m["m"], m["n_codes"])],
         "metric string, dim int, n_centroids int, m int, n_codes int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def save_ivfpq_vectors(
+    index: dict,
+    path: str,
+    base_df,
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_dtype: str = "double",
+) -> None:
+    """Write just the ``<path>/vectors/`` dataset (see save_ivfpq) — also
+    the backfill path for an index persisted before vectors existed.
+    ``index`` only needs ``centroids``; pass a loaded index to backfill."""
+    spark = base_df.sparkSession
+    from mysteryann_spark.operators.similarity import nearest_centroids_udf
+
+    bc = spark.sparkContext.broadcast(index["centroids"])
+    (
+        base_df.select(
+            F.element_at(
+                nearest_centroids_udf(bc, 1)(F.col(vec_col)), 1
+            ).alias("cid"),
+            F.col(base_id).alias("nn_id"),
+            F.col(vec_col).cast(f"array<{vec_dtype}>").alias("vec"),
+        )
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/vectors")
+    )
 
 
 def load_ivfpq(spark: SparkSession, path: str) -> dict:
@@ -98,4 +149,18 @@ def load_ivfpq(spark: SparkSession, path: str) -> dict:
     lists = spark.read.parquet(f"{path}/lists").select(
         F.col("cid").cast("int"), "nn_id", "code"
     )
-    return {"lists": lists, "centroids": centroids, "books": books, "meta": meta}
+    out = {"lists": lists, "centroids": centroids, "books": books, "meta": meta}
+
+    # optional persisted full-precision vectors (save_ivfpq(base_df=...)):
+    # a lazy cid-partitioned scan the refine join partition-prunes.
+    # Existence probed through Hadoop's FileSystem, not os.path — the
+    # index may live on HDFS/S3, and a reader-side AnalysisException
+    # would spew a JVM stack into the logs for the common vectors-less
+    # index.
+    vec_path = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/vectors")
+    fs = vec_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(vec_path):
+        out["vectors"] = spark.read.parquet(f"{path}/vectors").select(
+            F.col("cid").cast("int"), "nn_id", "vec"
+        )
+    return out

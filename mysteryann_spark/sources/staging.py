@@ -255,9 +255,41 @@ def _shared_build(key: str, build: Callable[[], object]) -> object:
         except FileExistsError:
             return False
 
+    def _record_failure() -> None:
+        # FAILED-<n> marker (writes serialized by the lock, so the count
+        # is race-free); after _MAX_SHARED_FAILURES consecutive winner
+        # failures the build is presumed deterministic -> NOSHARE. Also
+        # drop this attempt's GC lineage: a later retry may take the
+        # FULL-rebuild path, and a stale PREV recorded from the failed
+        # attempt could unlink a prior generation the new artifact was
+        # never patched from (breaking keep-one-prior for its readers).
+        _LINEAGE.pop(key, None)
+        try:
+            os.makedirs(d, exist_ok=True)
+            n_failed = 1 + sum(
+                1 for f in os.listdir(d) if f.startswith("FAILED-")
+            )
+            with open(os.path.join(d, f"FAILED-{n_failed}"), "w"):
+                pass
+            if n_failed >= _MAX_SHARED_FAILURES:
+                with open(noshare, "w"):
+                    pass
+        except OSError:
+            pass
+
     while True:
         if os.path.exists(manifest):
-            return _shared_load(d)
+            try:
+                return _shared_load(d)
+            except OSError:
+                # the host-wide LRU GC spans ALL shared dirs across keys:
+                # a concurrent publish can rmtree this dir between the
+                # manifest-exists check and np.load. Loop back to the
+                # acquire/wait state and REBUILD — a GC'd generation must
+                # never surface as a task failure (local mode runs with
+                # task retries = 1).
+                _time.sleep(0.2)
+                continue
         if os.path.exists(noshare):
             return build()
         won = _acquire()
@@ -310,9 +342,19 @@ def _shared_build(key: str, build: Callable[[], object]) -> object:
                     # private copy per host, the same peak the blocking
                     # write already had while saving.
                     def _publish() -> None:
+                        # a publish crash must hit the SAME FAILED-n
+                        # bound as a blocking-path crash: a deterministic
+                        # failure (ENOSPC on a 25 GB write is the real
+                        # one) otherwise loops forever — every waiter
+                        # takes over, rebuilds, crashes in publish, goes
+                        # stale, repeat. Marker + lock release let the
+                        # next waiter retry, NOSHARE caps the churn.
                         try:
                             _shared_save(d, obj)
                             _gc_scratch(key, d)
+                        except BaseException:
+                            _record_failure()
+                            shutil.rmtree(lock, ignore_errors=True)
                         finally:
                             stop.set()
 
@@ -345,18 +387,7 @@ def _shared_build(key: str, build: Callable[[], object]) -> object:
             # churn instead of looping until Spark exhausts task retries.
             stop.set()
             t.join(timeout=2)
-            try:
-                os.makedirs(d, exist_ok=True)
-                n_failed = 1 + sum(
-                    1 for f in os.listdir(d) if f.startswith("FAILED-")
-                )
-                with open(os.path.join(d, f"FAILED-{n_failed}"), "w"):
-                    pass
-                if n_failed >= _MAX_SHARED_FAILURES:
-                    with open(noshare, "w"):
-                        pass
-            except OSError:
-                pass
+            _record_failure()
             shutil.rmtree(lock, ignore_errors=True)
             raise
         finally:

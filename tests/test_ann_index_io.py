@@ -87,3 +87,95 @@ def test_load_rejects_corrupt_centroids(spark, built, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(f"{bad}/centroids")
     with pytest.raises(ValueError, match="not contiguous"):
         load_ivfpq(spark, bad)
+
+
+@pytest.fixture(scope="module")
+def built_with_vectors(spark, tmp_path_factory):
+    from mysteryann_spark.sources.tables import load_table
+
+    base = load_table(spark, "embeddings", SF_TINY)
+    index = build_ivfpq_index(base, n_centroids=8, m=8, n_codes=32)
+    path = str(tmp_path_factory.mktemp("ivfpq_vec") / "idx")
+    save_ivfpq(index, path, base_df=base)
+    return base, path
+
+
+def test_vectors_layout_is_cid_partitioned(built_with_vectors):
+    import os
+
+    _, path = built_with_vectors
+    parts = [d for d in os.listdir(f"{path}/vectors") if d.startswith("cid=")]
+    assert len(parts) >= 2, f"expected cid=* partition dirs, got {parts}"
+
+
+def test_persisted_vectors_refine_matches_base_df(spark, built_with_vectors):
+    """A search against the index's own persisted full-precision vectors
+    (base_df=None) must return exactly what the explicit base_df rerank
+    returns: same survivors (the vectors' cid agrees with the lists'
+    assignment row-for-row) scored by the same float64 kernel."""
+    base, path = built_with_vectors
+    loaded = load_ivfpq(spark, path)
+    assert "vectors" in loaded
+    q = base.where(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+
+    def run(base_df):
+        return sorted(
+            (r["qid"], r["nn_id"], round(r["dist"], 9), r["rank"])
+            for r in search_ivfpq_index(
+                q, loaded, 5, n_probe=4, refine=10, base_df=base_df
+            ).collect()
+        )
+
+    got = run(None)
+    assert len(got) > 0
+    assert got == run(base)
+
+
+def test_persisted_vectors_refine_join_path_parity(spark, built_with_vectors):
+    """staged=False (the cid equi-join fallback) must agree with the
+    staged kernel on the persisted-vectors rerank within fp tolerance."""
+    base, path = built_with_vectors
+    loaded = load_ivfpq(spark, path)
+    q = base.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    a = sorted(
+        (r["qid"], r["rank"], r["nn_id"], r["dist"])
+        for r in search_ivfpq_index(
+            q, loaded, 3, n_probe=4, refine=10, base_df=None, staged=False
+        ).collect()
+    )
+    b = sorted(
+        (r["qid"], r["rank"], r["nn_id"], r["dist"])
+        for r in search_ivfpq_index(
+            q, loaded, 3, n_probe=4, refine=10, base_df=None, staged=True
+        ).collect()
+    )
+    assert len(a) > 0 and [x[:3] for x in a] == [x[:3] for x in b]
+    for (_, _, _, da), (_, _, _, db) in zip(a, b):
+        assert abs(da - db) < 1e-9
+
+
+def test_persisted_vectors_float_dtype(spark, tmp_path):
+    """vec_dtype='float' persists array<float> vectors (half the bytes —
+    the 10^8-rehearsal footprint knob); the search still returns full
+    top-k per query through the same rerank plumbing."""
+    from mysteryann_spark.sources.tables import load_table
+
+    base = load_table(spark, "embeddings", SF_TINY)
+    index = build_ivfpq_index(base, n_centroids=8, m=8, n_codes=32)
+    path = str(tmp_path / "idx32")
+    save_ivfpq(index, path, base_df=base, vec_dtype="float")
+    loaded = load_ivfpq(spark, path)
+    assert dict(loaded["vectors"].dtypes)["vec"] == "array<float>"
+    q = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    rows = search_ivfpq_index(q, loaded, 3, n_probe=4, base_df=None).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r["rank"])
+    assert set(per_q) == set(range(5))
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())

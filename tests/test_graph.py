@@ -171,6 +171,61 @@ def test_distributed_search_survives_many_rounds(spark):
            {key(r): (r["nn_id"], round(r["dist"], 9), r["cmps"], r["hops"]) for r in bc}
 
 
+def test_distributed_search_stats_reset_scratch_bounded(spark):
+    """The stats-reset snapshots must not accumulate scratch: the loop
+    reuses ONE overwrite-mode dir and removes it on exit, so a
+    long-lived session running many long searches leaves no
+    mysteryann-stage-* residue (the r8 leak: one full state snapshot per
+    16 rounds, never unlinked)."""
+    import os
+    import tempfile
+
+    from mysteryann_spark.operators.search_distributed import (
+        search_graph_distributed,
+    )
+
+    def stage_dirs():
+        root = tempfile.gettempdir()
+        return {
+            d for d in os.listdir(root) if d.startswith("mysteryann-stage-")
+        }
+
+    n = 40  # chain graph -> ~n rounds -> multiple 16-round resets
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    adj = spark.createDataFrame(
+        [(i, [j for j in (i - 1, i + 1) if 0 <= j < n]) for i in range(n)],
+        "node bigint, nbrs array<bigint>",
+    ).localCheckpoint()
+    q = emb.where(F.col("vec_id") == n - 1).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    before = stage_dirs()
+    res = search_graph_distributed(
+        q, emb, adj, 0, k=3, l_search=4, metric="l2", max_rounds=4 * n
+    ).collect()
+    assert max(r["hops"] for r in res) > 2 * 16  # really crossed resets
+    leaked = stage_dirs() - before
+    assert not leaked, f"stats-reset scratch left behind: {leaked}"
+
+
+def test_broadcast_if_under_gates_on_estimate(spark):
+    """Forced broadcast hints must fall back to the planner's exchange
+    when the caller-side estimate exceeds the ceiling — a hinted side
+    past Spark's 8 GB broadcast limit hard-fails where the unhinted plan
+    is merely slow."""
+    from mysteryann_spark.session import _BCAST_CEILING_BYTES, broadcast_if_under
+
+    df = spark.range(4)
+    assert broadcast_if_under(df, _BCAST_CEILING_BYTES + 1) is df
+    hinted = broadcast_if_under(df, _BCAST_CEILING_BYTES - 1)
+    assert hinted is not df
+    plan = hinted._jdf.queryExecution().logical().toString()
+    assert "broadcast" in plan.lower()
+
+
 def test_bipartite_two_hop_search_recall(spark, emb):
     """Q2: 2-hop beam search over the bipartite graph (10 seeded random
     entry points) must recover most exact neighbors on the self-query

@@ -72,3 +72,16 @@ def test_knn_join_blocked_equals_single_broadcast(spark, emb):
     one_x = r9(knn_join(q, emb, 5, "l2", exclude_self=True).collect())
     blk_x = r9(knn_join(q, emb, 5, "l2", exclude_self=True, query_block_rows=10).collect())
     assert one_x == blk_x
+
+
+def test_dmat_chunk_rows_bounds_every_geometry():
+    """The shared chunk sizer keeps one scratch matrix under the
+    SPARK_GRAFT_DMAT_BUDGET_MB budget at every geometry — including the
+    256k-centroid float32 10^8 assignment the old cell-count floor
+    over-allocated 4x on."""
+    from mysteryann_spark.operators.knn import _DMAT_BUDGET_BYTES, dmat_chunk_rows
+
+    for n_cols, itemsize in ((256_000, 4), (25_600, 4), (1_024_000, 8), (3, 8)):
+        rows = dmat_chunk_rows(n_cols, itemsize)
+        assert rows >= 1
+        assert rows == 1 or rows * n_cols * itemsize <= _DMAT_BUDGET_BYTES

@@ -305,3 +305,53 @@ def test_round6_entries_plan_shape(spark):
     # and the 1-row count are broadcast
     assert count_shuffles(v) <= 2, formatted_plan(v)
     assert "CartesianProduct" not in formatted_plan(v)
+
+
+def test_ivfpq_refine_broadcasts_survivors(spark):
+    """The exact-refine join must broadcast the k*refine*|q| survivors
+    side so the full-precision base is scanned in place — an unhinted
+    sort-merge pick here shuffles the WHOLE corpus per search call (the
+    measured 10^8 probe-64 scratch-exhaustion, SCALE.md r8). Executed-plan
+    property: a broadcast hash join and no sort-merge join anywhere in
+    the refine search."""
+    from pyspark.sql import functions as F
+
+    from mysteryann_spark.operators.similarity import ivfpq_cosine_topk
+    from mysteryann_spark.sources.tables import load_table
+    from tests.conftest import SF_TINY
+
+    base = load_table(spark, "embeddings", SF_TINY)
+    q = base.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+    res = ivfpq_cosine_topk(q, base, 3, n_centroids=8, n_probe=4, m=8, n_codes=32)
+    assert res.count() > 0
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "refine join not broadcast"
+    assert "SortMergeJoin" not in plan, "refine shuffles the corpus"
+
+
+def test_persisted_vectors_refine_partition_prunes(spark, tmp_path):
+    """Reranking against the index's own persisted vectors must
+    partition-prune the cid-partitioned vectors scan (the survivors
+    broadcast drives dynamic pruning), so a search reads only the probed
+    lists' vector partitions — never the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from mysteryann_spark.operators.similarity import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from mysteryann_spark.sources.ann_index_io import load_ivfpq, save_ivfpq
+    from mysteryann_spark.sources.tables import load_table
+    from tests.conftest import SF_TINY
+
+    base = load_table(spark, "embeddings", SF_TINY)
+    index = build_ivfpq_index(base, n_centroids=8, m=8, n_codes=32)
+    path = str(tmp_path / "idx")
+    save_ivfpq(index, path, base_df=base)
+    loaded = load_ivfpq(spark, path)
+    q = base.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+    res = search_ivfpq_index(q, loaded, 3, n_probe=2, refine=5, base_df=None)
+    assert res.count() > 0
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "dynamicpruning" in plan.lower(), "vectors scan not partition-pruned"

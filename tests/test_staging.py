@@ -442,3 +442,91 @@ def test_shared_save_concurrent_builders_intact(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(got[0]), np.arange(6))
     # both token sets exist on disk; the manifest points at the last
     assert len([f for f in os.listdir(d) if f.endswith(".npy")]) == 2
+
+
+def test_shared_build_async_publish_failure_bounded(tmp_path, monkeypatch):
+    """A deterministic ASYNC publish crash (ENOSPC is the realistic one
+    for a 25 GB write) must hit the same FAILED-n / NOSHARE bound as a
+    blocking-path crash — without it every waiter takes over, re-runs the
+    full build, crashes in publish, goes stale, forever."""
+    import os
+    import tempfile
+    import time
+
+    import numpy as np
+
+    from mysteryann_spark.sources import staging
+
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_STAGE", "1")
+    monkeypatch.setenv("SPARK_GRAFT_ASYNC_PUBLISH", "1")
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    def boom(d, obj):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(staging, "_shared_save", boom)
+
+    arr = (np.arange(4, dtype=np.float64),)
+    d = staging._shared_dir("kpubfail")
+    for i in range(staging._MAX_SHARED_FAILURES):
+        # winner still gets its private copy back — only the publish dies
+        got = staging._shared_build("kpubfail", lambda: arr)
+        np.testing.assert_array_equal(got[0], arr[0])
+        deadline = time.time() + 10
+        markers = []
+        while time.time() < deadline:
+            markers = (
+                [f for f in os.listdir(d) if f.startswith("FAILED-")]
+                if os.path.isdir(d)
+                else []
+            )
+            if len(markers) >= i + 1:
+                break
+            time.sleep(0.05)
+        assert len(markers) == i + 1, f"attempt {i}: markers={markers}"
+        # the failed publisher released the lock so a retry can win it
+        deadline = time.time() + 10
+        while os.path.isdir(d + ".lock"):
+            assert time.time() < deadline, "failed publish left the lock held"
+            time.sleep(0.05)
+    assert os.path.exists(os.path.join(d, "NOSHARE"))
+    assert not os.path.exists(os.path.join(d, "MANIFEST.json"))
+    # capped: later callers build privately instead of churning
+    got2 = staging._shared_build("kpubfail", lambda: arr)
+    np.testing.assert_array_equal(got2[0], arr[0])
+
+
+def test_shared_build_waiter_survives_gc_between_check_and_load(
+    tmp_path, monkeypatch
+):
+    """The host-wide LRU GC spans all shared dirs across keys, so a
+    concurrent publish can rmtree a manifest-bearing dir between a
+    waiter's manifest-exists check and its np.load. The waiter must loop
+    back and rebuild — never surface the race as a task failure (local
+    mode runs with task retries = 1)."""
+    import tempfile
+
+    import numpy as np
+
+    from mysteryann_spark.sources import staging
+
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_STAGE", "1")
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    arr = (np.arange(6, dtype=np.int64),)
+    first = staging._shared_build("kgcrace", lambda: arr)
+    np.testing.assert_array_equal(first[0], arr[0])
+
+    real = staging._shared_load
+    calls = {"n": 0}
+
+    def gc_raced(d):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError(f"{d}/a0.npy vanished under the GC")
+        return real(d)
+
+    monkeypatch.setattr(staging, "_shared_load", gc_raced)
+    got = staging._shared_build("kgcrace", lambda: arr)
+    assert calls["n"] >= 2  # first load raced, retry succeeded
+    np.testing.assert_array_equal(np.asarray(got[0]), arr[0])

@@ -63,18 +63,41 @@ def main() -> None:
           flush=True)
 
     path = os.environ.get("SCALE_IVFPQ_DIR", "/tmp/scale_ivfpq") + f"/n{n}_m{m}"
+    # SCALE_IVFPQ_VECTORS=1: persist the full-precision base next to the
+    # lists (float32, cid-partitioned) so the exact refine reads ONLY the
+    # probed lists' vector partitions. Disk note: vectors are n*dim*4 B
+    # (25.6 GB at 10^8) and the cid repartition shuffles the same again —
+    # on this box that fits at 10^7, not 10^8 (the 10^8 A/B reranks
+    # against the streamed synth instead, scanned in place by the
+    # broadcast refine join).
+    want_vectors = os.environ.get("SCALE_IVFPQ_VECTORS") == "1"
     if os.environ.get("SCALE_IVFPQ_SEARCH_ONLY"):
         # search-only re-measurement against a previously persisted index
         # (the r7 QPS A/B protocol): skip train/encode, go straight to GT
         # + loaded-index search. Two reps below make warm-vs-cold visible.
         print(json.dumps({"stage": "search_only", "path": path}), flush=True)
+        if want_vectors and not os.path.isdir(f"{path}/vectors"):
+            from mysteryann_spark.sources.ann_index_io import (
+                load_ivfpq as _load,
+                save_ivfpq_vectors,
+            )
+
+            t0 = time.time()
+            save_ivfpq_vectors(_load(spark, path), path, emb, vec_dtype="float")
+            print(json.dumps({
+                "stage": "vectors_backfill", "n": n,
+                "sec": round(time.time() - t0, 1),
+            }), flush=True)
     else:
         t0 = time.time()
         index = build_ivfpq_index(
             emb, n_centroids=n_centroids, m=m, n_codes=256,
             train_sample=64 * n_centroids,
         )
-        save_ivfpq(index, path)
+        save_ivfpq(
+            index, path,
+            base_df=emb if want_vectors else None, vec_dtype="float",
+        )
         t_build = time.time() - t0
         n_lists = spark.read.parquet(f"{path}/lists").count()
         print(json.dumps({
@@ -96,12 +119,20 @@ def main() -> None:
     }), flush=True)
 
     loaded = load_ivfpq(spark, path)
+    # refine source: the index's own persisted cid-partitioned vectors
+    # when present (partition-pruned scan), else the streamed synth
+    # (scanned in place — the refine join broadcasts the survivors side)
+    refine_base = None if "vectors" in loaded else emb
+    print(json.dumps({
+        "stage": "refine_source",
+        "source": "persisted_vectors" if refine_base is None else "streamed_synth",
+    }), flush=True)
     reps = (1, 2) if os.environ.get("SCALE_IVFPQ_SEARCH_ONLY") else (1,)
     for rep in reps:
       for probes in (n_probe // 2, n_probe):
         t0 = time.time()
         res = search_ivfpq_index(
-            q, loaded, 10, n_probe=probes, refine=refine, base_df=emb
+            q, loaded, 10, n_probe=probes, refine=refine, base_df=refine_base
         ).localCheckpoint()
         n_res = res.count()
         t_search = time.time() - t0
