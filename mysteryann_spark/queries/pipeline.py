@@ -1587,6 +1587,37 @@ def ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfpq_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-shaped IVF-PQ lifecycle: save the index WITH its
+    full-precision vectors (cid-partitioned next to the lists), load,
+    search with base_df=None — the exact refine reranks against the
+    index's own persisted vectors through a broadcast join that
+    dynamic-partition-prunes the scan to the probed lists (r9; the plan
+    property is asserted in tests/test_plans.py). At double dtype this
+    is value-identical to the base_df rerank (tests/test_ann_index_io.py),
+    so the pinned oracle locks both paths."""
+    import atexit
+    import shutil
+
+    from mysteryann_spark.operators.similarity import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from mysteryann_spark.sources.ann_index_io import load_ivfpq, save_ivfpq
+
+    e = _emb(spark, sf_dir)
+    path = f"/tmp/mysteryann_ivfpqv_{spark.sparkContext.applicationId}"
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    save_ivfpq(
+        build_ivfpq_index(e, n_centroids=16, m=8, n_codes=64), path, base_df=e
+    )
+    loaded = load_ivfpq(spark, path)
+    q = e.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
+    return search_ivfpq_index(
+        q, loaded, 5, n_probe=6, refine=20, base_df=None
+    ).select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank")
+
+
 def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space outlier scoring — the sanity filter a pipeline
     runs BEFORE building an ANN index (corrupt/degenerate vectors poison
@@ -1806,6 +1837,7 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_audio_stats": QuerySpec(multimodal_audio_stats, _AUDIO_STATS_SQL),
     "multimodal_audio_spectral": QuerySpec(multimodal_audio_spectral, None),
     "ann_ivfpq_persisted": QuerySpec(ann_ivfpq_persisted, None),
+    "ann_ivfpq_vectors": QuerySpec(ann_ivfpq_vectors, None),
     "pipeline_shard_manifest": QuerySpec(pipeline_shard_manifest, _SHARD_MANIFEST_SQL),
     "emb_outlier_zscore": QuerySpec(emb_outlier_zscore, _EMB_OUTLIER_SQL),
 }

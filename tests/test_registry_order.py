@@ -37,6 +37,8 @@ MUST_BE_IN_WINDOW = {
     "ann_ivfpq_topk",
     "ann_ivfpq_persisted",
     "roargraph_search_distributed",
+    # new in round 9 (persisted-vectors rerank lifecycle, pinned)
+    "ann_ivfpq_vectors",
 }
 
 
@@ -85,7 +87,11 @@ def test_front_and_back_lists_are_live():
     assert not dead_front and not dead_back, (
         f"registry order lists reference missing entries: {dead_front + dead_back}"
     )
-    assert len(names) == len(_FRONT) + len(_BACK), (
-        "every entry must be explicitly placed in _FRONT or _BACK during "
-        "a rotation round (unlisted middle entries are for mid-round adds)"
+    # unlisted (mid-round-added) entries are allowed — that is what the
+    # _FRONT slack exists for — but they must FIT the slack, i.e. land
+    # inside the driver window rather than silently past it
+    n_unlisted = len(names) - len(_FRONT) - len(_BACK)
+    assert 0 <= n_unlisted <= DRIVER_WINDOW - len(_FRONT), (
+        f"{n_unlisted} unlisted entries exceed the window slack of "
+        f"{DRIVER_WINDOW - len(_FRONT)} — seat them in _FRONT/_BACK"
     )
