@@ -25,9 +25,17 @@ def get_spark(
     # driver's env in local mode; spark.executorEnv covers cluster mode.
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
+    # local[N] pins spark.task.maxFailures to 1 — one Python-worker flake
+    # (a fork hiccup, a transient OOM kill) aborts the whole job, which at
+    # rehearsal walls means losing an hour of build to one lost task
+    # (measured: a 47-min 10^8 IVF-PQ build died to a single worker crash).
+    # A cluster retries 4x by default; local[N,F] restores that posture.
+    # Retries re-run the same deterministic task, so results are unchanged;
+    # a DETERMINISTIC worker crash still fails after F attempts.
+    retries = int(os.environ.get("SPARK_GRAFT_TASK_RETRIES", "2"))
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .master(os.environ.get("SPARK_MASTER", f"local[{cpus},{retries}]"))
         # At cluster scale shuffle_partitions is sized to data volume; locally
         # ~cores avoids 200-way over-parallelism on tiny inputs.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
