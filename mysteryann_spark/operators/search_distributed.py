@@ -80,6 +80,7 @@ def search_graph_distributed(
     exclude_self: bool = False,
     max_rounds: int = 200,
     expand_width: int = 1,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Top-k ANN for every query row without broadcasting the index;
     returns ``(qid, nn_id, dist, rank, cmps, hops)`` — bit-identical to
@@ -92,7 +93,16 @@ def search_graph_distributed(
     join rounds — ~width-fold at the price of scoring some neighbors a
     strict order would have pruned. Width 1 (default) keeps exact
     bit-parity with the broadcast path; wider is recall-gated
-    (tests/test_graph.py)."""
+    (tests/test_graph.py).
+
+    ``max_degree`` bounds the per-node neighbor-list length for the
+    broadcast-size estimates below. Callers who know the build cap should
+    pass it (``IndexParams.degree_cap`` = 2*M_pjbp); when None it is
+    measured as ``max(size(nbrs))`` over the adjacency — one aggregate
+    scan, but a GUARANTEED upper bound. Sampling a single row here was
+    the r9-verdict hazard: a degree-1 first row underestimates the
+    candidate side ~10-70x and a giant batch could slip past the
+    broadcast gate into Spark's 8 GB hard-fail."""
     spark = queries_df.sparkSession
     # the query set is re-joined every round: checkpoint once, and size
     # the per-round broadcast-hint estimates from its REAL row count so
@@ -105,8 +115,11 @@ def search_graph_distributed(
     n_q = q.count()
     head = q.head()
     dim = len(head["qvec"]) if head is not None else 0
-    deg_row = adj_df.select(F.size("nbrs").alias("d")).head()
-    deg = int(deg_row["d"]) if deg_row is not None else 1
+    if max_degree is not None:
+        deg = int(max_degree)
+    else:
+        deg_row = adj_df.agg(F.max(F.size("nbrs")).alias("d")).head()
+        deg = int(deg_row["d"]) if deg_row is not None and deg_row["d"] is not None else 1
     frontier_bytes = n_q * expand_width * 24.0
     cand_bytes = n_q * expand_width * max(deg, 1) * 24.0
     q_bytes = n_q * (dim * 8 + 24.0)
@@ -140,89 +153,98 @@ def search_graph_distributed(
     reset_dir: str | None = None
     reset_scan_live = False
 
-    for rnd in range(max_rounds):
-        if rnd and rnd % _STATS_RESET_EVERY == 0:
-            # stats reset: re-read the state from parquet so estimated
-            # sizeInBytes restarts from the actual file size (values
-            # unchanged — bit-parity with the broadcast path holds)
-            import tempfile
+    # An exception mid-round (executor loss, interrupt) must not leak the
+    # snapshot dir: the returned plan is never materialized on the error
+    # path, so the scratch is unconditionally safe to delete there —
+    # unlike the success path, which keeps it while the returned lazy
+    # plan still reads the snapshot (reset_scan_live).
+    try:
+        for rnd in range(max_rounds):
+            if rnd and rnd % _STATS_RESET_EVERY == 0:
+                # stats reset: re-read the state from parquet so estimated
+                # sizeInBytes restarts from the actual file size (values
+                # unchanged — bit-parity with the broadcast path holds)
+                import tempfile
 
-            if reset_dir is None:
-                reset_dir = tempfile.mkdtemp(prefix="mysteryann-stage-")
-            state_path = os.path.join(reset_dir, "state")
-            visited.write.mode("overwrite").parquet(state_path)
-            visited = spark.read.parquet(state_path)
-            reset_scan_live = True
-        pool = visited.withColumn("rk", F.row_number().over(pool_w)).where(
-            F.col("rk") <= l_search
-        )
-        # one row per live query — tiny; checkpoint so the emptiness probe
-        # and the two joins below reuse it instead of re-running the window
-        frontier = (
-            pool.where(~F.col("expanded"))
-            .withColumn("fr", F.row_number().over(pool_w))
-            .where(F.col("fr") <= expand_width)
-            .select("qid", "nn_id")
-            .localCheckpoint(eager=True)
-        )
-        if frontier.isEmpty():
-            break
-
-        # expand: frontier ⋈ adjacency → fresh candidate ids per query
-        # (anti-join against the PRE-mark state — same id set, already
-        # materialized, so the mark join isn't recomputed here).
-        # BROADCAST the frontier explicitly: the stats the planner sees
-        # for a checkpointed loop state are estimates, and a sort-merge
-        # pick here re-shuffles the FULL adjacency every round — scale
-        # hazard #9, measured as ~GBs of shuffle write per round at 10^7
-        # (local scratch exhaustion in minutes; on a cluster, the whole
-        # static index crossing the network once per round). With the
-        # hint only the per-round frontier/candidate rows ever move.
-        cand = (
-            broadcast_if_under(frontier, frontier_bytes)
-            .join(adj_df, frontier["nn_id"] == adj_df["node"])
-            .select("qid", F.explode("nbrs").alias("nn_id"))
-            .dropDuplicates(["qid", "nn_id"])
-            .join(visited.select("qid", "nn_id"), ["qid", "nn_id"], "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if exclude_self:
-            cand = cand.where(F.col("nn_id") != F.col("qid"))
-
-        # mark the frontier nodes expanded
-        marked = (
-            visited.join(
-                broadcast_if_under(
-                    frontier.withColumn("mark", F.lit(True)), frontier_bytes
-                ),
-                ["qid", "nn_id"],
-                "left",
+                if reset_dir is None:
+                    reset_dir = tempfile.mkdtemp(prefix="mysteryann-stage-")
+                state_path = os.path.join(reset_dir, "state")
+                visited.write.mode("overwrite").parquet(state_path)
+                visited = spark.read.parquet(state_path)
+                reset_scan_live = True
+            pool = visited.withColumn("rk", F.row_number().over(pool_w)).where(
+                F.col("rk") <= l_search
             )
-            .withColumn("expanded", F.col("expanded") | F.coalesce("mark", F.lit(False)))
-            .drop("mark")
-        )
-
-        # score: candidate ⋈ base vector ⋈ query vector. The candidate
-        # set is per-round small (≤ queries x width x degree rows) while
-        # the base side is the whole index — broadcast the candidates so
-        # the base is STREAMED in place (scanned, never shuffled), same
-        # hazard-#9 reasoning as the expansion join.
-        scored = (
-            broadcast_if_under(cand, cand_bytes)
-            .join(base, "nn_id")
-            .join(broadcast_if_under(q, q_bytes), "qid")
-            .select(
-                "qid",
-                "nn_id",
-                distance_col(metric, "qvec", "bvec").alias("dist"),
-                F.lit(False).alias("expanded"),
+            # one row per live query — tiny; checkpoint so the emptiness probe
+            # and the two joins below reuse it instead of re-running the window
+            frontier = (
+                pool.where(~F.col("expanded"))
+                .withColumn("fr", F.row_number().over(pool_w))
+                .where(F.col("fr") <= expand_width)
+                .select("qid", "nn_id")
+                .localCheckpoint(eager=True)
             )
-        )
-        visited = marked.unionByName(scored).localCheckpoint(eager=True)
-        # the eager checkpoint just materialized everything derived from
-        # the reset scan — the snapshot files are no longer referenced
-        reset_scan_live = False
+            if frontier.isEmpty():
+                break
 
+            # expand: frontier ⋈ adjacency → fresh candidate ids per query
+            # (anti-join against the PRE-mark state — same id set, already
+            # materialized, so the mark join isn't recomputed here).
+            # BROADCAST the frontier explicitly: the stats the planner sees
+            # for a checkpointed loop state are estimates, and a sort-merge
+            # pick here re-shuffles the FULL adjacency every round — scale
+            # hazard #9, measured as ~GBs of shuffle write per round at 10^7
+            # (local scratch exhaustion in minutes; on a cluster, the whole
+            # static index crossing the network once per round). With the
+            # hint only the per-round frontier/candidate rows ever move.
+            cand = (
+                broadcast_if_under(frontier, frontier_bytes)
+                .join(adj_df, frontier["nn_id"] == adj_df["node"])
+                .select("qid", F.explode("nbrs").alias("nn_id"))
+                .dropDuplicates(["qid", "nn_id"])
+                .join(visited.select("qid", "nn_id"), ["qid", "nn_id"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if exclude_self:
+                cand = cand.where(F.col("nn_id") != F.col("qid"))
+
+            # mark the frontier nodes expanded
+            marked = (
+                visited.join(
+                    broadcast_if_under(
+                        frontier.withColumn("mark", F.lit(True)), frontier_bytes
+                    ),
+                    ["qid", "nn_id"],
+                    "left",
+                )
+                .withColumn("expanded", F.col("expanded") | F.coalesce("mark", F.lit(False)))
+                .drop("mark")
+            )
+
+            # score: candidate ⋈ base vector ⋈ query vector. The candidate
+            # set is per-round small (≤ queries x width x degree rows) while
+            # the base side is the whole index — broadcast the candidates so
+            # the base is STREAMED in place (scanned, never shuffled), same
+            # hazard-#9 reasoning as the expansion join.
+            scored = (
+                broadcast_if_under(cand, cand_bytes)
+                .join(base, "nn_id")
+                .join(broadcast_if_under(q, q_bytes), "qid")
+                .select(
+                    "qid",
+                    "nn_id",
+                    distance_col(metric, "qvec", "bvec").alias("dist"),
+                    F.lit(False).alias("expanded"),
+                )
+            )
+            visited = marked.unionByName(scored).localCheckpoint(eager=True)
+            # the eager checkpoint just materialized everything derived from
+            # the reset scan — the snapshot files are no longer referenced
+            reset_scan_live = False
+    except BaseException:
+        if reset_dir is not None:
+            shutil.rmtree(reset_dir, ignore_errors=True)
+        raise
     if reset_dir is not None and not reset_scan_live:
         shutil.rmtree(reset_dir, ignore_errors=True)
 

@@ -158,7 +158,8 @@ def roargraph_search_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vs the broadcast path is gated in tests/test_graph.py
     q = emb.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
     res = search_graph_distributed(
-        q, emb, adj.localCheckpoint(), ep, k=5, l_search=6, metric=PARAMS.metric
+        q, emb, adj.localCheckpoint(), ep, k=5, l_search=6, metric=PARAMS.metric,
+        max_degree=PARAMS.degree_cap,
     )
     return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank", "cmps", "hops")
 

@@ -65,84 +65,28 @@ def _overlay_pinned(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
 
 
 # The correctness driver gates only the FIRST 50 entries in iteration order
-# (CORRECTNESS_r01..r08.json all cut off at exactly 50).  Registry order
-# is therefore a verification-coverage decision, not cosmetics.  Round-9
-# policy (r8 VERDICT "Next round" #1: seat the 17 last-seen-r6 entries
-# before the 3-round cap trips):
+# (CORRECTNESS_r01..r09.json all cut off at exactly 50).  Registry order
+# is therefore a verification-coverage decision, not cosmetics.  Round-10
+# policy (r9 VERDICT "Next round" #1: seat the 16 last-seen-r7 entries
+# before the 3-round staleness cap trips):
 #
-#   * ``_FRONT`` — (a) the 17 last-seen-r6 entries (absent from BOTH the
-#     r7 and r8 windows — the 3-round cap trips this round); (b) entries
-#     whose PLAN changed in round 9 (the IVF-PQ refine broadcast fix and
-#     the distributed search's gated broadcast hints — oracles unchanged,
-#     but the changed plan should be driver-verified the round it lands);
-#     (c) backfill from the last-seen-r7 floor in prior order so they
-#     cannot trip in r10.
+#   * ``_FRONT`` — (a) the 16 last-seen-r7 entries (absent from BOTH the
+#     r8 and r9 windows — the 3-round cap trips this round); (b) entries
+#     whose PLAN changed in round 10 (the frontier search's degree
+#     upper-bound for broadcast gating + exception-safe scratch cleanup —
+#     oracles unchanged, but the changed plan should be driver-verified
+#     the round it lands); (c) backfill from the last-seen-r8 cohort in
+#     prior order so they cannot trip in r11.
 #   * ``_FRONT`` is deliberately SHORTER than the 50-slot window: the
 #     slack means entries added mid-round (unlisted, sorting between
 #     _FRONT and _BACK) land inside the window by default instead of
 #     silently missing driver verification at position 51+; with no new
 #     entries the slack backfills from the _BACK head (the next-stalest).
-#   * ``_BACK`` — head: the 18 last-seen-r7 entries the window could not
-#     seat this round (r10's FIRST pick — they go 3 rounds stale next
-#     round), then everything driver-verified in r8 and untouched.
+#   * ``_BACK`` — head: the 21 last-seen-r8 entries the window could not
+#     seat this round (r11's FIRST pick — they go 3 rounds stale next
+#     round), then everything driver-verified in r9 and untouched.
 _FRONT = [
-    # (a) the r6-floor rotation debt — the reason this round's window exists
-    "bpe_pair_counts",
-    "ann_pq_topk",
-    "stream_tumbling_oracled",
-    "stream_dedup_oracled",
-    "pipeline_chunk_documents",
-    "doc_unigram_logprob",
-    "multimodal_image_features",
-    "multimodal_resize",
-    "pipeline_shard_manifest",
-    "events_retention",
-    "bucketed_join_revenue",
-    "dedup_minhash_lsh",
-    "roargraph_sweep",
-    "ann_filtered_topk",
-    "dedup_semantic",
-    "dedup_fingerprint",
-    "dedup_jaccard_bigram",
-    # (b) plan changed in round 9 (refine broadcast / gated hints)
-    "ann_ivfpq_topk",
-    "ann_ivfpq_persisted",
-    "roargraph_search_distributed",
-    # (c) last-seen-r7 backfill so these cannot trip the cap in r10
-    "pipeline_curate",
-    "dedup_components",
-    "dedup_exact",
-    "doc_rolling_fingerprint",
-    "doc_bpe_tokens",
-    "doc_token_stats",
-    "doc_lang_id",
-    "doc_quality",
-    "doc_tfidf_topterms",
-    "bipartite_edges",
-    "udf_registry_distances",
-    "filter_project",
-    "topk_orders",
-    "window_rank",
-    "window_running",
-    "semi_join_customers",
-    "anti_join_customers",
-    "distinct_agg",
-    "rollup_customer_balance",
-    "emb_pca_project",
-    "roargraph_insert",
-    "roargraph_delete",
-    "roargraph_search_topk",
-    "roargraph_search_ip",
-    "roargraph_search_cosine",
-    "roargraph_search_filtered",
-    "roargraph_save_load_search",
-]
-_BACK = [
-    # last-seen-r7 remainder the window could not seat — r10's FIRST pick
-    # (with no mid-round additions the first 3 backfill into the r9
-    # window through the _FRONT slack)
-    "bipartite_search_topk",
-    "ann_ivf_topk",
+    # (a) the r7-floor rotation debt — the reason this round's window exists
     "roargraph_build_ivf",
     "roargraph_binary_interop",
     "knn_exact",
@@ -159,7 +103,9 @@ _BACK = [
     "emb_outlier_zscore",
     "multimodal_audio_stats",
     "fbin_roundtrip_norms",
-    # driver-verified in round 8 (hash or rows-ran), untouched since
+    # (b) plan changed in round 10 (frontier degree bound / scratch cleanup)
+    "roargraph_search_distributed",
+    # (c) last-seen-r8 backfill so these cannot trip the cap in r11
     "above_avg_balance",
     "brand_sales",
     "case_buckets",
@@ -189,6 +135,11 @@ _BACK = [
     "events_interval_join",
     "events_sliding",
     "events_asof_click",
+]
+_BACK = [
+    # last-seen-r8 remainder the window could not seat — r11's FIRST pick
+    # (with no mid-round additions the first 4 backfill into the r10
+    # window through the _FRONT slack)
     "events_pivot",
     "events_approx_distinct",
     "multimodal_decode",
@@ -210,6 +161,56 @@ _BACK = [
     "pipeline_decontaminate",
     "doc_bm25_topk",
     "hybrid_rrf_topk",
+    # driver-verified in round 9 (hash or rows-ran), untouched since
+    "bpe_pair_counts",
+    "ann_pq_topk",
+    "stream_tumbling_oracled",
+    "stream_dedup_oracled",
+    "pipeline_chunk_documents",
+    "doc_unigram_logprob",
+    "multimodal_image_features",
+    "multimodal_resize",
+    "pipeline_shard_manifest",
+    "events_retention",
+    "bucketed_join_revenue",
+    "dedup_minhash_lsh",
+    "roargraph_sweep",
+    "ann_filtered_topk",
+    "dedup_semantic",
+    "dedup_fingerprint",
+    "dedup_jaccard_bigram",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_persisted",
+    "pipeline_curate",
+    "dedup_components",
+    "dedup_exact",
+    "doc_rolling_fingerprint",
+    "doc_bpe_tokens",
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_quality",
+    "doc_tfidf_topterms",
+    "bipartite_edges",
+    "udf_registry_distances",
+    "filter_project",
+    "topk_orders",
+    "window_rank",
+    "window_running",
+    "semi_join_customers",
+    "anti_join_customers",
+    "distinct_agg",
+    "rollup_customer_balance",
+    "emb_pca_project",
+    "roargraph_insert",
+    "roargraph_delete",
+    "roargraph_search_topk",
+    "roargraph_search_ip",
+    "roargraph_search_cosine",
+    "roargraph_search_filtered",
+    "roargraph_save_load_search",
+    "ann_ivfpq_vectors",
+    "bipartite_search_topk",
+    "ann_ivf_topk",
 ]
 
 

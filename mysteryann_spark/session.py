@@ -29,10 +29,13 @@ def get_spark(
     # (a fork hiccup, a transient OOM kill) aborts the whole job, which at
     # rehearsal walls means losing an hour of build to one lost task
     # (measured: a 47-min 10^8 IVF-PQ build died to a single worker crash).
-    # A cluster retries 4x by default; local[N,F] restores that posture.
+    # A cluster allows 4 ATTEMPTS by default (spark.task.maxFailures=4);
+    # local[N,F]'s F is that same max-attempts count, NOT a retry count —
+    # SPARK_GRAFT_TASK_RETRIES is therefore "max attempts" and defaults to
+    # 4 to match the cluster posture (F=2 would give only one retry).
     # Retries re-run the same deterministic task, so results are unchanged;
     # a DETERMINISTIC worker crash still fails after F attempts.
-    retries = int(os.environ.get("SPARK_GRAFT_TASK_RETRIES", "2"))
+    retries = int(os.environ.get("SPARK_GRAFT_TASK_RETRIES", "4"))
     builder = (
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_MASTER", f"local[{cpus},{retries}]"))

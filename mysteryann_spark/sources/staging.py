@@ -100,6 +100,16 @@ def _async_publish_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_ASYNC_PUBLISH") == "1"
 
 
+def staging_mode() -> dict[str, bool]:
+    """Public view of the run's staging configuration — what the scale
+    tools print so an A/B's two runs are distinguishable on the page.
+    Stable API: tools should read this, not the underscore helpers."""
+    return {
+        "shared_stage": _shared_enabled(),
+        "async_publish": _async_publish_enabled(),
+    }
+
+
 def _shared_dir(key: str) -> str:
     import hashlib
 

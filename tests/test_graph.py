@@ -211,6 +211,107 @@ def test_distributed_search_stats_reset_scratch_bounded(spark):
     assert not leaked, f"stats-reset scratch left behind: {leaked}"
 
 
+def test_distributed_search_scratch_cleaned_on_midround_exception(spark, monkeypatch):
+    """An exception mid-round (executor loss, interrupt) must not leak the
+    stats-reset snapshot dir — the r9-verdict gap: cleanup ran only on the
+    loop's success path, so one full state snapshot survived per failed
+    call. The raise is injected AFTER the first 16-round reset so the dir
+    provably exists when the loop dies."""
+    import os
+    import tempfile
+
+    from mysteryann_spark.operators import search_distributed as sd
+
+    def stage_dirs():
+        root = tempfile.gettempdir()
+        return {d for d in os.listdir(root) if d.startswith("mysteryann-stage-")}
+
+    n = 40
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    adj = spark.createDataFrame(
+        [(i, [j for j in (i - 1, i + 1) if 0 <= j < n]) for i in range(n)],
+        "node bigint, nbrs array<bigint>",
+    ).localCheckpoint()
+    q = emb.where(F.col("vec_id") == n - 1).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+
+    real_gate = sd.broadcast_if_under
+    calls = {"n": 0}
+
+    def exploding_gate(df, est_bytes):
+        # 3 gated hints per round -> call 60 lands ~round 20, past the
+        # round-16 stats reset (the snapshot dir exists by then)
+        calls["n"] += 1
+        if calls["n"] > 60:
+            raise RuntimeError("injected mid-round failure")
+        return real_gate(df, est_bytes)
+
+    monkeypatch.setattr(sd, "broadcast_if_under", exploding_gate)
+    before = stage_dirs()
+    with pytest.raises(RuntimeError, match="injected mid-round failure"):
+        sd.search_graph_distributed(
+            q, emb, adj, 0, k=3, l_search=4, metric="l2", max_rounds=4 * n
+        ).collect()
+    assert calls["n"] > 60  # the raise really fired mid-loop
+    leaked = stage_dirs() - before
+    assert not leaked, f"scratch leaked on the exception path: {leaked}"
+
+
+def test_distributed_search_degree_estimate_is_upper_bound(spark, monkeypatch):
+    """The candidate-side broadcast estimate must size from the MAX degree,
+    not a sampled row — the r9-verdict hazard: a degree-1 first adjacency
+    row underestimated cand_bytes ~10-70x, letting a giant candidate side
+    slip past the gate into Spark's 8 GB broadcast hard-fail. First row
+    here is degree 1 while the graph runs at a 16-wide cap."""
+    from mysteryann_spark.operators import search_distributed as sd
+
+    n = 40
+    cap = 16
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    # node 0 (the head() row in this single-batch frame) has ONE neighbor;
+    # every other node is at the cap
+    rows = [(0, [1])] + [
+        (i, [(i + j) % n for j in range(1, cap + 1)]) for i in range(1, n)
+    ]
+    adj = spark.createDataFrame(
+        rows, "node bigint, nbrs array<bigint>"
+    ).coalesce(1).localCheckpoint()
+    assert adj.head()["nbrs"] == [1]  # the skew the old sample tripped on
+
+    q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("qid"), "embedding")
+    n_q = 3
+
+    seen = []
+    real_gate = sd.broadcast_if_under
+
+    def recording_gate(df, est_bytes):
+        seen.append(est_bytes)
+        return real_gate(df, est_bytes)
+
+    monkeypatch.setattr(sd, "broadcast_if_under", recording_gate)
+    sd.search_graph_distributed(
+        q, emb, adj, 0, k=3, l_search=4, metric="l2", max_rounds=8
+    ).collect()
+    # the candidate-side estimate (the largest hinted) must budget the cap,
+    # not the sampled degree-1 row
+    assert max(seen) >= n_q * cap * 24.0
+
+    # and an explicit max_degree must take precedence (no adjacency scan)
+    seen.clear()
+    sd.search_graph_distributed(
+        q, emb, adj, 0, k=3, l_search=4, metric="l2", max_rounds=8,
+        max_degree=2 * cap,
+    ).collect()
+    assert max(seen) >= n_q * 2 * cap * 24.0
+
+
 def test_broadcast_if_under_gates_on_estimate(spark):
     """Forced broadcast hints must fall back to the planner's exchange
     when the caller-side estimate exceeds the ceiling — a hinted side

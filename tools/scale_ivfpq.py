@@ -119,10 +119,15 @@ def main() -> None:
 
     gt_path = f"{path}/gt_nq{nq}_c{N_CENTERS}"
     t0 = time.time()
-    gt_cached = os.path.isdir(gt_path)
+    # Cache hit requires the _SUCCESS marker, not just the dir: Spark
+    # creates the output dir at job start, so a run killed mid-write (the
+    # crash scenario this cache exists for) leaves a partial dir that a
+    # bare isdir() would treat as valid GT. overwrite mode replaces such
+    # a stale partial dir instead of failing on it.
+    gt_cached = os.path.exists(f"{gt_path}/_SUCCESS")
     if not gt_cached:
         knn_join_arrays(q, emb, 10, "cosine", exclude_self=True) \
-            .write.parquet(gt_path)
+            .write.mode("overwrite").parquet(gt_path)
     gt = spark.read.parquet(gt_path).localCheckpoint()
     gt.count()
     print(json.dumps({

@@ -111,13 +111,9 @@ def main() -> None:
         + ("" if n_centers == 256 else f"_c{n_centers}")
     )
 
-    from mysteryann_spark.sources import staging as _staging
+    from mysteryann_spark.sources.staging import staging_mode
 
-    print(json.dumps({
-        "stage": "mode",
-        "shared_stage": _staging._shared_enabled(),
-        "async_publish": _staging._async_publish_enabled(),
-    }), flush=True)
+    print(json.dumps({"stage": "mode", **staging_mode()}), flush=True)
 
     base = synth_range(spark, 0, n, n_centers, parts=64).cache()
     base.count()
