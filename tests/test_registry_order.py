@@ -10,35 +10,30 @@ from mysteryann_spark.queries.registry import _BACK, _FRONT, all_queries
 
 DRIVER_WINDOW = 50
 
-# Round-9 must-verify set (r8 VERDICT "Next round" #1): the 17 r6-floor
-# entries absent from both the r7 and r8 driver windows (3-round cap
-# trips this round), plus the entries whose PLAN changed in round 9
-# (IVF-PQ refine broadcast fix, distributed search's gated hints).
+# Round-10 must-verify set (r9 VERDICT "Next round" #1): the 16 r7-floor
+# entries absent from both the r8 and r9 driver windows (3-round cap
+# trips this round), plus the entry whose PLAN changed in round 10
+# (frontier search's degree upper-bound + exception-safe scratch).
 MUST_BE_IN_WINDOW = {
-    # r6 floor — 3-round cap trips this round
-    "bpe_pair_counts",
-    "ann_pq_topk",
-    "stream_tumbling_oracled",
-    "stream_dedup_oracled",
-    "pipeline_chunk_documents",
-    "doc_unigram_logprob",
-    "multimodal_image_features",
-    "multimodal_resize",
-    "pipeline_shard_manifest",
-    "events_retention",
-    "bucketed_join_revenue",
-    "dedup_minhash_lsh",
-    "roargraph_sweep",
-    "ann_filtered_topk",
-    "dedup_semantic",
-    "dedup_fingerprint",
-    "dedup_jaccard_bigram",
-    # plan changed in round 9
-    "ann_ivfpq_topk",
-    "ann_ivfpq_persisted",
+    # r7 floor — 3-round cap trips this round
+    "roargraph_build_ivf",
+    "roargraph_binary_interop",
+    "knn_exact",
+    "knn_medoid",
+    "knn_recall_l2_vs_cosine",
+    "knn_rderr_truncated",
+    "ann_cosine_topk",
+    "ann_quantized_topk",
+    "ann_range_search",
+    "ann_lsh_topk",
+    "dedup_embedding",
+    "dedup_groups_full",
+    "dedup_ann_pairs",
+    "emb_outlier_zscore",
+    "multimodal_audio_stats",
+    "fbin_roundtrip_norms",
+    # plan changed in round 10
     "roargraph_search_distributed",
-    # new in round 9 (persisted-vectors rerank lifecycle, pinned)
-    "ann_ivfpq_vectors",
 }
 
 
@@ -52,7 +47,7 @@ def test_must_verify_entries_inside_driver_window():
     names = list(all_queries())
     window = set(names[:DRIVER_WINDOW])
     missing = MUST_BE_IN_WINDOW - window
-    assert not missing, f"round-9 must-verify entries outside first 50: {missing}"
+    assert not missing, f"round-10 must-verify entries outside first 50: {missing}"
 
 
 def test_front_leads_the_window_with_slack():
