@@ -96,13 +96,15 @@ def search_graph_distributed(
     (tests/test_graph.py).
 
     ``max_degree`` bounds the per-node neighbor-list length for the
-    broadcast-size estimates below. Callers who know the build cap should
-    pass it (``IndexParams.degree_cap`` = 2*M_pjbp); when None it is
+    broadcast-size estimates below. When None (the default) it is
     measured as ``max(size(nbrs))`` over the adjacency — one aggregate
-    scan, but a GUARANTEED upper bound. Sampling a single row here was
-    the r9-verdict hazard: a degree-1 first row underestimates the
-    candidate side ~10-70x and a giant batch could slip past the
-    broadcast gate into Spark's 8 GB hard-fail."""
+    scan, but a GUARANTEED upper bound; pass it only when the true bound
+    is known (note the builder's connectivity repair may bridge past
+    ``IndexParams.degree_cap``, so the cap alone is NOT that bound).
+    Sampling a single row here was the r9-verdict hazard: a degree-1
+    first row underestimates the candidate side ~10-70x and a giant
+    batch could slip past the broadcast gate into Spark's 8 GB
+    hard-fail."""
     spark = queries_df.sparkSession
     # the query set is re-joined every round: checkpoint once, and size
     # the per-round broadcast-hint estimates from its REAL row count so

@@ -157,9 +157,12 @@ def roargraph_search_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join round, so this entry demonstrates the operator; the bit-parity
     # vs the broadcast path is gated in tests/test_graph.py
     q = emb.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
+    # max_degree deliberately NOT passed: connectivity repair may bridge
+    # past the 2*M_pjbp cap (projection.py — reachability beats the cap),
+    # so the guaranteed bound is the measured max(size(nbrs)) — one tiny
+    # agg at this scale.
     res = search_graph_distributed(
         q, emb, adj.localCheckpoint(), ep, k=5, l_search=6, metric=PARAMS.metric,
-        max_degree=PARAMS.degree_cap,
     )
     return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank", "cmps", "hops")
 

@@ -119,7 +119,7 @@ def main() -> None:
         t0 = time.time()
         dres = search_graph_distributed(
             q, emb, adj, ep, k=params.k, l_search=L, metric=params.metric,
-            expand_width=width, max_rounds=4 * L, max_degree=params.degree_cap,
+            expand_width=width, max_rounds=4 * L,
         ).localCheckpoint()
         n_rows = dres.count()
         wall = time.time() - t0
