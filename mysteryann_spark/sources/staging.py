@@ -123,8 +123,15 @@ def _shared_save(d: str, obj: tuple) -> None:
     rename). Readers only ever see a complete, self-consistent set —
     even if a presumed-dead winner was actually alive and two builders
     raced, each writes its own token files and whichever manifest lands
-    last points at an intact set (the loser's files are dead weight,
-    bounded by one stale copy)."""
+    last points at an intact set.
+
+    After the manifest lands, token sets it does NOT name are unlinked:
+    superseded same-key publishes otherwise accumulate forever inside
+    one dir (measured r10: four racing 7.4 GB sets = 30 GB in a single
+    key dir, ENOSPC at 10^7 maintenance scale). Readers mid-open on an
+    old set are unaffected (POSIX unlink); a reader that loaded the old
+    manifest but hasn't opened the files yet gets OSError and
+    _shared_build's retry loop re-reads the fresh manifest."""
     import json
 
     token = uuid.uuid4().hex[:12]
@@ -138,6 +145,17 @@ def _shared_save(d: str, obj: tuple) -> None:
     with open(tmp, "w") as f:
         json.dump({"files": names}, f)
     os.replace(tmp, os.path.join(d, "MANIFEST.json"))
+    keep = set(names)
+    for f in os.listdir(d):
+        if f in keep:
+            continue
+        if (f.startswith("a") and f.endswith(".npy")) or (
+            f.startswith("MANIFEST.") and f.endswith(".tmp")
+        ):
+            try:
+                os.unlink(os.path.join(d, f))
+            except OSError:
+                pass
 
 
 def _shared_load(d: str) -> tuple:
@@ -221,14 +239,31 @@ def _gc_scratch(key: str, d: str) -> None:
 
 
 def _heartbeat_stale(hb: str) -> bool:
-    """True when the winner's heartbeat file is missing or old enough
-    that the winner is presumed dead (killed worker / dead JVM)."""
+    """True when the winner's heartbeat is old enough that the winner is
+    presumed dead (killed worker / dead JVM).
+
+    A MISSING heartbeat is judged by the LOCKDIR's age instead of being
+    presumed dead outright: between a winner's mkdir(lock) and its beat
+    thread's first write there is a scheduling window, and waiters that
+    treated it as stale rmtree'd the fresh winner's lock and adopted the
+    build — cascading under load into concurrent winners (measured r10:
+    24 workers hitting a new key at batch start produced FOUR parallel
+    7.4 GB private builds of the same artifact, 4x host residency and
+    30 GB of scratch, exactly the herd shared staging exists to kill).
+    A lockdir younger than _STALE_S is a live acquire; one older with
+    still no heartbeat is a winner that died pre-beat — genuinely
+    stale."""
     import time as _time
 
     try:
         return (_time.time() - os.path.getmtime(hb)) > _STALE_S
     except OSError:
-        return True
+        try:
+            return (
+                _time.time() - os.path.getmtime(os.path.dirname(hb))
+            ) > _STALE_S
+        except OSError:
+            return True
 
 
 def _shared_build(key: str, build: Callable[[], object]) -> object:
@@ -261,9 +296,17 @@ def _shared_build(key: str, build: Callable[[], object]) -> object:
     def _acquire() -> bool:
         try:
             os.mkdir(lock)
-            return True
         except FileExistsError:
             return False
+        # seed the heartbeat synchronously: shortens the no-heartbeat
+        # window the beat thread leaves (waiters judge that window by
+        # the lockdir's age — see _heartbeat_stale)
+        try:
+            with open(hb, "w") as f:
+                f.write(str(os.getpid()))
+        except OSError:
+            pass
+        return True
 
     def _record_failure() -> None:
         # FAILED-<n> marker (writes serialized by the lock, so the count

@@ -170,6 +170,67 @@ def test_shared_build_roundtrip_and_noshare(tmp_path, monkeypatch):
     assert isinstance(out4[0], np.memmap)
 
 
+def test_heartbeat_missing_judged_by_lockdir_age(tmp_path):
+    """A missing heartbeat under a FRESH lockdir must NOT read as a dead
+    winner: between mkdir(lock) and the beat thread's first write there
+    is a scheduling window, and waiters that presumed death rmtree'd the
+    fresh winner's lock and adopted the build — cascading into concurrent
+    winners (r10: four parallel 7.4 GB private builds of one artifact,
+    30 GB of scratch, ENOSPC). A lockdir older than the stale threshold
+    with still no heartbeat IS a dead winner."""
+    import os
+    import time
+
+    from mysteryann_spark.sources import staging
+
+    lock = tmp_path / "mysteryann-shared-deadbeef.lock"
+    lock.mkdir()
+    hb = str(lock / "HEARTBEAT")
+    # fresh acquire, beat thread not yet scheduled: NOT stale
+    assert not staging._heartbeat_stale(hb)
+    # winner died before its first beat: stale once the lockdir ages out
+    old = time.time() - staging._STALE_S - 5
+    os.utime(lock, (old, old))
+    assert staging._heartbeat_stale(hb)
+    # a written heartbeat still wins over the lockdir age
+    with open(hb, "w") as f:
+        f.write("1")
+    assert not staging._heartbeat_stale(hb)
+    # no lockdir at all (caller saw it a moment ago): stale -> contend
+    assert staging._heartbeat_stale(str(tmp_path / "gone.lock" / "HEARTBEAT"))
+
+
+def test_shared_save_prunes_superseded_token_sets(tmp_path):
+    """Re-publishing a key must not accumulate npy sets: only the files
+    the freshly-landed manifest names survive (r10: racing publishes
+    left four complete 7.4 GB sets in ONE key dir — 30 GB for a 7.4 GB
+    artifact). Non-artifact markers (FAILED-n, NOSHARE, PREV) stay."""
+    import json
+    import os
+
+    import numpy as np
+
+    from mysteryann_spark.sources import staging
+
+    d = str(tmp_path / "mysteryann-shared-cafe")
+    staging._shared_save(d, (np.arange(3), np.ones(2)))
+    first = set(json.load(open(os.path.join(d, "MANIFEST.json")))["files"])
+    # markers that must survive a later publish
+    for marker in ("FAILED-1", "PREV"):
+        with open(os.path.join(d, marker), "w") as f:
+            f.write("x")
+    staging._shared_save(d, (np.arange(4), np.zeros(2)))
+    second = set(json.load(open(os.path.join(d, "MANIFEST.json")))["files"])
+    assert first.isdisjoint(second)
+    left = set(os.listdir(d))
+    assert second <= left
+    assert first.isdisjoint(left), "superseded token set not pruned"
+    assert {"FAILED-1", "PREV", "MANIFEST.json"} <= left
+    # and the surviving set loads
+    out = staging._shared_load(d)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.arange(4))
+
+
 def test_shared_build_deterministic_failure_bounded(tmp_path, monkeypatch):
     """A deterministically failing build is retried at most
     _MAX_SHARED_FAILURES times across takeovers, then the key falls back
@@ -440,8 +501,9 @@ def test_shared_save_concurrent_builders_intact(tmp_path, monkeypatch):
     staging._shared_save(d, (np.arange(6),))  # later builder wins
     got = staging._shared_load(d)
     np.testing.assert_array_equal(np.asarray(got[0]), np.arange(6))
-    # both token sets exist on disk; the manifest points at the last
-    assert len([f for f in os.listdir(d) if f.endswith(".npy")]) == 2
+    # the manifest points at the last set; the superseded set is pruned
+    # (r10: unpruned racing sets piled up 30 GB in one key dir)
+    assert len([f for f in os.listdir(d) if f.endswith(".npy")]) == 1
 
 
 def test_shared_build_async_publish_failure_bounded(tmp_path, monkeypatch):
