@@ -125,14 +125,20 @@ def _shared_save(d: str, obj: tuple) -> None:
     raced, each writes its own token files and whichever manifest lands
     last points at an intact set.
 
-    After the manifest lands, token sets it does NOT name are unlinked:
-    superseded same-key publishes otherwise accumulate forever inside
-    one dir (measured r10: four racing 7.4 GB sets = 30 GB in a single
-    key dir, ENOSPC at 10^7 maintenance scale). Readers mid-open on an
-    old set are unaffected (POSIX unlink); a reader that loaded the old
-    manifest but hasn't opened the files yet gets OSError and
-    _shared_build's retry loop re-reads the fresh manifest."""
+    After the manifest lands, token sets it does NOT name are unlinked —
+    but only sets older than the stale threshold: superseded same-key
+    publishes otherwise accumulate forever inside one dir (measured r10:
+    four racing 7.4 GB sets = 30 GB in a single key dir, ENOSPC at 10^7
+    maintenance scale), while a concurrent racer's IN-FLIGHT files are
+    necessarily fresh and deleting them would land that racer's manifest
+    pointing at nothing (measured r10 under async publish + takeover: a
+    broken manifest spun every waiter in the manifest-exists loop — the
+    reader side now also self-heals, see _shared_build). Readers
+    mid-open on a pruned set are unaffected (POSIX unlink); a reader
+    holding the old manifest gets OSError and _shared_build re-reads
+    the fresh one."""
     import json
+    import time as _time
 
     token = uuid.uuid4().hex[:12]
     os.makedirs(d, exist_ok=True)
@@ -146,14 +152,17 @@ def _shared_save(d: str, obj: tuple) -> None:
         json.dump({"files": names}, f)
     os.replace(tmp, os.path.join(d, "MANIFEST.json"))
     keep = set(names)
+    cutoff = _time.time() - _STALE_S
     for f in os.listdir(d):
         if f in keep:
             continue
         if (f.startswith("a") and f.endswith(".npy")) or (
             f.startswith("MANIFEST.") and f.endswith(".tmp")
         ):
+            p = os.path.join(d, f)
             try:
-                os.unlink(os.path.join(d, f))
+                if os.path.getmtime(p) < cutoff:
+                    os.unlink(p)
             except OSError:
                 pass
 
@@ -330,6 +339,7 @@ def _shared_build(key: str, build: Callable[[], object]) -> object:
         except OSError:
             pass
 
+    broken_reads = 0
     while True:
         if os.path.exists(manifest):
             try:
@@ -341,8 +351,26 @@ def _shared_build(key: str, build: Callable[[], object]) -> object:
                 # acquire/wait state and REBUILD — a GC'd generation must
                 # never surface as a task failure (local mode runs with
                 # task retries = 1).
+                #
+                # BOUNDED: a manifest that PERSISTENTLY names missing
+                # files (a racing publish pruned them, or a partial
+                # rmtree) would otherwise spin every waiter here forever
+                # — nobody reaches the acquire path while the manifest
+                # exists (measured r10: the async-publish takeover race
+                # hung a 10^7 maintenance batch for 28 min). After ~5 s
+                # of consecutive misses, unlink the broken manifest and
+                # contend to rebuild; a healthy publish replacing it
+                # concurrently just re-lands its manifest atomically.
+                broken_reads += 1
+                if broken_reads >= 25:
+                    try:
+                        os.unlink(manifest)
+                    except OSError:
+                        pass
+                    broken_reads = 0
                 _time.sleep(0.2)
                 continue
+        broken_reads = 0
         if os.path.exists(noshare):
             return build()
         won = _acquire()

@@ -201,12 +201,17 @@ def test_heartbeat_missing_judged_by_lockdir_age(tmp_path):
 
 
 def test_shared_save_prunes_superseded_token_sets(tmp_path):
-    """Re-publishing a key must not accumulate npy sets: only the files
-    the freshly-landed manifest names survive (r10: racing publishes
-    left four complete 7.4 GB sets in ONE key dir — 30 GB for a 7.4 GB
-    artifact). Non-artifact markers (FAILED-n, NOSHARE, PREV) stay."""
+    """Re-publishing a key must not accumulate AGED npy sets: files older
+    than the stale threshold that the freshly-landed manifest does not
+    name are unlinked (r10: racing publishes left four complete 7.4 GB
+    sets in ONE key dir — 30 GB for a 7.4 GB artifact). FRESH unnamed
+    files are spared — they may be a live racer's in-flight write whose
+    manifest is about to land (deleting them left that manifest pointing
+    at nothing and spun every waiter). Non-artifact markers (FAILED-n,
+    NOSHARE, PREV) always stay."""
     import json
     import os
+    import time
 
     import numpy as np
 
@@ -219,16 +224,61 @@ def test_shared_save_prunes_superseded_token_sets(tmp_path):
     for marker in ("FAILED-1", "PREV"):
         with open(os.path.join(d, marker), "w") as f:
             f.write("x")
+    # a live racer's in-flight (manifest-less) fresh file
+    racer = os.path.join(d, "a0-feedfacecafe.npy")
+    np.save(racer, np.arange(2))
+    # age the first set past the stale threshold; the racer stays fresh
+    old = time.time() - staging._STALE_S - 5
+    for f in first:
+        os.utime(os.path.join(d, f), (old, old))
     staging._shared_save(d, (np.arange(4), np.zeros(2)))
     second = set(json.load(open(os.path.join(d, "MANIFEST.json")))["files"])
     assert first.isdisjoint(second)
     left = set(os.listdir(d))
     assert second <= left
-    assert first.isdisjoint(left), "superseded token set not pruned"
+    assert first.isdisjoint(left), "aged superseded token set not pruned"
+    assert os.path.exists(racer), "fresh in-flight racer file must be spared"
     assert {"FAILED-1", "PREV", "MANIFEST.json"} <= left
     # and the surviving set loads
     out = staging._shared_load(d)
     np.testing.assert_array_equal(np.asarray(out[0]), np.arange(4))
+
+
+def test_shared_build_recovers_from_broken_manifest(tmp_path, monkeypatch):
+    """A manifest that persistently names missing files (racing publish
+    pruned them / partial rmtree) must not spin waiters forever: the
+    manifest-exists branch never reaches the acquire path, so after a
+    bounded run of failed reads the waiter unlinks the broken manifest
+    and contends to REBUILD (r10: this exact spin hung a 10^7
+    maintenance batch 28 min until killed)."""
+    import json
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from mysteryann_spark.sources import staging
+
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_STAGE", "1")
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    d = staging._shared_dir("broken")
+    os.makedirs(d)
+    with open(os.path.join(d, "MANIFEST.json"), "w") as f:
+        json.dump({"files": ["a0-deadbeef0000.npy"]}, f)  # names nothing
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return (np.arange(5, dtype=np.int64),)
+
+    out = staging._shared_build("broken", build)
+    assert calls["n"] == 1, "waiter must rebuild, not spin"
+    np.testing.assert_array_equal(np.asarray(out[0]), np.arange(5))
+    # the rebuilt publish landed a valid manifest
+    got = staging._shared_load(d)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.arange(5))
 
 
 def test_shared_build_deterministic_failure_bounded(tmp_path, monkeypatch):
@@ -501,9 +551,11 @@ def test_shared_save_concurrent_builders_intact(tmp_path, monkeypatch):
     staging._shared_save(d, (np.arange(6),))  # later builder wins
     got = staging._shared_load(d)
     np.testing.assert_array_equal(np.asarray(got[0]), np.arange(6))
-    # the manifest points at the last set; the superseded set is pruned
-    # (r10: unpruned racing sets piled up 30 GB in one key dir)
-    assert len([f for f in os.listdir(d) if f.endswith(".npy")]) == 1
+    # both token sets exist on disk (FRESH sets are never pruned — they
+    # may be a live racer's in-flight write); the manifest points at the
+    # last. Aged-out superseded sets are pruned by the next publish —
+    # test_shared_save_prunes_superseded_token_sets.
+    assert len([f for f in os.listdir(d) if f.endswith(".npy")]) == 2
 
 
 def test_shared_build_async_publish_failure_bounded(tmp_path, monkeypatch):
