@@ -167,6 +167,25 @@ def roargraph_search_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank", "cmps", "hops")
 
 
+def roargraph_search_distributed_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier-BATCHED variant (expand_width=4): each round expands
+    up to 4 unexpanded pool entries per query, cutting the dominant
+    scale cost — driver-synchronized join rounds — ~4x (measured 10⁷:
+    width 8 turned 260 rounds into 37 at unchanged recall, SCALE.md).
+    Deterministic given the seeded build, so pinned; the recall gate vs
+    strict best-first lives in tests/test_graph.py
+    (test_distributed_search_frontier_batched_width)."""
+    from mysteryann_spark.operators.search_distributed import search_graph_distributed
+
+    emb, adj, ep = _build(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
+    res = search_graph_distributed(
+        q, emb, adj.localCheckpoint(), ep, k=5, l_search=8, metric=PARAMS.metric,
+        expand_width=4,
+    )
+    return res.select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank", "cmps", "hops")
+
+
 def bipartite_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2: 2-hop beam search over the bipartite graph with 10 seeded
     random entry points (SearchBipartiteGraph,
@@ -570,6 +589,7 @@ QUERIES: dict[str, QuerySpec] = {
     "roargraph_search_cosine": QuerySpec(roargraph_search_cosine, None),
     "roargraph_build_ivf": QuerySpec(roargraph_build_ivf, None),
     "roargraph_search_distributed": QuerySpec(roargraph_search_distributed, None),
+    "roargraph_search_distributed_wide": QuerySpec(roargraph_search_distributed_wide, None),
     "bipartite_search_topk": QuerySpec(bipartite_search_topk, None),
     "roargraph_search_filtered": QuerySpec(roargraph_search_filtered, None),
     "roargraph_insert": QuerySpec(roargraph_insert, None),
