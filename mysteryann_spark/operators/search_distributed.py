@@ -100,7 +100,10 @@ def search_graph_distributed(
     measured as ``max(size(nbrs))`` over the adjacency — one aggregate
     scan, but a GUARANTEED upper bound; pass it only when the true bound
     is known (note the builder's connectivity repair may bridge past
-    ``IndexParams.degree_cap``, so the cap alone is NOT that bound).
+    ``IndexParams.degree_cap``, so the cap alone is NOT that bound —
+    but ``save_index`` records the measured bound in the index header,
+    so loaded-index callers should thread ``meta["max_degree"]`` here
+    instead of re-paying the O(N) scan per search call).
     Sampling a single row here was the r9-verdict hazard: a degree-1
     first row underestimates the candidate side ~10-70x and a giant
     batch could slip past the broadcast gate into Spark's 8 GB

@@ -65,28 +65,106 @@ def _overlay_pinned(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
 
 
 # The correctness driver gates only the FIRST 50 entries in iteration order
-# (CORRECTNESS_r01..r09.json all cut off at exactly 50).  Registry order
-# is therefore a verification-coverage decision, not cosmetics.  Round-10
-# policy (r9 VERDICT "Next round" #1: seat the 16 last-seen-r7 entries
+# (CORRECTNESS_r01..r10.json all cut off at exactly 50).  Registry order
+# is therefore a verification-coverage decision, not cosmetics.  Round-11
+# policy (r10 VERDICT "Next round" #1: seat the 18 last-seen-r8 entries
 # before the 3-round staleness cap trips):
 #
-#   * ``_FRONT`` — (a) the 16 last-seen-r7 entries (absent from BOTH the
-#     r8 and r9 windows — the 3-round cap trips this round); (b) entries
-#     whose PLAN changed in round 10 (the frontier search's degree
-#     upper-bound for broadcast gating + exception-safe scratch cleanup —
-#     oracles unchanged, but the changed plan should be driver-verified
-#     the round it lands); (c) backfill from the last-seen-r8 cohort in
-#     prior order so they cannot trip in r11.
+#   * ``_FRONT`` — (a) the 18 last-seen-r8 entries (absent from BOTH the
+#     r9 and r10 windows — the 3-round cap trips this round); (b) entries
+#     whose PLAN changed in round 11 (save_index now measures and records
+#     max_degree in the index header so loaded-index distributed searches
+#     skip the O(N) adjacency scan — the save/load roundtrip entry
+#     exercises the changed header write/read); (c) backfill from the
+#     last-seen-r9 cohort in prior order so r12's rotation stays small.
 #   * ``_FRONT`` is deliberately SHORTER than the 50-slot window: the
 #     slack means entries added mid-round (unlisted, sorting between
 #     _FRONT and _BACK) land inside the window by default instead of
 #     silently missing driver verification at position 51+; with no new
 #     entries the slack backfills from the _BACK head (the next-stalest).
-#   * ``_BACK`` — head: the 21 last-seen-r8 entries the window could not
-#     seat this round (r11's FIRST pick — they go 3 rounds stale next
-#     round), then everything driver-verified in r9 and untouched.
+#   * ``_BACK`` — head: the 20 last-seen-r9 entries the window could not
+#     seat this round (r12's FIRST pick, together with whatever the slack
+#     does not reach), then everything driver-verified in r10, in its
+#     r10 window order.
 _FRONT = [
-    # (a) the r7-floor rotation debt — the reason this round's window exists
+    # (a) the r8-floor rotation debt — the reason this round's window exists
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_bm25_topk",
+    "doc_substring_spans",
+    "emb_pca_variance",
+    "events_sessionize",
+    "events_transitions",
+    "hybrid_rrf_topk",
+    "join_skew_topkeys",
+    "multimodal_audio_spectral",
+    "multimodal_decode_real",
+    "multimodal_meanpool",
+    "pipeline_decontaminate",
+    "pipeline_decontaminate_semantic",
+    "pipeline_quota_sample",
+    "roargraph_degrees",
+    "roargraph_nsg_import",
+    "stream_neardup_docs",
+    # (b) plan changed in round 11 (max_degree recorded in the saved
+    # index header; the roundtrip entry writes and reads that header)
+    "roargraph_save_load_search",
+    # (c) last-seen-r9 backfill so the r12 rotation cohort stays small
+    "bpe_pair_counts",
+    "ann_pq_topk",
+    "stream_tumbling_oracled",
+    "stream_dedup_oracled",
+    "pipeline_chunk_documents",
+    "doc_unigram_logprob",
+    "multimodal_image_features",
+    "multimodal_resize",
+    "pipeline_shard_manifest",
+    "events_retention",
+    "bucketed_join_revenue",
+    "dedup_minhash_lsh",
+    "roargraph_sweep",
+    "ann_filtered_topk",
+    "dedup_semantic",
+    "dedup_fingerprint",
+    "dedup_jaccard_bigram",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_persisted",
+    "pipeline_curate",
+    "dedup_components",
+    "dedup_exact",
+    "doc_rolling_fingerprint",
+    "doc_bpe_tokens",
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_quality",
+    "doc_tfidf_topterms",
+]
+_BACK = [
+    # last-seen-r9 remainder the window could not seat — r12's FIRST pick
+    # (with no mid-round additions the first 3 backfill into the r11
+    # window through the _FRONT slack)
+    "bipartite_edges",
+    "udf_registry_distances",
+    "filter_project",
+    "topk_orders",
+    "window_rank",
+    "window_running",
+    "semi_join_customers",
+    "anti_join_customers",
+    "distinct_agg",
+    "rollup_customer_balance",
+    "emb_pca_project",
+    "roargraph_insert",
+    "roargraph_delete",
+    "roargraph_search_topk",
+    "roargraph_search_ip",
+    "roargraph_search_cosine",
+    "roargraph_search_filtered",
+    "ann_ivfpq_vectors",
+    "bipartite_search_topk",
+    "ann_ivf_topk",
+    # driver-verified in round 10 (hash or rows-ran), untouched since —
+    # kept in the r10 window order
     "roargraph_build_ivf",
     "roargraph_binary_interop",
     "knn_exact",
@@ -103,9 +181,7 @@ _FRONT = [
     "emb_outlier_zscore",
     "multimodal_audio_stats",
     "fbin_roundtrip_norms",
-    # (b) plan changed in round 10 (frontier degree bound / scratch cleanup)
     "roargraph_search_distributed",
-    # (c) last-seen-r8 backfill so these cannot trip the cap in r11
     "above_avg_balance",
     "brand_sales",
     "case_buckets",
@@ -135,82 +211,10 @@ _FRONT = [
     "events_interval_join",
     "events_sliding",
     "events_asof_click",
-]
-_BACK = [
-    # last-seen-r8 remainder the window could not seat — r11's FIRST pick
-    # (with no mid-round additions the first 4 backfill into the r10
-    # window through the _FRONT slack)
+    "roargraph_search_distributed_wide",
     "events_pivot",
     "events_approx_distinct",
     "multimodal_decode",
-    "multimodal_meanpool",
-    "multimodal_audio_spectral",
-    "pipeline_decontaminate_semantic",
-    "roargraph_nsg_import",
-    "stream_neardup_docs",
-    "events_transitions",
-    "join_skew_topkeys",
-    "pipeline_quota_sample",
-    "emb_pca_variance",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "roargraph_degrees",
-    "events_sessionize",
-    "doc_substring_spans",
-    "multimodal_decode_real",
-    "pipeline_decontaminate",
-    "doc_bm25_topk",
-    "hybrid_rrf_topk",
-    # driver-verified in round 9 (hash or rows-ran), untouched since
-    "bpe_pair_counts",
-    "ann_pq_topk",
-    "stream_tumbling_oracled",
-    "stream_dedup_oracled",
-    "pipeline_chunk_documents",
-    "doc_unigram_logprob",
-    "multimodal_image_features",
-    "multimodal_resize",
-    "pipeline_shard_manifest",
-    "events_retention",
-    "bucketed_join_revenue",
-    "dedup_minhash_lsh",
-    "roargraph_sweep",
-    "ann_filtered_topk",
-    "dedup_semantic",
-    "dedup_fingerprint",
-    "dedup_jaccard_bigram",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_persisted",
-    "pipeline_curate",
-    "dedup_components",
-    "dedup_exact",
-    "doc_rolling_fingerprint",
-    "doc_bpe_tokens",
-    "doc_token_stats",
-    "doc_lang_id",
-    "doc_quality",
-    "doc_tfidf_topterms",
-    "bipartite_edges",
-    "udf_registry_distances",
-    "filter_project",
-    "topk_orders",
-    "window_rank",
-    "window_running",
-    "semi_join_customers",
-    "anti_join_customers",
-    "distinct_agg",
-    "rollup_customer_balance",
-    "emb_pca_project",
-    "roargraph_insert",
-    "roargraph_delete",
-    "roargraph_search_topk",
-    "roargraph_search_ip",
-    "roargraph_search_cosine",
-    "roargraph_search_filtered",
-    "roargraph_save_load_search",
-    "ann_ivfpq_vectors",
-    "bipartite_search_topk",
-    "ann_ivf_topk",
 ]
 
 

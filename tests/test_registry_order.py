@@ -10,30 +10,32 @@ from mysteryann_spark.queries.registry import _BACK, _FRONT, all_queries
 
 DRIVER_WINDOW = 50
 
-# Round-10 must-verify set (r9 VERDICT "Next round" #1): the 16 r7-floor
-# entries absent from both the r8 and r9 driver windows (3-round cap
-# trips this round), plus the entry whose PLAN changed in round 10
-# (frontier search's degree upper-bound + exception-safe scratch).
+# Round-11 must-verify set (r10 VERDICT "Next round" #1): the 18 r8-floor
+# entries absent from both the r9 and r10 driver windows (3-round cap
+# trips this round), plus the entry whose PLAN changed in round 11
+# (save_index records the measured max_degree in the index header).
 MUST_BE_IN_WINDOW = {
-    # r7 floor — 3-round cap trips this round
-    "roargraph_build_ivf",
-    "roargraph_binary_interop",
-    "knn_exact",
-    "knn_medoid",
-    "knn_recall_l2_vs_cosine",
-    "knn_rderr_truncated",
-    "ann_cosine_topk",
-    "ann_quantized_topk",
-    "ann_range_search",
-    "ann_lsh_topk",
-    "dedup_embedding",
-    "dedup_groups_full",
-    "dedup_ann_pairs",
-    "emb_outlier_zscore",
-    "multimodal_audio_stats",
-    "fbin_roundtrip_norms",
-    # plan changed in round 10
-    "roargraph_search_distributed",
+    # r8 floor — 3-round cap trips this round
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_bm25_topk",
+    "doc_substring_spans",
+    "emb_pca_variance",
+    "events_sessionize",
+    "events_transitions",
+    "hybrid_rrf_topk",
+    "join_skew_topkeys",
+    "multimodal_audio_spectral",
+    "multimodal_decode_real",
+    "multimodal_meanpool",
+    "pipeline_decontaminate",
+    "pipeline_decontaminate_semantic",
+    "pipeline_quota_sample",
+    "roargraph_degrees",
+    "roargraph_nsg_import",
+    "stream_neardup_docs",
+    # plan changed in round 11
+    "roargraph_save_load_search",
 }
 
 

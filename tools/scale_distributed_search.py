@@ -77,12 +77,16 @@ def main() -> None:
         if idx_dir
         else None
     )
+    max_degree = None
     if idx_path and os.path.isdir(f"{idx_path}/adjacency"):
         adj, meta = load_index(spark, idx_path)
         adj = adj.localCheckpoint()
         ep = int(meta["entry_point"])
+        # pre-r11 indexes lack the recorded bound -> measured fallback
+        max_degree = meta.get("max_degree")
         print(json.dumps({"stage": "load_index", "path": idx_path,
-                          "nodes": adj.count()}), flush=True)
+                          "nodes": adj.count(),
+                          "max_degree": max_degree}), flush=True)
     else:
         t0 = time.time()
         adj, ep = build_roargraph_from_table(
@@ -119,7 +123,7 @@ def main() -> None:
         t0 = time.time()
         dres = search_graph_distributed(
             q, emb, adj, ep, k=params.k, l_search=L, metric=params.metric,
-            expand_width=width, max_rounds=4 * L,
+            expand_width=width, max_rounds=4 * L, max_degree=max_degree,
         ).localCheckpoint()
         n_rows = dres.count()
         wall = time.time() - t0
