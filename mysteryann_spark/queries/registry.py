@@ -86,6 +86,10 @@ def _overlay_pinned(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
 #     seat this round (r12's FIRST pick, together with whatever the slack
 #     does not reach), then everything driver-verified in r10, in its
 #     r10 window order.
+#
+# Rows-only note: ``roargraph_sweep`` is rows-only BY DESIGN, not by gap —
+# its QPS/latency columns measure the host; its deterministic columns
+# (recall, cmps, hops) are hash-pinned via ``roargraph_sweep_quality``.
 _FRONT = [
     # (a) the r8-floor rotation debt — the reason this round's window exists
     "dedup_simhash",

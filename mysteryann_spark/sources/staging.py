@@ -117,6 +117,18 @@ def _shared_dir(key: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"mysteryann-shared-{digest}")
 
 
+def _publish_token(fname: str) -> str:
+    """Builder token of a publish-set member: ``a{i}-{token}.npy`` or
+    ``MANIFEST.{token}.tmp``. Legacy un-tokened names (``a0.npy``) fall
+    back to the filename itself — a one-file group, aged individually."""
+    if fname.endswith(".npy"):
+        stem = fname[: -len(".npy")]
+        return stem.rsplit("-", 1)[-1]
+    if fname.startswith("MANIFEST.") and fname.endswith(".tmp"):
+        return fname[len("MANIFEST.") : -len(".tmp")]
+    return fname
+
+
 def _shared_save(d: str, obj: tuple) -> None:
     """Winner side: write each array under a builder-unique token, then
     publish a manifest NAMING those files, last and atomically (tmp +
@@ -126,17 +138,21 @@ def _shared_save(d: str, obj: tuple) -> None:
     last points at an intact set.
 
     After the manifest lands, token sets it does NOT name are unlinked —
-    but only sets older than the stale threshold: superseded same-key
-    publishes otherwise accumulate forever inside one dir (measured r10:
-    four racing 7.4 GB sets = 30 GB in a single key dir, ENOSPC at 10^7
-    maintenance scale), while a concurrent racer's IN-FLIGHT files are
-    necessarily fresh and deleting them would land that racer's manifest
-    pointing at nothing (measured r10 under async publish + takeover: a
-    broken manifest spun every waiter in the manifest-exists loop — the
-    reader side now also self-heals, see _shared_build). Readers
-    mid-open on a pruned set are unaffected (POSIX unlink); a reader
-    holding the old manifest gets OSError and _shared_build re-reads
-    the fresh one."""
+    but only sets whose NEWEST member is older than the stale threshold:
+    superseded same-key publishes otherwise accumulate forever inside one
+    dir (measured r10: four racing 7.4 GB sets = 30 GB in a single key
+    dir, ENOSPC at 10^7 maintenance scale), while a concurrent racer's
+    IN-FLIGHT files must survive the prune — deleting them lands that
+    racer's manifest pointing at nothing (measured r10 under async
+    publish + takeover: a broken manifest spun every waiter in the
+    manifest-exists loop — the reader side now also self-heals, see
+    _shared_build). Aging PER FILE was the r10 ADVICE hazard: a multi-GB
+    sequential publish takes minutes, so a slow racer's EARLIEST file
+    ages past the cutoff mid-write; grouping by token and aging the set
+    by its newest member keeps any actively-writing set fresh (the file
+    currently being written has a current mtime). Readers mid-open on a
+    pruned set are unaffected (POSIX unlink); a reader holding the old
+    manifest gets OSError and _shared_build re-reads the fresh one."""
     import json
     import time as _time
 
@@ -153,6 +169,8 @@ def _shared_save(d: str, obj: tuple) -> None:
     os.replace(tmp, os.path.join(d, "MANIFEST.json"))
     keep = set(names)
     cutoff = _time.time() - _STALE_S
+    groups: dict[str, list[str]] = {}
+    newest: dict[str, float] = {}
     for f in os.listdir(d):
         if f in keep:
             continue
@@ -161,8 +179,18 @@ def _shared_save(d: str, obj: tuple) -> None:
         ):
             p = os.path.join(d, f)
             try:
-                if os.path.getmtime(p) < cutoff:
-                    os.unlink(p)
+                mt = os.path.getmtime(p)
+            except OSError:
+                continue
+            tok = _publish_token(f)
+            groups.setdefault(tok, []).append(p)
+            newest[tok] = max(newest.get(tok, 0.0), mt)
+    for tok, paths in groups.items():
+        if newest[tok] >= cutoff:
+            continue
+        for p in paths:
+            try:
+                os.unlink(p)
             except OSError:
                 pass
 
@@ -339,9 +367,48 @@ def _shared_build(key: str, build: Callable[[], object]) -> object:
         except OSError:
             pass
 
+    def _manifest_ident():
+        # identity of the manifest INSTANCE (atomic-rename publishes give
+        # each a fresh inode) — the heal below may only delete the
+        # instance it actually observed broken
+        try:
+            st = os.stat(manifest)
+            return (st.st_ino, st.st_mtime_ns, st.st_size)
+        except OSError:
+            return None
+
+    def _provably_broken(ident) -> bool:
+        # True only when the SAME manifest instance names a file that is
+        # genuinely ABSENT (or the JSON itself is unreadable — atomic
+        # renames make that a real corpse, not a torn write). A named
+        # file that exists but momentarily fails to read (fs hiccup,
+        # stat storm on slow NFS) is NOT proof — unlinking a healthy
+        # generation forces a redundant multi-GB rebuild (r10 ADVICE).
+        import json
+
+        if _manifest_ident() != ident:
+            return False  # a new publish landed — re-read it instead
+        try:
+            with open(manifest) as f:
+                meta = json.load(f)
+            names = meta.get("files") or [f"a{i}.npy" for i in range(meta["n"])]
+        except (OSError, ValueError, KeyError):
+            return True
+        for name in names:
+            try:
+                os.stat(os.path.join(d, name))
+            except FileNotFoundError:
+                return True
+            except OSError:
+                pass
+        return False
+
     broken_reads = 0
+    broken_ident = None
+    broken_since = 0.0
     while True:
         if os.path.exists(manifest):
+            ident = _manifest_ident()
             try:
                 return _shared_load(d)
             except OSError:
@@ -358,29 +425,70 @@ def _shared_build(key: str, build: Callable[[], object]) -> object:
                 # — nobody reaches the acquire path while the manifest
                 # exists (measured r10: the async-publish takeover race
                 # hung a 10^7 maintenance batch for 28 min). After ~5 s
-                # of consecutive misses, unlink the broken manifest and
-                # contend to rebuild; a healthy publish replacing it
-                # concurrently just re-lands its manifest atomically.
+                # of consecutive misses against the SAME manifest
+                # instance, unlink it and contend to rebuild — but only
+                # when provably broken (a named file ABSENT), or as a
+                # liveness escape when the same instance keeps failing
+                # past the stale threshold (unreadable-but-present
+                # files). A manifest REPLACED mid-count restarts the
+                # count: deleting a publish that landed between the
+                # failed read and the unlink discards a healthy
+                # multi-GB set (r10 ADVICE).
+                now = _time.time()
+                if ident is None or ident != broken_ident:
+                    broken_ident = ident
+                    broken_since = now
+                    broken_reads = 0
                 broken_reads += 1
                 if broken_reads >= 25:
-                    try:
-                        os.unlink(manifest)
-                    except OSError:
-                        pass
+                    if _provably_broken(ident) or (
+                        now - broken_since > _STALE_S
+                    ):
+                        if _manifest_ident() == ident:
+                            try:
+                                os.unlink(manifest)
+                            except OSError:
+                                pass
+                        broken_ident = None
                     broken_reads = 0
                 _time.sleep(0.2)
                 continue
         broken_reads = 0
+        broken_ident = None
         if os.path.exists(noshare):
             return build()
         won = _acquire()
         if not won and _heartbeat_stale(hb):
-            # presumed-dead winner: contend to adopt the build. rmtree of
-            # the lockdir is racy between waiters — exactly one mkdir
-            # then succeeds, the rest loop back to waiting on the fresh
-            # winner's heartbeat.
-            shutil.rmtree(lock, ignore_errors=True)
-            won = _acquire()
+            # presumed-dead winner: capture the lockdir EXCLUSIVELY
+            # before destroying it. rmtree of the live path raced a
+            # concurrent takeover — waiter A judges the old lock stale,
+            # waiter B adopts and mkdirs a FRESH lock, then A's rmtree
+            # deletes B's lock and A acquires too: two winners, two
+            # concurrent multi-GB builds (r10 ADVICE). os.rename is
+            # atomic — exactly one waiter owns the corpse; the rest see
+            # ENOENT and loop back to waiting. The corpse is RE-JUDGED
+            # after capture (rename preserves the dir's own mtime and
+            # its HEARTBEAT): a waiter that stalled between judging the
+            # OLD lock stale and renaming may have captured a takeover's
+            # FRESH lock — restore it instead of destroying a live
+            # winner's liveness signal.
+            dead = lock + ".dead-" + uuid.uuid4().hex[:8]
+            try:
+                os.rename(lock, dead)
+            except OSError:
+                pass
+            else:
+                if not _heartbeat_stale(os.path.join(dead, "HEARTBEAT")):
+                    try:
+                        os.rename(dead, lock)
+                    except OSError:
+                        # yet another waiter re-acquired meanwhile; the
+                        # displaced fresh winner finishes headless (its
+                        # publish still lands) — drop the corpse
+                        shutil.rmtree(dead, ignore_errors=True)
+                else:
+                    shutil.rmtree(dead, ignore_errors=True)
+                    won = _acquire()
         if not won:
             _time.sleep(0.5)
             continue
@@ -444,8 +552,23 @@ def _shared_build(key: str, build: Callable[[], object]) -> object:
                     handed_off = True  # heartbeat now owned by _publish
                     return obj
                 _shared_save(d, obj)
+                # map the just-published set back; a concurrent same-key
+                # publish may have pruned this token set (a save slower
+                # than _STALE_S ages past even the newest-member gate) or
+                # a cross-key LRU GC removed the dir — re-land a fresh
+                # token set and retry instead of surfacing a task failure
+                # (r10 ADVICE). The private copy is dropped only once the
+                # mapped one is in hand.
+                out = None
+                for _ in range(3):
+                    try:
+                        out = _shared_load(d)
+                        break
+                    except OSError:
+                        _shared_save(d, obj)
+                if out is None:
+                    out = _shared_load(d)
                 del obj  # drop the private copy; hand back the mapped one
-                out = _shared_load(d)
                 _gc_scratch(key, d)
                 return out
             os.makedirs(d, exist_ok=True)

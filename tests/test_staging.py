@@ -644,3 +644,228 @@ def test_shared_build_waiter_survives_gc_between_check_and_load(
     got = staging._shared_build("kgcrace", lambda: arr)
     assert calls["n"] >= 2  # first load raced, retry succeeded
     np.testing.assert_array_equal(np.asarray(got[0]), arr[0])
+
+
+def test_shared_save_ages_token_set_by_newest_member(tmp_path, monkeypatch):
+    """The publish-time prune must age a token SET by its NEWEST member,
+    not per file: a slow racer's multi-GB sequential publish takes
+    minutes, so its EARLIEST npy ages past the stale cutoff while the
+    set is still being written — pruning it lands the racer's manifest
+    naming missing files (r11 ADVICE on the r10 age-gate). A set whose
+    newest member is fresh survives wholesale; a set aged wholesale is
+    pruned."""
+    import json
+    import os
+    import tempfile
+    import time
+
+    import numpy as np
+
+    from mysteryann_spark.sources import staging
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    d = str(tmp_path / "mysteryann-shared-slowracer")
+    os.makedirs(d)
+    old = time.time() - staging._STALE_S - 5
+
+    # slow racer mid-publish: a0 finished minutes ago, a1 written just now
+    np.save(os.path.join(d, "a0-slowracer000.npy"), np.arange(3))
+    os.utime(os.path.join(d, "a0-slowracer000.npy"), (old, old))
+    np.save(os.path.join(d, "a1-slowracer000.npy"), np.arange(2))
+
+    # a fully superseded set: every member aged out
+    for name in ("a0-supersede000.npy", "a1-supersede000.npy"):
+        np.save(os.path.join(d, name), np.arange(2))
+        os.utime(os.path.join(d, name), (old, old))
+
+    staging._shared_save(d, (np.arange(4),))
+    left = set(os.listdir(d))
+    assert "a0-slowracer000.npy" in left, (
+        "slow racer's aged-but-in-flight member pruned — its manifest "
+        "would land naming a missing file"
+    )
+    assert "a1-slowracer000.npy" in left
+    assert not any(f.startswith("a0-supersede") or f.startswith("a1-supersede")
+                   for f in left), "wholly aged superseded set must be pruned"
+    names = json.load(open(os.path.join(d, "MANIFEST.json")))["files"]
+    assert all(n in left for n in names)
+
+
+def test_takeover_capture_restores_fresh_lock(tmp_path, monkeypatch):
+    """The stale-winner takeover captures the lockdir by atomic rename and
+    RE-JUDGES the corpse: a waiter that stalled between judging the old
+    lock stale and renaming may have captured a concurrent takeover's
+    FRESH lock — it must restore it (rename back) rather than destroy a
+    live winner's liveness signal, which previously produced two
+    concurrent winners and duplicate multi-GB builds (r11 ADVICE)."""
+    import os
+    import tempfile
+    import threading
+    import time
+
+    import numpy as np
+
+    from mysteryann_spark.sources import staging
+
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_STAGE", "1")
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    d = staging._shared_dir("freshcapture")
+    lock = d + ".lock"
+    os.mkdir(lock)
+    with open(os.path.join(lock, "HEARTBEAT"), "w") as f:
+        f.write("x")  # a LIVE winner elsewhere
+
+    # waiter's FIRST staleness judgment is stale (it read the heartbeat
+    # long ago and stalled); every later judgment is real
+    real_stale = staging._heartbeat_stale
+    judged = {"n": 0}
+
+    def lagged_stale(hb):
+        judged["n"] += 1
+        return True if judged["n"] == 1 else real_stale(hb)
+
+    monkeypatch.setattr(staging, "_heartbeat_stale", lagged_stale)
+
+    def publish_late():
+        time.sleep(1.5)
+        staging._shared_save(d, (np.full(3, 9, dtype=np.int64),))
+
+    t = threading.Thread(target=publish_late)
+    t.start()
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return (np.zeros(3, dtype=np.int64),)
+
+    got = staging._shared_build("freshcapture", build)
+    t.join()
+    assert calls["n"] == 0, "waiter must not duplicate a live winner's build"
+    np.testing.assert_array_equal(np.asarray(got[0]), np.full(3, 9))
+    assert judged["n"] >= 2  # the capture was re-judged on the corpse
+    assert os.path.isdir(lock), "captured fresh lock must be restored"
+    assert not [f for f in os.listdir(str(tmp_path)) if ".dead-" in f]
+
+
+def test_broken_manifest_heal_spares_healthy_set_under_flaky_reads(
+    tmp_path, monkeypatch
+):
+    """The bounded broken-manifest recovery must only unlink a manifest
+    instance that is PROVABLY broken (names an absent file): a healthy
+    generation whose reads fail transiently (fs hiccup, stat storm) must
+    NOT be unlinked — that discards a just-published multi-GB set and
+    forces every waiter into a redundant rebuild (r10 verdict 'What's
+    wrong' #2 / r11 ADVICE)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from mysteryann_spark.sources import staging
+
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_STAGE", "1")
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    d = staging._shared_dir("flaky")
+    staging._shared_save(d, (np.arange(7, dtype=np.int64),))
+    manifest = os.path.join(d, "MANIFEST.json")
+    ino_before = os.stat(manifest).st_ino
+
+    real = staging._shared_load
+    calls = {"n": 0}
+
+    def flaky_load(dd):
+        calls["n"] += 1
+        if calls["n"] <= 30:  # past the 25-read heal trigger
+            raise OSError("transient read failure on a healthy set")
+        return real(dd)
+
+    monkeypatch.setattr(staging, "_shared_load", flaky_load)
+    got = staging._shared_build(
+        "flaky", lambda: (_ for _ in ()).throw(AssertionError("must not rebuild"))
+    )
+    np.testing.assert_array_equal(np.asarray(got[0]), np.arange(7))
+    assert calls["n"] >= 31
+    assert os.stat(manifest).st_ino == ino_before, (
+        "healthy manifest instance was unlinked under transient read noise"
+    )
+
+
+def test_broken_manifest_heal_escalates_when_same_instance_keeps_failing(
+    tmp_path, monkeypatch
+):
+    """Liveness escape: when the SAME manifest instance keeps failing past
+    the stale threshold even though its named files exist (present but
+    unreadable), the waiter must still eventually unlink it and rebuild —
+    the absence check alone would reintroduce the 28-min r10 hang for
+    that failure shape."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from mysteryann_spark.sources import staging
+
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_STAGE", "1")
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(staging, "_STALE_S", 1.5)
+
+    d = staging._shared_dir("unreadable")
+    staging._shared_save(d, (np.arange(5, dtype=np.int64),))
+
+    state = {"broken": True}
+    real = staging._shared_load
+
+    def sick_load(dd):
+        if state["broken"]:
+            raise OSError("persistently unreadable (files present)")
+        return real(dd)
+
+    monkeypatch.setattr(staging, "_shared_load", sick_load)
+    calls = {"n": 0}
+
+    def build():
+        state["broken"] = False  # the rebuild heals the pathology
+        calls["n"] += 1
+        return (np.full(5, 3, dtype=np.int64),)
+
+    got = staging._shared_build("unreadable", build)
+    assert calls["n"] == 1, "waiter must escalate to a rebuild, not spin"
+    np.testing.assert_array_equal(np.asarray(got[0]), np.full(5, 3))
+
+
+def test_winner_post_save_load_retry(tmp_path, monkeypatch):
+    """The winner's post-save map-back must survive its fresh token set
+    being pruned or GC'd between save and load (a save slower than the
+    stale gate, or a cross-key LRU sweep): re-land a fresh set and retry
+    instead of surfacing a task failure (r11 ADVICE)."""
+    import tempfile
+
+    import numpy as np
+
+    from mysteryann_spark.sources import staging
+
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_STAGE", "1")
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    real_load = staging._shared_load
+    real_save = staging._shared_save
+    n = {"load": 0, "save": 0}
+
+    def pruned_once(dd):
+        n["load"] += 1
+        if n["load"] == 1:
+            raise FileNotFoundError("token set pruned by a racing publish")
+        return real_load(dd)
+
+    def counting_save(dd, obj):
+        n["save"] += 1
+        return real_save(dd, obj)
+
+    monkeypatch.setattr(staging, "_shared_load", pruned_once)
+    monkeypatch.setattr(staging, "_shared_save", counting_save)
+    got = staging._shared_build("postsave", lambda: (np.arange(4, dtype=np.int64),))
+    assert n["save"] == 2 and n["load"] == 2
+    assert isinstance(got[0], np.memmap)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.arange(4))
