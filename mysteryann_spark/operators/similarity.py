@@ -82,6 +82,167 @@ def _sample_kmeans(
     return cent
 
 
+# Above this many coarse centroids, training and base-vector assignment go
+# TWO-LEVEL (hierarchical k-means + routed nearest): the flat paths are
+# O(n_rows x n_centroids) and were measured at ~1 ms/row/iter at the
+# 163,840-list 10^8 geometry — days at FAISS's 64-points-per-centroid
+# training protocol, ~2.4 h for the assignment pass alone. This is the
+# large-nlist regime where FAISS itself swaps the exact coarse quantizer
+# for an approximate one (HNSW/IVF quantizer). Kept WELL above every
+# sf-scale entry's centroid count so the pinned oracles' bit-exact flat
+# path never drifts.
+_FLAT_KMEANS_MAX = 8192
+
+
+def _alloc_quota(counts: np.ndarray, k: int) -> np.ndarray:
+    """Largest-remainder proportional allocation of ``k`` sub-centroids
+    over level-1 cell masses, capped per cell by its sample count (a cell
+    cannot train more centroids than it holds points). Deterministic;
+    iterates cap-and-redistribute until k is placed (or capacity runs
+    out, when sum(counts) < k)."""
+    counts = counts.astype(np.int64)
+    quota = np.zeros(len(counts), dtype=np.int64)
+    remaining = int(min(k, counts.sum()))
+    while remaining > 0:
+        cap = counts - quota
+        active = cap > 0
+        if not active.any():
+            break
+        mass = np.where(active, counts, 0).astype(np.float64)
+        share = mass / mass.sum() * remaining
+        q = np.minimum(np.floor(share).astype(np.int64), cap)
+        residue = remaining - int(q.sum())
+        if residue > 0:
+            frac = np.where(q < cap, share - np.floor(share), -1.0)
+            order = np.argsort(-frac, kind="stable")
+            take = order[: min(residue, int((frac >= 0).sum()))]
+            q[take] = np.minimum(q[take] + 1, cap[take])
+        got = int(q.sum())
+        if got == 0:
+            # degenerate: proportional floor gave 0 everywhere — place one
+            # in the largest-capacity cell and loop
+            q[np.argmax(cap)] = 1
+            got = 1
+        quota += q
+        remaining -= got
+    return quota
+
+
+def _hierarchical_kmeans(
+    vecs: np.ndarray, k: int, max_iter: int, seed: int, branch: int | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Two-level seeded Lloyd for LARGE k: level-1 k-means over a branch
+    factor ~2*sqrt(k), exact level-1 assignment of the sample, then a
+    per-cell sub-k-means whose child quota follows the cell's mass
+    (balanced lists by construction). Distance work per training point
+    drops from O(k) to O(branch + k/branch) — at k=163,840 that is ~400x.
+
+    Returns ``(cmat, l1, indptr)``: ``cmat`` rows are grouped by level-1
+    cell, children of cell i at ``cmat[indptr[i]:indptr[i+1]]`` — the
+    routing structure ``_routed_nearest`` uses for O(branch + R*k/branch)
+    per-row assignment. The unioned ``cmat`` is a plain flat centroid
+    matrix: search-time probing, persistence, and ADC are unchanged."""
+    n = len(vecs)
+    if branch is None:
+        branch = int(max(64, min(4096, 2 * np.sqrt(k))))
+    branch = min(branch, n, k)
+    l1 = _sample_kmeans(vecs, branch, max_iter, seed)
+    branch = len(l1)
+    from mysteryann_spark.operators.knn import dmat_chunk_rows
+
+    chunk = dmat_chunk_rows(branch)
+    assign = np.empty(n, dtype=np.int64)
+    half = 0.5 * (l1 * l1).sum(axis=1)[None, :]
+    for s in range(0, n, chunk):
+        g = vecs[s : s + chunk] @ l1.T
+        g -= half
+        assign[s : s + chunk] = g.argmax(axis=1)
+    counts = np.bincount(assign, minlength=branch)
+    quota = _alloc_quota(counts, k)
+    order = np.argsort(assign, kind="stable")
+    sa = assign[order]
+    starts = np.searchsorted(sa, np.arange(branch))
+    ends = np.searchsorted(sa, np.arange(branch), side="right")
+    cents: list[np.ndarray] = []
+    indptr = np.zeros(branch + 1, dtype=np.int64)
+    for c in range(branch):
+        q = int(quota[c])
+        indptr[c + 1] = indptr[c] + q
+        if q == 0:
+            continue
+        sub = vecs[order[starts[c] : ends[c]]]
+        if q == 1:
+            cents.append(sub.mean(axis=0, keepdims=True))
+        else:
+            cents.append(_sample_kmeans(sub, q, max_iter, seed + 7919 * (c + 1)))
+    cmat = np.vstack(cents) if cents else l1[:0].copy()
+    return cmat, l1, indptr
+
+
+def _routed_nearest(
+    m: np.ndarray,
+    c32: np.ndarray,
+    l1_32: np.ndarray,
+    indptr: np.ndarray,
+    n: int,
+) -> np.ndarray:
+    """Top-n GLOBAL centroid ids for unit rows ``m`` via two-level
+    routing: top-R level-1 cells per row (small GEMM), exact scoring
+    against only those cells' children, grouped BY CELL so every
+    centroid block is one proper GEMM (per-row gathers of candidate
+    centroids would move ~GBs of memory per batch). Approximate in the
+    same sense as FAISS's non-exhaustive coarse quantizers: a row near a
+    level-1 boundary may miss its true nearest centroid — assignment
+    agreement and end-to-end recall are test-gated. Deterministic:
+    final selection lexsorted by (dist, global id)."""
+    B = len(m)
+    branch = len(l1_32)
+    k = len(c32)
+    avg_children = max(1.0, k / max(1, branch))
+    R = int(max(4, np.ceil(4.0 * n / avg_children) + 1))
+    R = min(R, branch)
+    m32 = np.ascontiguousarray(m, dtype=np.float32)
+    g = m32 @ l1_32.T
+    g -= 0.5 * (l1_32 * l1_32).sum(axis=1)[None, :]
+    if R < branch:
+        top = np.argpartition(-g, R - 1, axis=1)[:, :R]
+    else:
+        top = np.broadcast_to(np.arange(branch), (B, branch)).copy()
+    best_d = np.full((B, n), np.inf, dtype=np.float32)
+    best_i = np.full((B, n), -1, dtype=np.int64)
+    cc = (c32 * c32).sum(axis=1)
+    for r in range(top.shape[1]):
+        cells_r = top[:, r]
+        ord_ = np.argsort(cells_r, kind="stable")
+        sc = cells_r[ord_]
+        bounds = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        for bi, s0 in enumerate(bounds):
+            s1 = bounds[bi + 1] if bi + 1 < len(bounds) else len(sc)
+            cell = int(sc[s0])
+            lo, hi = int(indptr[cell]), int(indptr[cell + 1])
+            if hi == lo:
+                continue
+            rows = ord_[s0:s1]
+            d = cc[None, lo:hi] - 2.0 * (m32[rows] @ c32[lo:hi].T)
+            t = min(n, hi - lo)
+            if t < d.shape[1]:
+                part = np.argpartition(d, t - 1, axis=1)[:, :t]
+                dd = np.take_along_axis(d, part, axis=1)
+            else:
+                part = np.broadcast_to(np.arange(d.shape[1]), d.shape)
+                dd = d
+            cat_d = np.concatenate([best_d[rows], dd.astype(np.float32)], axis=1)
+            cat_i = np.concatenate([best_i[rows], part.astype(np.int64) + lo], axis=1)
+            sel = np.argpartition(cat_d, n - 1, axis=1)[:, :n]
+            best_d[rows] = np.take_along_axis(cat_d, sel, axis=1)
+            best_i[rows] = np.take_along_axis(cat_i, sel, axis=1)
+    # deterministic final order: (dist, global id); unfilled slots (fewer
+    # candidates than n) carry inf/-1 and sort last
+    order2 = np.lexsort((best_i, best_d), axis=1)
+    best = np.take_along_axis(best_i, order2, axis=1)
+    return best.astype(np.int32)
+
+
 def _unit(vecs: pd.Series) -> np.ndarray:
     from mysteryann_spark.functions.vector import np_normalize
 
@@ -139,13 +300,42 @@ def train_centroids(
     smallest 1/rate buckets — no sort, no shuffle, stable under retry;
     the one driver collect is bounded by ``train_sample``, not the data
     size. Vectors are normalized driver-side in numpy."""
+    bc, _route = train_centroids_routed(
+        base_df, n_centroids, max_iter, seed, train_sample, base_id, vec_col
+    )
+    return bc
+
+
+def train_centroids_routed(
+    base_df: DataFrame,
+    n_centroids: int,
+    max_iter: int,
+    seed: int,
+    train_sample: int,
+    base_id: str,
+    vec_col: str,
+):
+    """Like ``train_centroids`` but also returns the two-level routing
+    structure when one exists: ``(bc_centroids, bc_route | None)`` where
+    ``bc_route.value == (l1_float32, indptr)``. Above ``_FLAT_KMEANS_MAX``
+    centroids, training runs the hierarchical k-means (the flat Lloyd
+    pass is O(sample x k) per iteration — measured ~1 ms/row at the
+    163,840-list 10^8 geometry, i.e. days at the 64-pts/centroid
+    protocol) and the route lets ``nearest_centroids_udf`` assign base
+    rows in O(branch + R*k/branch) instead of O(k). The broadcast
+    centroid matrix itself is flat either way — persistence, search-time
+    probing and ADC are unchanged."""
+    sc = base_df.sparkSession.sparkContext
     n_base = base_df.count()
     rate = max(1, int(np.ceil(n_base / float(train_sample))))
-    cmat = _sample_kmeans(
-        _unit(hash_sample_vectors(base_df, base_id, vec_col, rate)),
-        n_centroids, max_iter, seed,
-    )
-    return base_df.sparkSession.sparkContext.broadcast(cmat)
+    sample = _unit(hash_sample_vectors(base_df, base_id, vec_col, rate))
+    if n_centroids > _FLAT_KMEANS_MAX:
+        cmat, l1, indptr = _hierarchical_kmeans(sample, n_centroids, max_iter, seed)
+        return sc.broadcast(cmat), sc.broadcast(
+            (np.ascontiguousarray(l1, dtype=np.float32), indptr)
+        )
+    cmat = _sample_kmeans(sample, n_centroids, max_iter, seed)
+    return sc.broadcast(cmat), None
 
 
 # above this many (rows x n_centroids) distance cells per Arrow batch the
@@ -157,15 +347,35 @@ def train_centroids(
 _CENT_F32_CELLS = 1 << 25
 
 
-def nearest_centroids_udf(bc, n: int):
+def nearest_centroids_udf(bc, n: int, route_bc=None):
     """Arrow-batched centroid scoring: one GEMM per batch against the
     broadcast (n_centroids x dim) matrix; input is the RAW vector
     (normalized inline) so assignment needs no second normalization
     pass. Large batch x centroid products (rehearsal scale) run the
     chunked float32 GEMM with argmin/argpartition — bounded memory and
     no full sort; assignment quality is recall-gated, not pinned, at
-    that scale."""
+    that scale.
+
+    ``route_bc`` (from ``train_centroids_routed``) switches to the
+    TWO-LEVEL scorer: top-R level-1 cells per row, exact argmin over only
+    those cells' children — O(branch + R*k/branch) per row instead of
+    O(k), the difference between ~2.4 h and ~minutes for the 10^8
+    assignment pass at 163,840 lists. Routing is approximate at cell
+    boundaries (agreement + recall test-gated); only engaged at
+    hierarchical centroid counts, never on the pinned flat path."""
     from pyspark.sql.functions import pandas_udf
+
+    if route_bc is not None:
+
+        @pandas_udf(ArrayType(IntegerType()))
+        def nearest_routed(vecs: pd.Series) -> pd.Series:
+            c32 = np.ascontiguousarray(bc.value, dtype=np.float32)
+            l1_32, indptr = route_bc.value
+            m = _unit(vecs)
+            out = _routed_nearest(m, c32, l1_32, indptr, n)
+            return pd.Series(list(out))
+
+        return nearest_routed
 
     @pandas_udf(ArrayType(IntegerType()))
     def nearest(vecs: pd.Series) -> pd.Series:
@@ -244,10 +454,10 @@ def ivf_cosine_topk(
     # centroid scoring, and the candidate dot product. The earlier
     # Catalyst renderings (nested aggregate(zip_with(...)) lambdas) are
     # interpreted per element, not codegen'd, and dominated runtime.
-    bc = train_centroids(
+    bc, bc_route = train_centroids_routed(
         base_df, n_centroids, max_iter, seed, train_sample, base_id, vec_col
     )
-    _nearest = lambda n: nearest_centroids_udf(bc, n)  # noqa: E731
+    _nearest = lambda n: nearest_centroids_udf(bc, n, route_bc=bc_route)  # noqa: E731
     l2norm = l2norm_udf()
 
     assigned = base_df.select(
@@ -602,7 +812,7 @@ def build_ivfpq_index(
     - ``centroids`` (n_centroids, dim) / ``books`` (m, n_codes, dim/m):
       the trained model, kilobytes — broadcast at search time.
     """
-    bc_cent = train_centroids(
+    bc_cent, bc_route = train_centroids_routed(
         base_df, n_centroids, max_iter, seed, train_sample, base_id, vec_col
     )
     bc_books = train_pq_codebooks(
@@ -611,10 +821,12 @@ def build_ivfpq_index(
     encode = pq_encode_udf(bc_books)
     lists = base_df.select(
         F.col(base_id).alias("nn_id"),
-        F.element_at(nearest_centroids_udf(bc_cent, 1)(F.col(vec_col)), 1).alias("cid"),
+        F.element_at(
+            nearest_centroids_udf(bc_cent, 1, route_bc=bc_route)(F.col(vec_col)), 1
+        ).alias("cid"),
         encode(F.col(vec_col)).alias("code"),
     )
-    return {
+    out = {
         "lists": lists,
         "centroids": np.asarray(bc_cent.value, dtype=np.float64),
         "books": np.asarray(bc_books.value, dtype=np.float64),
@@ -626,6 +838,15 @@ def build_ivfpq_index(
             "n_codes": int(bc_books.value.shape[1]),
         },
     }
+    if bc_route is not None:
+        # two-level routing structure: save_ivfpq persists it so later
+        # vector backfills re-derive cid IDENTICALLY to the lists write
+        # (routed and flat assignment disagree at cell boundaries)
+        out["route"] = (
+            np.asarray(bc_route.value[0], dtype=np.float64),
+            np.asarray(bc_route.value[1], dtype=np.int64),
+        )
+    return out
 
 
 def search_ivfpq_index(

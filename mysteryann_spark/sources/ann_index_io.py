@@ -78,6 +78,23 @@ def save_ivfpq(
         "cid int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
+    route = index.get("route")
+    if route is not None:
+        # two-level assignment structure (hierarchical coarse training,
+        # similarity._hierarchical_kmeans): level-1 centroids + child
+        # ranges into the flat centroid matrix. Kilobytes; persisted so a
+        # later vectors BACKFILL derives cids identically to the lists
+        # write (routed and flat assignment differ at cell boundaries,
+        # and the two datasets must agree row-for-row).
+        l1, indptr = route
+        spark.createDataFrame(
+            [
+                (i, [float(x) for x in l1[i]], int(indptr[i]), int(indptr[i + 1]))
+                for i in range(len(l1))
+            ],
+            "cell int, centroid array<double>, child_start long, child_end long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/route")
+
     books = index["books"]
     rows = [
         (j, c, [float(x) for x in books[j, c]])
@@ -105,15 +122,27 @@ def save_ivfpq_vectors(
 ) -> None:
     """Write just the ``<path>/vectors/`` dataset (see save_ivfpq) — also
     the backfill path for an index persisted before vectors existed.
-    ``index`` only needs ``centroids``; pass a loaded index to backfill."""
+    ``index`` only needs ``centroids`` (plus ``route`` when the index was
+    built with hierarchical assignment — a loaded index carries it);
+    pass a loaded index to backfill."""
     spark = base_df.sparkSession
+    import numpy as _np
+
     from mysteryann_spark.operators.similarity import nearest_centroids_udf
 
     bc = spark.sparkContext.broadcast(index["centroids"])
+    route = index.get("route")
+    bc_route = (
+        spark.sparkContext.broadcast(
+            (_np.ascontiguousarray(route[0], dtype=_np.float32), route[1])
+        )
+        if route is not None
+        else None
+    )
     (
         base_df.select(
             F.element_at(
-                nearest_centroids_udf(bc, 1)(F.col(vec_col)), 1
+                nearest_centroids_udf(bc, 1, route_bc=bc_route)(F.col(vec_col)), 1
             ).alias("cid"),
             F.col(base_id).alias("nn_id"),
             F.col(vec_col).cast(f"array<{vec_dtype}>").alias("vec"),
@@ -168,4 +197,16 @@ def load_ivfpq(spark: SparkSession, path: str) -> dict:
         out["vectors"] = spark.read.parquet(f"{path}/vectors").select(
             F.col("cid").cast("int"), "nn_id", "vec"
         )
+
+    # optional two-level routing structure (hierarchical coarse training)
+    route_path = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/route")
+    if fs.exists(route_path):
+        rows = spark.read.parquet(f"{path}/route").orderBy("cell").collect()
+        if [r["cell"] for r in rows] != list(range(len(rows))):
+            raise ValueError(f"corrupt index at {path}: route cells not contiguous")
+        l1 = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+        indptr = np.asarray(
+            [rows[0]["child_start"]] + [r["child_end"] for r in rows], dtype=np.int64
+        )
+        out["route"] = (l1, indptr)
     return out
