@@ -68,7 +68,18 @@ def get_spark(
         if "=" in pair:
             k, _, v = pair.partition("=")
             builder = builder.config(k.strip(), v.strip())
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Reclaim stage scratch leaked by DEAD sessions (OOM-killed drivers
+    # never run atexit; measured on this box: 4,791 leaked dirs / 45 GB).
+    # OWNER-checked — a live session's scratch is never touched. Failures
+    # are swallowed: scratch GC must never fail a session start.
+    try:
+        from mysteryann_spark.sources.staging import sweep_stage_scratch
+
+        sweep_stage_scratch()
+    except Exception:
+        pass
+    return spark
 
 
 def spread(df, min_partitions: int | None = None):

