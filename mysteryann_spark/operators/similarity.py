@@ -314,6 +314,8 @@ def train_centroids_routed(
     train_sample: int,
     base_id: str,
     vec_col: str,
+    hierarchical: bool | None = None,
+    branch: int | None = None,
 ):
     """Like ``train_centroids`` but also returns the two-level routing
     structure when one exists: ``(bc_centroids, bc_route | None)`` where
@@ -324,13 +326,22 @@ def train_centroids_routed(
     protocol) and the route lets ``nearest_centroids_udf`` assign base
     rows in O(branch + R*k/branch) instead of O(k). The broadcast
     centroid matrix itself is flat either way — persistence, search-time
-    probing and ADC are unchanged."""
+    probing and ADC are unchanged.
+
+    ``hierarchical`` overrides the threshold auto-pick (None): True
+    forces two-level at any centroid count (the registry entry exercises
+    it at sf scale, where no table reaches the threshold), False forces
+    flat. ``branch`` overrides the ~2*sqrt(k) level-1 width."""
     sc = base_df.sparkSession.sparkContext
     n_base = base_df.count()
     rate = max(1, int(np.ceil(n_base / float(train_sample))))
     sample = _unit(hash_sample_vectors(base_df, base_id, vec_col, rate))
-    if n_centroids > _FLAT_KMEANS_MAX:
-        cmat, l1, indptr = _hierarchical_kmeans(sample, n_centroids, max_iter, seed)
+    if hierarchical is None:
+        hierarchical = n_centroids > _FLAT_KMEANS_MAX
+    if hierarchical:
+        cmat, l1, indptr = _hierarchical_kmeans(
+            sample, n_centroids, max_iter, seed, branch=branch
+        )
         return sc.broadcast(cmat), sc.broadcast(
             (np.ascontiguousarray(l1, dtype=np.float32), indptr)
         )
@@ -800,6 +811,8 @@ def build_ivfpq_index(
     train_sample: int = 4096,
     base_id: str = "vec_id",
     vec_col: str = "embedding",
+    hierarchical: bool | None = None,
+    branch: int | None = None,
 ) -> dict:
     """Build the IVF-PQ index as data + model, separated so the data part
     can be PERSISTED (sources/ann_index_io.py) and searched later without
@@ -813,7 +826,8 @@ def build_ivfpq_index(
       the trained model, kilobytes — broadcast at search time.
     """
     bc_cent, bc_route = train_centroids_routed(
-        base_df, n_centroids, max_iter, seed, train_sample, base_id, vec_col
+        base_df, n_centroids, max_iter, seed, train_sample, base_id, vec_col,
+        hierarchical=hierarchical, branch=branch,
     )
     bc_books = train_pq_codebooks(
         base_df, m, n_codes, max_iter, seed + 1000, train_sample, base_id, vec_col
@@ -1181,6 +1195,8 @@ def ivfpq_cosine_topk(
     base_id: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    hierarchical: bool | None = None,
+    branch: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: coarse inverted lists + PQ codes + exact refine — the
     composition FAISS ships as ``IndexIVFPQ``, i.e. the index layout you
@@ -1194,7 +1210,8 @@ def ivfpq_cosine_topk(
     round-trips through parquet, so in-memory and save/load searches are
     bit-identical by construction (parity-gated in tests)."""
     index = build_ivfpq_index(
-        base_df, n_centroids, m, n_codes, max_iter, seed, train_sample, base_id, vec_col
+        base_df, n_centroids, m, n_codes, max_iter, seed, train_sample, base_id,
+        vec_col, hierarchical=hierarchical, branch=branch,
     )
     return search_ivfpq_index(
         queries_df, index, k, n_probe, refine, base_df,

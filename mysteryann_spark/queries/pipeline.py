@@ -1429,6 +1429,28 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfpq_hier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with HIERARCHICAL coarse training + routed assignment —
+    the large-nlist scale path (similarity._hierarchical_kmeans): level-1
+    k-means at the branch factor, per-cell sub-k-means with mass-
+    proportional quotas, and two-level nearest-centroid routing for the
+    base assignment. At 10^8 x 163,840 lists this is the difference
+    between days and minutes of coarse-quantizer work (SCALE.md r11);
+    here it runs at sf scale (forced via hierarchical=True, branch=8 —
+    no sf table crosses the auto threshold) so the driver hash-locks the
+    exact routed assignment + search output. Deterministic end-to-end:
+    seeded two-level Lloyd over the id-sorted hash-sample, lexsort
+    (dist, id) tie-breaks in the routed scorer. Recall parity vs the
+    flat-trained index is gated in tests/test_hierarchical_ivf.py."""
+    from mysteryann_spark.operators.similarity import ivfpq_cosine_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
+    return ivfpq_cosine_topk(
+        q, e, 5, n_centroids=64, n_probe=16, hierarchical=True, branch=8
+    ).select("qid", "nn_id", F.round("dist", 6).alias("dist"), "rank")
+
+
 # --- round-4 multimodal extensions: feature-extract, resize, audio ----------
 
 
@@ -1830,6 +1852,7 @@ QUERIES: dict[str, QuerySpec] = {
     "bpe_pair_counts": QuerySpec(bpe_pair_counts, _BPE_PAIRS_SQL),
     "ann_pq_topk": QuerySpec(ann_pq_topk, None),
     "ann_ivfpq_topk": QuerySpec(ann_ivfpq_topk, None),
+    "ann_ivfpq_hier_topk": QuerySpec(ann_ivfpq_hier_topk, None),
     "pipeline_chunk_documents": QuerySpec(pipeline_chunk_documents, _CHUNK_SQL),
     "doc_unigram_logprob": QuerySpec(doc_unigram_logprob, _UNIGRAM_SQL),
     "multimodal_image_features": QuerySpec(multimodal_image_features, _IMG_FEAT_SQL),
