@@ -172,8 +172,12 @@ def roargraph_search_distributed_wide(spark: SparkSession, sf_dir: str) -> DataF
     up to 4 unexpanded pool entries per query, cutting the dominant
     scale cost — driver-synchronized join rounds — ~4x (measured 10⁷:
     width 8 turned 260 rounds into 37 at unchanged recall, SCALE.md).
-    Deterministic given the seeded build, so pinned; the recall gate vs
-    strict best-first lives in tests/test_graph.py
+    Rounds are a function of the beam, NOT the batch — measured at 10⁷
+    through the reference's own 10k-query protocol size: 71-72 rounds
+    at every batch from 200 to 10,000 queries, so QPS amortizes 0.86 →
+    2.31 → 5.1 with bit-parity (0 differing rows) at each point
+    (SCALE.md r11). Deterministic given the seeded build, so pinned;
+    the recall gate vs strict best-first lives in tests/test_graph.py
     (test_distributed_search_frontier_batched_width)."""
     from mysteryann_spark.operators.search_distributed import search_graph_distributed
 
