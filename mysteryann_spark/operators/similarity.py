@@ -264,6 +264,38 @@ def l2norm_udf():
     return l2norm
 
 
+def _parse_size_bytes(s: str) -> int:
+    """Spark size-string ("1g", "512m", "1024k", "123" = bytes) → bytes."""
+    s = s.strip().lower()
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if s.endswith(suffix + "b"):
+            s, mult = s[:-2], m
+            break
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    return int(float(s) * mult)
+
+
+def _guard_train_collect(est_rows: int, dim: int, limit_bytes: int) -> None:
+    """Fail FAST and legibly when a training-sample collect would exceed
+    ``spark.driver.maxResultSize``. Hit for real at the 163,840-list 10^8
+    geometry (SCALE.md r11): 64 points/centroid is a 10.5M-row ≈ 3 GB
+    Arrow collect, and the stock 1g limit killed the build 7 minutes in
+    with a BrokenPipeError three layers away from the cause. The
+    estimate is rows x dim x 5 B (float32 payload + Arrow framing)."""
+    est = est_rows * max(1, dim) * 5
+    if limit_bytes and est > limit_bytes:
+        raise RuntimeError(
+            f"training-sample collect of ~{est_rows} rows x {dim} dims "
+            f"(~{est >> 20} MiB serialized) exceeds "
+            f"spark.driver.maxResultSize ({limit_bytes >> 20} MiB): raise "
+            f"it (e.g. spark.driver.maxResultSize=8g — session-start conf, "
+            f"immutable at runtime) or lower train_sample"
+        )
+
+
 def hash_sample_vectors(
     base_df: DataFrame, base_id: str, vec_col: str, rate: int
 ) -> pd.Series:
@@ -335,6 +367,15 @@ def train_centroids_routed(
     sc = base_df.sparkSession.sparkContext
     n_base = base_df.count()
     rate = max(1, int(np.ceil(n_base / float(train_sample))))
+    head = base_df.select(vec_col).head()
+    dim = len(head[0]) if head is not None and head[0] is not None else 0
+    _guard_train_collect(
+        -(-n_base // rate),
+        dim,
+        _parse_size_bytes(
+            base_df.sparkSession.conf.get("spark.driver.maxResultSize", "1g") or "0"
+        ),
+    )
     sample = _unit(hash_sample_vectors(base_df, base_id, vec_col, rate))
     if hierarchical is None:
         hierarchical = n_centroids > _FLAT_KMEANS_MAX
@@ -655,6 +696,15 @@ def train_pq_codebooks(
     bounded by ``train_sample``, never the data size."""
     n_base = base_df.count()
     rate = max(1, int(np.ceil(n_base / float(train_sample))))
+    head = base_df.select(vec_col).head()
+    head_dim = len(head[0]) if head is not None and head[0] is not None else 0
+    _guard_train_collect(
+        -(-n_base // rate),
+        head_dim,
+        _parse_size_bytes(
+            base_df.sparkSession.conf.get("spark.driver.maxResultSize", "1g") or "0"
+        ),
+    )
     mat = _unit(hash_sample_vectors(base_df, base_id, vec_col, rate))
     dim = mat.shape[1]
     if dim % m:

@@ -176,3 +176,30 @@ def test_hierarchical_search_recall_matches_flat(spark, hier_built):
     assert r_hier >= r_flat - 0.05, (
         f"hierarchical recall@10={r_hier} vs flat {r_flat}"
     )
+
+
+def test_train_collect_guard_and_size_parse():
+    """The training-sample collect must fail FAST with an actionable
+    message when it would exceed spark.driver.maxResultSize (measured
+    r11: the 10.5M-row sample at the 163,840-list geometry died 7 min in
+    with a BrokenPipeError three layers from the cause)."""
+    import pytest
+
+    from mysteryann_spark.operators.similarity import (
+        _guard_train_collect,
+        _parse_size_bytes,
+    )
+
+    assert _parse_size_bytes("1g") == 1 << 30
+    assert _parse_size_bytes("512m") == 512 << 20
+    assert _parse_size_bytes("1024k") == 1 << 20
+    assert _parse_size_bytes("2gb") == 2 << 30
+    assert _parse_size_bytes("123") == 123
+    assert _parse_size_bytes("1.5g") == int(1.5 * (1 << 30))
+
+    # 10.5M x 64 at the stock 1g limit: the r11 failure, now legible
+    with pytest.raises(RuntimeError, match="maxResultSize"):
+        _guard_train_collect(10_485_760, 64, 1 << 30)
+    # under the limit / unlimited (0): no complaint
+    _guard_train_collect(1_000_000, 64, 1 << 30)
+    _guard_train_collect(10_485_760, 64, 0)
