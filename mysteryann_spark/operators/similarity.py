@@ -863,6 +863,7 @@ def build_ivfpq_index(
     vec_col: str = "embedding",
     hierarchical: bool | None = None,
     branch: int | None = None,
+    pq_train_sample: int | None = None,
 ) -> dict:
     """Build the IVF-PQ index as data + model, separated so the data part
     can be PERSISTED (sources/ann_index_io.py) and searched later without
@@ -879,8 +880,19 @@ def build_ivfpq_index(
         base_df, n_centroids, max_iter, seed, train_sample, base_id, vec_col,
         hierarchical=hierarchical, branch=branch,
     )
+    # PQ codebooks are m independent (n_codes x dim/m) models — their
+    # sample need only cover n_codes clusters per subspace, NOT the
+    # coarse quantizer's points-per-centroid budget. Tying both to
+    # train_sample made the PQ Lloyd the wall at large nlist (measured
+    # r11: the 64x163,840-row coarse sample fed a ~1.5 h driver-side PQ
+    # pass whose model is identical in quality to one trained on ~100x
+    # fewer points — the FAISS ProductQuantizer caps its own training
+    # set the same way). None keeps the coupled legacy default, so the
+    # pinned sf-scale entries are bit-unchanged.
     bc_books = train_pq_codebooks(
-        base_df, m, n_codes, max_iter, seed + 1000, train_sample, base_id, vec_col
+        base_df, m, n_codes, max_iter, seed + 1000,
+        pq_train_sample if pq_train_sample is not None else train_sample,
+        base_id, vec_col,
     )
     encode = pq_encode_udf(bc_books)
     lists = base_df.select(

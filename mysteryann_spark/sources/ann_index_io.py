@@ -54,23 +54,19 @@ def save_ivfpq(
     base (0.869/0.9133 at probe 32/64, identical through both paths —
     SCALE.md r10), so float is the licensed layout at corpus scale; the
     double default preserves the value-pinned serving entry's exactness
-    guarantee."""
-    spark = index["lists"].sparkSession
-    # repartition ON cid first: partitionBy alone writes one file per
-    # (task, cid) pair — up to tasks x n_centroids small files (655k at
-    # 10^7 rows / 10,240 lists, a measured chunk of the r7 build wall
-    # and the classic small-files failure at cluster scale). Hashing
-    # each cid to exactly one task bounds it at one file per list.
-    (
-        index["lists"]
-        .repartition("cid")
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(f"{path}/lists")
-    )
+    guarantee.
 
-    if base_df is not None:
-        save_ivfpq_vectors(index, path, base_df, base_id, vec_col, vec_dtype)
+    Write ORDER is cheapest-first: model parts (kilobytes) before the
+    corpus-scale lists and vectors. The models exist only in this
+    process — sequencing them after a 25 GB data write meant an ENOSPC
+    mid-vectors discarded hours of training with them (measured r11,
+    the 10^8 density rebuild); models-first leaves a loadable index
+    whose vectors can be BACKFILLED (``save_ivfpq_vectors`` with the
+    persisted route) without retraining. A reader that loads during the
+    window between the model writes and the lists landing fails on the
+    missing ``lists`` dataset — same visibility contract as before,
+    where it failed on missing ``meta``."""
+    spark = index["lists"].sparkSession
 
     cent = index["centroids"]
     spark.createDataFrame(
@@ -110,6 +106,22 @@ def save_ivfpq(
         [(m["metric"], m["dim"], m["n_centroids"], m["m"], m["n_codes"])],
         "metric string, dim int, n_centroids int, m int, n_codes int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    # repartition ON cid first: partitionBy alone writes one file per
+    # (task, cid) pair — up to tasks x n_centroids small files (655k at
+    # 10^7 rows / 10,240 lists, a measured chunk of the r7 build wall
+    # and the classic small-files failure at cluster scale). Hashing
+    # each cid to exactly one task bounds it at one file per list.
+    (
+        index["lists"]
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/lists")
+    )
+
+    if base_df is not None:
+        save_ivfpq_vectors(index, path, base_df, base_id, vec_col, vec_dtype)
 
 
 def save_ivfpq_vectors(

@@ -90,9 +90,14 @@ def main() -> None:
             }), flush=True)
     else:
         t0 = time.time()
+        # SCALE_IVFPQ_PQ_TRAIN decouples the PQ codebook sample from the
+        # coarse 64-pts/centroid budget (the PQ Lloyd over the full
+        # coarse sample was a ~1.5 h driver wall at 163,840 lists)
+        pq_train = os.environ.get("SCALE_IVFPQ_PQ_TRAIN")
         index = build_ivfpq_index(
             emb, n_centroids=n_centroids, m=m, n_codes=256,
             train_sample=64 * n_centroids,
+            pq_train_sample=int(pq_train) if pq_train else None,
         )
         save_ivfpq(
             index, path,
