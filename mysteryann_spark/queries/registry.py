@@ -65,90 +65,34 @@ def _overlay_pinned(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
 
 
 # The correctness driver gates only the FIRST 50 entries in iteration order
-# (CORRECTNESS_r01..r10.json all cut off at exactly 50).  Registry order
-# is therefore a verification-coverage decision, not cosmetics.  Round-11
-# policy (r10 VERDICT "Next round" #1: seat the 18 last-seen-r8 entries
+# (CORRECTNESS_r01..r11.json all cut off at exactly 50).  Registry order
+# is therefore a verification-coverage decision, not cosmetics.  Round-12
+# policy (r11 VERDICT "Next round" #1: seat the 18 last-seen-r9 entries
 # before the 3-round staleness cap trips):
 #
-#   * ``_FRONT`` — (a) the 18 last-seen-r8 entries (absent from BOTH the
-#     r9 and r10 windows — the 3-round cap trips this round); (b) entries
-#     whose PLAN changed in round 11 (save_index now measures and records
-#     max_degree in the index header so loaded-index distributed searches
-#     skip the O(N) adjacency scan — the save/load roundtrip entry
-#     exercises the changed header write/read); (c) backfill from the
-#     last-seen-r9 cohort in prior order so r12's rotation stays small.
+#   * ``_FRONT`` — (a) the 18 last-seen-r9 entries (absent from BOTH the
+#     r10 and r11 windows — the 3-round cap trips this round); (b) entries
+#     whose PLAN changed in round 12 (routed assignment gained a flat
+#     fallback for -1 rows + per-executor float32 centroid memoization;
+#     save_ivfpq rebuilds over an existing path now stage to a sibling
+#     temp dir and rename-swap); (c) backfill from the last-seen-r10
+#     cohort in its r10 window order so r13's rotation stays small.
 #   * ``_FRONT`` is deliberately SHORTER than the 50-slot window: the
 #     slack means entries added mid-round (unlisted, sorting between
 #     _FRONT and _BACK) land inside the window by default instead of
 #     silently missing driver verification at position 51+; with no new
 #     entries the slack backfills from the _BACK head (the next-stalest).
-#   * ``_BACK`` — head: the 20 last-seen-r9 entries the window could not
-#     seat this round (r12's FIRST pick, together with whatever the slack
-#     does not reach), then everything driver-verified in r10, in its
-#     r10 window order.
+#   * ``_BACK`` — head: the 23 last-seen-r10 entries the window could not
+#     seat this round (r13's FIRST pick, together with whatever the slack
+#     does not reach), then everything driver-verified in r11, in its
+#     r11 window order.
 #
 # Rows-only note: ``roargraph_sweep`` is rows-only BY DESIGN, not by gap —
 # its QPS/latency columns measure the host; its deterministic columns
 # (recall, cmps, hops) are hash-pinned via ``roargraph_sweep_quality``.
 _FRONT = [
-    # (a) the r8-floor rotation debt — the reason this round's window exists
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "doc_bm25_topk",
-    "doc_substring_spans",
-    "emb_pca_variance",
-    "events_sessionize",
-    "events_transitions",
-    "hybrid_rrf_topk",
-    "join_skew_topkeys",
-    "multimodal_audio_spectral",
-    "multimodal_decode_real",
-    "multimodal_meanpool",
-    "pipeline_decontaminate",
-    "pipeline_decontaminate_semantic",
-    "pipeline_quota_sample",
-    "roargraph_degrees",
-    "roargraph_nsg_import",
-    "stream_neardup_docs",
-    # (b) plan changed in round 11 (max_degree recorded in the saved
-    # index header; the roundtrip entry writes and reads that header)
-    "roargraph_save_load_search",
-    # (c) last-seen-r9 backfill so the r12 rotation cohort stays small
-    "bpe_pair_counts",
-    "ann_pq_topk",
-    "stream_tumbling_oracled",
-    "stream_dedup_oracled",
-    "pipeline_chunk_documents",
-    "doc_unigram_logprob",
-    "multimodal_image_features",
-    "multimodal_resize",
-    "pipeline_shard_manifest",
-    "events_retention",
-    "bucketed_join_revenue",
-    "dedup_minhash_lsh",
-    "roargraph_sweep",
-    "ann_filtered_topk",
-    "dedup_semantic",
-    "dedup_fingerprint",
-    "dedup_jaccard_bigram",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_persisted",
-    "pipeline_curate",
-    "dedup_components",
-    "dedup_exact",
-    "doc_rolling_fingerprint",
-    "doc_bpe_tokens",
-    "doc_token_stats",
-    "doc_lang_id",
-    "doc_quality",
-    "doc_tfidf_topterms",
-]
-_BACK = [
-    # last-seen-r9 remainder the window could not seat — r12's FIRST pick
-    # (with no mid-round additions the first 3 backfill into the r11
-    # window through the _FRONT slack)
-    "bipartite_edges",
-    "udf_registry_distances",
+    # (a) the r9-floor rotation debt — the reason this round's window
+    # exists (seated in the old _BACK-head order)
     "filter_project",
     "topk_orders",
     "window_rank",
@@ -167,8 +111,12 @@ _BACK = [
     "ann_ivfpq_vectors",
     "bipartite_search_topk",
     "ann_ivf_topk",
-    # driver-verified in round 10 (hash or rows-ran), untouched since —
-    # kept in the r10 window order
+    # (b) plan changed in round 12: the hier entry exercises the routed
+    # assignment's -1 fallback + executor-memoized float32 centroids;
+    # the persisted entry exercises the staged-rename overwrite path
+    "ann_ivfpq_hier_topk",
+    "ann_ivfpq_persisted",
+    # (c) last-seen-r10 backfill so the r13 rotation cohort stays small
     "roargraph_build_ivf",
     "roargraph_binary_interop",
     "knn_exact",
@@ -196,6 +144,11 @@ _BACK = [
     "doc_pii_scrub",
     "flagship_revenue_by_nation",
     "funnel_steps",
+]
+_BACK = [
+    # last-seen-r10 remainder the window could not seat — r13's FIRST
+    # pick (with no mid-round additions the first 3 backfill into the
+    # r12 window through the _FRONT slack)
     "grouping_sets_sales",
     "json_events",
     "math_functions",
@@ -219,6 +172,56 @@ _BACK = [
     "events_pivot",
     "events_approx_distinct",
     "multimodal_decode",
+    # driver-verified in round 11 (hash or rows-ran), kept in the r11
+    # window order (minus the two moved to _FRONT as plan-changed)
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_bm25_topk",
+    "doc_substring_spans",
+    "emb_pca_variance",
+    "events_sessionize",
+    "events_transitions",
+    "hybrid_rrf_topk",
+    "join_skew_topkeys",
+    "multimodal_audio_spectral",
+    "multimodal_decode_real",
+    "multimodal_meanpool",
+    "pipeline_decontaminate",
+    "pipeline_decontaminate_semantic",
+    "pipeline_quota_sample",
+    "roargraph_degrees",
+    "roargraph_nsg_import",
+    "stream_neardup_docs",
+    "roargraph_save_load_search",
+    "bpe_pair_counts",
+    "ann_pq_topk",
+    "stream_tumbling_oracled",
+    "stream_dedup_oracled",
+    "pipeline_chunk_documents",
+    "doc_unigram_logprob",
+    "multimodal_image_features",
+    "multimodal_resize",
+    "pipeline_shard_manifest",
+    "events_retention",
+    "bucketed_join_revenue",
+    "dedup_minhash_lsh",
+    "roargraph_sweep",
+    "ann_filtered_topk",
+    "dedup_semantic",
+    "dedup_fingerprint",
+    "dedup_jaccard_bigram",
+    "ann_ivfpq_topk",
+    "pipeline_curate",
+    "dedup_components",
+    "dedup_exact",
+    "doc_rolling_fingerprint",
+    "doc_bpe_tokens",
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_quality",
+    "doc_tfidf_topterms",
+    "bipartite_edges",
+    "udf_registry_distances",
 ]
 
 
