@@ -240,6 +240,31 @@ def _routed_nearest(
     # candidates than n) carry inf/-1 and sort last
     order2 = np.lexsort((best_i, best_d), axis=1)
     best = np.take_along_axis(best_i, order2, axis=1)
+    # a row whose top-R cells are ALL zero-quota (empty sparse regions)
+    # ends with no candidates at all; without a fallback it gets cid=-1
+    # and silently drops out of every probed list — data loss the flat
+    # path cannot exhibit. Exact flat top-n over the full matrix for
+    # just those rows (rare by construction, chunked under the shared
+    # distance-block budget).
+    miss = np.flatnonzero(best[:, 0] == -1)
+    if len(miss):
+        from mysteryann_spark.operators.knn import dmat_chunk_rows
+
+        t = min(n, k)
+        chunk = dmat_chunk_rows(k, itemsize=4)
+        for s in range(0, len(miss), chunk):
+            rows = miss[s : s + chunk]
+            d = cc[None, :] - 2.0 * (m32[rows] @ c32.T)
+            if t < k:
+                part = np.argpartition(d, t - 1, axis=1)[:, :t].astype(np.int64)
+                dd = np.take_along_axis(d, part, axis=1)
+            else:
+                part = np.broadcast_to(np.arange(k, dtype=np.int64), d.shape)
+                dd = d
+            o = np.lexsort((part, dd), axis=1)
+            blk = np.full((len(rows), n), -1, dtype=np.int64)
+            blk[:, :t] = np.take_along_axis(part, o, axis=1)
+            best[rows] = blk
     return best.astype(np.int32)
 
 
@@ -284,8 +309,12 @@ def _guard_train_collect(est_rows: int, dim: int, limit_bytes: int) -> None:
     geometry (SCALE.md r11): 64 points/centroid is a 10.5M-row ≈ 3 GB
     Arrow collect, and the stock 1g limit killed the build 7 minutes in
     with a BrokenPipeError three layers away from the cause. The
-    estimate is rows x dim x 5 B (float32 payload + Arrow framing)."""
-    est = est_rows * max(1, dim) * 5
+    estimate is rows x dim x 8 B: the collected column is array<double>
+    (8 B/element serialized; offsets/framing ride in the margin) — a 5 B
+    float32-payload estimate under-counted, letting a collect sized
+    between the two pass the guard and still die with the original
+    opaque error."""
+    est = est_rows * max(1, dim) * 8
     if limit_bytes and est > limit_bytes:
         raise RuntimeError(
             f"training-sample collect of ~{est_rows} rows x {dim} dims "
@@ -417,11 +446,23 @@ def nearest_centroids_udf(bc, n: int, route_bc=None):
     hierarchical centroid counts, never on the pinned flat path."""
     from pyspark.sql.functions import pandas_udf
 
+    # executor-side memo for the float32 recast of the broadcast centroid
+    # matrix: the cast is ~42 MB PER ARROW BATCH at 163,840 lists x 64
+    # dims, and a 10^8 assignment pass runs thousands of batches per
+    # worker — cast once per python worker (the closure, including this
+    # slot, is deserialized once per worker and reused across batches).
+    _f32_slot: list = []
+
+    def _cent32() -> np.ndarray:
+        if not _f32_slot:
+            _f32_slot.append(np.ascontiguousarray(bc.value, dtype=np.float32))
+        return _f32_slot[0]
+
     if route_bc is not None:
 
         @pandas_udf(ArrayType(IntegerType()))
         def nearest_routed(vecs: pd.Series) -> pd.Series:
-            c32 = np.ascontiguousarray(bc.value, dtype=np.float32)
+            c32 = _cent32()
             l1_32, indptr = route_bc.value
             m = _unit(vecs)
             out = _routed_nearest(m, c32, l1_32, indptr, n)
@@ -436,7 +477,7 @@ def nearest_centroids_udf(bc, n: int, route_bc=None):
         if len(m) * len(c) > _CENT_F32_CELLS:
             from mysteryann_spark.operators.knn import dmat_chunk_rows
 
-            c32 = np.ascontiguousarray(c, dtype=np.float32)
+            c32 = _cent32()
             cc = (c32 * c32).sum(axis=1)[None, :]
             # sized from the SAME per-worker budget every other distance
             # block obeys (the old max(256, 2^24-cell) floor over-allocated

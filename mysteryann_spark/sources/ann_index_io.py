@@ -65,7 +65,49 @@ def save_ivfpq(
     persisted route) without retraining. A reader that loads during the
     window between the model writes and the lists landing fails on the
     missing ``lists`` dataset — same visibility contract as before,
-    where it failed on missing ``meta``."""
+    where it failed on missing ``meta``.
+
+    A REBUILD over an existing index path stages to a sibling temp dir
+    and swaps via rename instead: writing models-first in place would
+    open a window where the NEW meta/centroids coexist with the OLD
+    lists — a concurrent reader would load a consistent-looking but
+    mismatched index (wrong assignments, no error) rather than fail on
+    a missing dataset. The swap is a rename pair (old aside, staged in),
+    so a concurrent reader sees either the old index, the new index, or
+    a briefly-missing path (a clean load error) — never mixed parts."""
+    spark = index["lists"].sparkSession
+
+    jvm = spark._jvm
+    dest_hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dest_hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    staged = fs.exists(dest_hpath)
+    if staged:
+        import uuid
+
+        token = uuid.uuid4().hex[:12]
+        dest = f"{path}.__rebuild__-{token}"
+    else:
+        dest = path
+    _write_ivfpq_parts(index, dest, base_df, base_id, vec_col, vec_dtype)
+    if staged:
+        old = jvm.org.apache.hadoop.fs.Path(f"{path}.__replaced__-{token}")
+        if not fs.rename(dest_hpath, old):
+            raise IOError(f"index swap: could not move old index aside at {path}")
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(dest), dest_hpath):
+            # restore the old index so the path never stays empty
+            fs.rename(old, dest_hpath)
+            raise IOError(f"index swap: could not move staged rebuild into {path}")
+        fs.delete(old, True)
+
+
+def _write_ivfpq_parts(
+    index: dict,
+    path: str,
+    base_df,
+    base_id: str,
+    vec_col: str,
+    vec_dtype: str,
+) -> None:
     spark = index["lists"].sparkSession
 
     cent = index["centroids"]

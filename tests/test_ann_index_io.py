@@ -179,3 +179,64 @@ def test_persisted_vectors_float_dtype(spark, tmp_path):
         per_q.setdefault(r["qid"], []).append(r["rank"])
     assert set(per_q) == set(range(5))
     assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+
+def test_rebuild_over_existing_path_swaps_atomically(spark, tmp_path):
+    """Rebuilding onto an EXISTING index path must never leave mixed
+    parts: pre-fix, models-first in-place writes opened a window where
+    the new meta/centroids coexisted with the old lists — a reader got
+    a consistent-LOOKING but mismatched index with no error. The rebuild
+    now stages to a sibling dir and rename-swaps, so the landed index is
+    entirely the new build and no staging siblings remain."""
+    import os
+
+    from mysteryann_spark.sources.tables import load_table
+
+    base = load_table(spark, "embeddings", SF_TINY)
+    path = str(tmp_path / "idx")
+    save_ivfpq(build_ivfpq_index(base, n_centroids=4, m=8, n_codes=16), path)
+    rebuilt = build_ivfpq_index(base, n_centroids=8, m=8, n_codes=32)
+    save_ivfpq(rebuilt, path)
+
+    loaded = load_ivfpq(spark, path)
+    assert loaded["meta"] == rebuilt["meta"]
+    np.testing.assert_array_equal(loaded["centroids"], rebuilt["centroids"])
+    assert loaded["lists"].count() == rebuilt["lists"].count()
+    siblings = [d for d in os.listdir(tmp_path) if d != "idx"]
+    assert siblings == [], f"staging residue left behind: {siblings}"
+
+
+def test_load_mid_write_window_fails_clean_then_backfills(spark, tmp_path):
+    """The models-first fresh-path write order has a visibility window:
+    models (+ route) landed, ``lists`` not yet. A reader in that window
+    must fail on the missing dataset — NOT load a partial index — and
+    once the lists land, the vectors must backfill through the persisted
+    models without retraining (the ENOSPC-survivability contract)."""
+    import shutil
+
+    from mysteryann_spark.sources.ann_index_io import save_ivfpq_vectors
+    from mysteryann_spark.sources.tables import load_table
+
+    base = load_table(spark, "embeddings", SF_TINY)
+    index = build_ivfpq_index(base, n_centroids=8, m=8, n_codes=32)
+    path = str(tmp_path / "idx")
+    save_ivfpq(index, path)
+    # reconstruct the mid-write shape: everything but lists
+    lists_dir = f"{path}/lists"
+    saved = f"{tmp_path}/lists_aside"
+    shutil.move(lists_dir, saved)
+    with pytest.raises(Exception, match="(?i)path does not exist|lists"):
+        load_ivfpq(spark, path)
+    # lists land -> the index loads, and vectors backfill through the
+    # persisted models/route, agreeing with the lists' assignment
+    shutil.move(saved, lists_dir)
+    loaded = load_ivfpq(spark, path)
+    save_ivfpq_vectors(loaded, path, base)
+    reloaded = load_ivfpq(spark, path)
+    assert "vectors" in reloaded
+    joined = (
+        reloaded["vectors"]
+        .select("nn_id", F.col("cid").alias("vcid"))
+        .join(reloaded["lists"].select("nn_id", "cid"), "nn_id")
+    )
+    assert joined.where(F.col("vcid") != F.col("cid")).count() == 0

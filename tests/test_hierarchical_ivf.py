@@ -203,3 +203,46 @@ def test_train_collect_guard_and_size_parse():
     # under the limit / unlimited (0): no complaint
     _guard_train_collect(1_000_000, 64, 1 << 30)
     _guard_train_collect(10_485_760, 64, 0)
+
+
+def test_routed_assignment_falls_back_when_top_cells_empty():
+    """A row whose top-R level-1 cells are ALL zero-quota must not come
+    back with id -1 (pre-fix it did: the row got cid=-1 and silently
+    vanished from every probed list — data loss the flat path cannot
+    exhibit). The fallback scores just those rows against the full flat
+    matrix, so the result is the EXACT top-n."""
+    import numpy as np
+
+    from mysteryann_spark.operators.similarity import _routed_nearest
+
+    # k=64 children across branch=8 cells -> avg 8 children/cell, so at
+    # n=3 the router probes R=4 of 8 cells. The 4 cells nearest the query
+    # (0-3) are zero-quota; all children live in cells 5-8's ranges.
+    l1 = np.zeros((8, 2), dtype=np.float32)
+    l1[:, 0] = np.arange(8)
+    indptr = np.array([0, 0, 0, 0, 0, 16, 32, 48, 64], dtype=np.int64)
+    c32 = np.zeros((64, 2), dtype=np.float32)
+    c32[:, 0] = 4.0 + np.arange(64) / 64.0
+    # one row in the empty region, one normal row (mixed batch: only the
+    # starved row takes the fallback path)
+    m = np.array([[0.0, 0.0], [7.0, 0.0]], dtype=np.float64)
+    out = _routed_nearest(m, c32, l1, indptr, 3)
+    assert (out >= 0).all(), f"-1 ids survived the fallback: {out}"
+    d = ((c32[None, :, :] - m[:, None, :].astype(np.float32)) ** 2).sum(axis=2)
+    exact = np.argsort(d, axis=1)[:, :3]
+    np.testing.assert_array_equal(out, exact)
+
+
+def test_train_collect_guard_uses_double_width():
+    """The guard must upper-bound the REAL Arrow footprint: the collected
+    column is array<double> (8 B/element), and the old 5 B estimate let
+    a collect sized between the two pass the guard and still die with
+    the original opaque BrokenPipeError."""
+    import pytest
+
+    from mysteryann_spark.operators.similarity import _guard_train_collect
+
+    # 1M x 64 = 488 MiB at 8 B/element but 305 MiB at 5 B: a 400 MiB
+    # limit must now refuse it
+    with pytest.raises(RuntimeError, match="maxResultSize"):
+        _guard_train_collect(1_000_000, 64, 400 << 20)
