@@ -71,13 +71,27 @@ def train_routing_centroids(
     train_sample: int | None = None,
     base_id: str = "vec_id",
     vec_col: str = "embedding",
-) -> np.ndarray:
+    hierarchical: bool | None = None,
+    branch: int | None = None,
+) -> tuple[np.ndarray, tuple[np.ndarray, np.ndarray] | None]:
     """Seeded k-means centroids over a bounded deterministic hash-sample,
     in ROUTING space: raw vectors for l2/ip, L2-normalized for cosine
     (spherical k-means). Same sampling protocol as
     similarity.train_centroids; the sample cap defaults to ~256 points
-    per centroid — past that k-means stops moving."""
+    per centroid — past that k-means stops moving.
+
+    Returns ``(cmat, route | None)``. Above ``_FLAT_KMEANS_MAX``
+    centroids (override with ``hierarchical``) training runs the same
+    two-level Lloyd the IVF-PQ builder uses (``_hierarchical_kmeans``)
+    and returns the ``(l1_float32, indptr)`` routing structure, so the
+    graph build's phase-0 assignment pays O(branch + R*k/branch) per row
+    instead of rediscovering the measured ~2.4 h flat-assignment wall at
+    the 163,840-list 10^8 geometry (SCALE.md r11)."""
     from mysteryann_spark.operators.similarity import (
+        _FLAT_KMEANS_MAX,
+        _guard_train_collect,
+        _hierarchical_kmeans,
+        _parse_size_bytes,
         _sample_kmeans,
         hash_sample_vectors,
     )
@@ -86,11 +100,27 @@ def train_routing_centroids(
         train_sample = max(4096, 256 * n_centroids)
     n_base = base_df.count()
     rate = max(1, int(np.ceil(n_base / float(train_sample))))
+    head = base_df.select(vec_col).head()
+    dim = len(head[0]) if head is not None and head[0] is not None else 0
+    _guard_train_collect(
+        -(-n_base // rate),
+        dim,
+        _parse_size_bytes(
+            base_df.sparkSession.conf.get("spark.driver.maxResultSize", "1g") or "0"
+        ),
+    )
     sample = hash_sample_vectors(base_df, base_id, vec_col, rate)
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
     if metric == "cosine":
         mat = np_normalize(mat)
-    return _sample_kmeans(mat, n_centroids, max_iter, seed)
+    if hierarchical is None:
+        hierarchical = n_centroids > _FLAT_KMEANS_MAX
+    if hierarchical:
+        cmat, l1, indptr = _hierarchical_kmeans(
+            mat, n_centroids, max_iter, seed, branch=branch
+        )
+        return cmat, (np.ascontiguousarray(l1, dtype=np.float32), indptr)
+    return _sample_kmeans(mat, n_centroids, max_iter, seed), None
 
 
 def _route(metric: str, mat: np.ndarray) -> np.ndarray:
@@ -112,6 +142,8 @@ def ivf_knn_join(
     vec_col: str = "embedding",
     exclude_self: bool = False,
     storage_dir: str | None = None,
+    hierarchical: bool | None = None,
+    branch: int | None = None,
 ) -> DataFrame:
     """Approximate top-k join, same contract as knn_join —
     ``(qid, nn_id, dist, rank)``, rank 1..k ordered by (dist, nn_id) —
@@ -123,6 +155,15 @@ def ivf_knn_join(
     straddle a list boundary miss them — recall is tuned by ``n_probe``
     and gated in tests, exactly how the reference gates its own
     approximate search quality.
+
+    Above ``_FLAT_KMEANS_MAX`` centroids (``hierarchical`` overrides)
+    training and base assignment go through the two-level route — the
+    same O(branch + R*k/branch) structure the IVF-PQ builder uses, so a
+    10^8-order build never pays the flat O(k)-per-row assignment wall.
+    Query PROBING also routes for metric=l2 (``_routed_nearest`` is an
+    L2 scorer); cosine/ip probing keeps the exact chunked GEMM — their
+    centroid ranking depends on centroid norms / dot products the
+    two-level L2 route does not order by.
     """
     spark = base_df.sparkSession
     n_base = base_df.count()
@@ -132,14 +173,34 @@ def ivf_knn_join(
         n_centroids = max(4, min(4096, int(math.isqrt(n_base))))
     n_probe = min(n_probe, n_centroids)
 
-    cmat = train_routing_centroids(
-        base_df, n_centroids, metric, max_iter, seed, train_sample, base_id, vec_col
+    cmat, route = train_routing_centroids(
+        base_df,
+        n_centroids,
+        metric,
+        max_iter,
+        seed,
+        train_sample,
+        base_id,
+        vec_col,
+        hierarchical=hierarchical,
+        branch=branch,
     )
     bc_cent = spark.sparkContext.broadcast(cmat)
+    bc_route = spark.sparkContext.broadcast(route) if route is not None else None
     npr = min(n_probe, len(cmat))
 
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType
+
+    # executor-side memo: float32 recast of the broadcast centroid matrix,
+    # built once per python worker, not per Arrow batch (similarity.py's
+    # `_cent32` convention)
+    _f32_slot: list = []
+
+    def _cent32() -> np.ndarray:
+        if not _f32_slot:
+            _f32_slot.append(np.ascontiguousarray(bc_cent.value, dtype=np.float32))
+        return _f32_slot[0]
 
     @pandas_udf(ArrayType(IntegerType()))
     def probe_cids(vecs: pd.Series) -> pd.Series:
@@ -155,6 +216,12 @@ def ivf_knn_join(
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         m = _route(metric, np.stack([np.asarray(v, dtype=np.float64) for v in vecs]))
+        if bc_route is not None and metric == "l2":
+            from mysteryann_spark.operators.similarity import _routed_nearest
+
+            l1_32, indptr = bc_route.value
+            p = _routed_nearest(m, _cent32(), l1_32, indptr, npr)
+            return pd.Series(list(p))
         d = np_distances(metric, m, bc_cent.value)
         p = np.argpartition(d, npr - 1, axis=1)[:, :npr].astype(np.int32)
         return pd.Series(list(p))
@@ -218,6 +285,16 @@ def ivf_knn_join(
     @pandas_udf(IntegerType())
     def assign_cid(vecs: pd.Series) -> pd.Series:
         m = _route(metric, np.stack([np.asarray(v, dtype=np.float64) for v in vecs]))
+        if bc_route is not None:
+            # assignment is ALWAYS L2-nearest in routing space (any
+            # metric), so the two-level route applies unconditionally —
+            # this is the pass that was a measured ~2.4 h flat wall at
+            # the 163,840-list 10^8 geometry
+            from mysteryann_spark.operators.similarity import _routed_nearest
+
+            l1_32, indptr = bc_route.value
+            out = _routed_nearest(m, _cent32(), l1_32, indptr, 1)[:, 0]
+            return pd.Series(out.astype(np.int32))
         d = np_distances("l2", m, bc_cent.value)
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 

@@ -121,3 +121,39 @@ def test_empty_path_does_not_mutate_shared_schema(spark, emb, q):
     assert len(_CAND_SCHEMA.fields) == 3
     after = ivf_knn_join(q.where("qid < 5"), emb, 3, "l2", n_probe=4)
     assert after.count() == 15  # 5 queries x k=3 — kernel schema intact
+
+
+def test_routing_trainer_goes_hierarchical_above_threshold(emb, monkeypatch):
+    """Above _FLAT_KMEANS_MAX the routing trainer must return the
+    two-level route (the flat Lloyd pass is the measured ~23 h / ~2.4 h
+    wall at the 163,840-list 10^8 geometry — SCALE.md r11); below it the
+    flat path and its None route are unchanged."""
+    from mysteryann_spark.operators import similarity
+    from mysteryann_spark.operators.knn_approx import train_routing_centroids
+
+    monkeypatch.setattr(similarity, "_FLAT_KMEANS_MAX", 8)
+    cmat, route = train_routing_centroids(emb, 16, "l2", branch=4)
+    assert route is not None
+    l1_32, indptr = route
+    assert len(cmat) == 16
+    assert indptr[0] == 0 and indptr[-1] == len(cmat)
+    assert len(indptr) == len(l1_32) + 1
+
+    cmat_flat, route_flat = train_routing_centroids(emb, 8, "l2")
+    assert route_flat is None and len(cmat_flat) == 8
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+def test_ivf_join_routed_recall(spark, emb, q, metric):
+    """hierarchical=True must keep the recall floor for every metric:
+    assignment routes two-level always, probing routes for l2 and stays
+    exact-GEMM for ip/cosine (their centroid ranking depends on norms
+    the L2 route does not order by)."""
+    from mysteryann_spark.operators.knn import knn_join
+
+    n = emb.count()
+    exact = knn_join(q, emb, 10, metric)
+    approx = ivf_knn_join(
+        q, emb, 10, metric, n_probe=8, hierarchical=True, branch=4
+    )
+    assert _recall(approx, exact, 10, n) >= 0.70
