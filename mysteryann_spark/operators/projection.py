@@ -224,6 +224,7 @@ def build_roargraph(
     expand_width: int = 1,
     phase0: str = "exact",
     phase0_opts: dict | None = None,
+    knn_df: DataFrame | None = None,
 ) -> tuple[DataFrame, int]:
     """Returns (projection adjacency ``(node, nbrs)``, entry point id).
 
@@ -243,6 +244,17 @@ def build_roargraph(
     graph's recall is gated against the exact-phase-0 build in
     tests/test_graph.py; ``phase0_opts`` passes n_centroids/n_probe/...
     through to ivf_knn_join.
+
+    ``knn_df`` supplies a PRECOMPUTED training-kNN table
+    ``(qid, nn array, dists array)`` and skips phase 0 entirely — the
+    direct analog of the reference LOADING its ground-truth file as
+    build input (LoadLearnBaseKNN, src/index_bipartite.cpp:2622-2639,
+    fetched by prepare_data.sh:29) rather than computing it in-line.
+    This is also the multi-session segmentation point for 10^8-order
+    builds: run phase 0 once, persist the table, and resume the
+    remaining phases from it (tools/scale_rehearsal.py
+    SCALE_PHASE0_DIR). ``queries_df`` is unused on this path — every
+    later phase reads only ``knn_df`` and ``base_df``.
     """
     metric = params.metric
 
@@ -262,7 +274,9 @@ def build_roargraph(
 
     # --- phase 0: kNN of every training query into the base set
     # (the table the reference loads as learn_base_knn_, :2622-2639)
-    if phase0 == "exact":
+    if knn_df is not None:
+        knn = knn_df
+    elif phase0 == "exact":
         knn = knn_join_arrays(
             queries_df, base_df, params.M_sq, metric,
             base_id=base_id, vec_col=vec_col,
@@ -370,6 +384,7 @@ def build_roargraph_from_table(
     expand_width: int = 1,
     phase0: str = "exact",
     phase0_opts: dict | None = None,
+    knn_df: DataFrame | None = None,
 ) -> tuple[DataFrame, int]:
     """Convenience split for testdata: every embedding is a base point;
     training queries are a deterministic prefix (vec_id < n_queries) —
@@ -381,6 +396,7 @@ def build_roargraph_from_table(
     return build_roargraph(
         base, q, params, ensure_reachable=ensure_reachable,
         expand_width=expand_width, phase0=phase0, phase0_opts=phase0_opts,
+        knn_df=knn_df,
     )
 
 

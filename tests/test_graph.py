@@ -1229,3 +1229,26 @@ def test_bipartite_kernel_empty_seed_lists():
         for s, pool in zip(seeds, p2):
             if not s:
                 assert pool == []
+
+
+def test_precomputed_knn_df_build_matches_inline_phase0(spark, emb):
+    """``knn_df`` (the LoadKNN analog of the reference loading its
+    precomputed GT as build input, src/index_bipartite.cpp:2622-2639,
+    and the multi-session segmentation point for 10^8-order builds):
+    feeding the build the SAME table phase 0 would compute must produce
+    the IDENTICAL adjacency and entry point."""
+    from mysteryann_spark.operators.knn_approx import ivf_knn_join_arrays
+    from mysteryann_spark.queries.graph import IVF_PHASE0_OPTS
+
+    inline, ep1 = build_roargraph_from_table(
+        spark, emb, PARAMS, phase0="ivf", phase0_opts=IVF_PHASE0_OPTS
+    )
+    q = emb.select(F.col("vec_id").alias("qid"), "embedding")
+    knn = ivf_knn_join_arrays(
+        q, emb.select("vec_id", "embedding"), PARAMS.M_sq, PARAMS.metric,
+        **IVF_PHASE0_OPTS,
+    )
+    fed, ep2 = build_roargraph_from_table(spark, emb, PARAMS, knn_df=knn)
+    assert ep1 == ep2
+    assert inline.exceptAll(fed).count() == 0
+    assert fed.exceptAll(inline).count() == 0

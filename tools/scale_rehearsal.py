@@ -112,7 +112,13 @@ def main() -> None:
         k=10, L_pq=100, metric="l2",
     )
 
-    emb = synth_embeddings(spark, n).cache()
+    # SCALE_NO_CACHE: at 10^8 the cached vector rows (~25.6 GB payload,
+    # 2-3x that as JVM objects) evict everything else from the single
+    # local JVM — the synth is deterministic and ~5 min/pass, so
+    # recomputing beats thrashing (the r11 dense IVF-PQ protocol)
+    emb = synth_embeddings(spark, n)
+    if not _env.environ.get("SCALE_NO_CACHE"):
+        emb = emb.cache()
     t0 = time.time()
     emb.count()
     t_synth = time.time() - t0
@@ -137,6 +143,53 @@ def main() -> None:
         if idx_dir
         else None
     )
+    # SCALE_PHASE0_DIR: persist/reuse the phase-0 training-kNN table —
+    # the multi-session segmentation point for 10^8-order builds (the
+    # reference's own regime: precomputed GT loaded as build input,
+    # LoadLearnBaseKNN). With SCALE_STOP_AFTER=phase0 the session ends
+    # once the table lands, so a later session resumes phases 1-5 from
+    # it without re-paying phase 0.
+    p0_dir = os.environ.get("SCALE_PHASE0_DIR")
+    # SCALE_P0_CENTROIDS / SCALE_P0_PROBE: ivf phase-0 geometry overrides
+    # (the default caps n_centroids at 4096; a 10^8 build wants sqrt-N
+    # lists, which crosses the hierarchical-routing threshold)
+    p0_opts: dict = {}
+    if os.environ.get("SCALE_P0_CENTROIDS"):
+        p0_opts["n_centroids"] = int(os.environ["SCALE_P0_CENTROIDS"])
+    if os.environ.get("SCALE_P0_PROBE"):
+        p0_opts["n_probe"] = int(os.environ["SCALE_P0_PROBE"])
+    knn_df = None
+    if p0_dir and phase0 != "exact" and not (
+        idx_path and os.path.isdir(f"{idx_path}/adjacency")
+    ):
+        p0_path = (
+            f"{p0_dir}/p0_n{n}_t{n_train or n}_M{params.M_sq}_{phase0}"
+            + ("" if N_CENTERS == 256 else f"_c{N_CENTERS}")
+            + "".join(f"_{k}{v}" for k, v in sorted(p0_opts.items()))
+        )
+        if not os.path.exists(f"{p0_path}/_SUCCESS"):
+            from mysteryann_spark.operators.knn_approx import ivf_knn_join_arrays
+
+            q_train = emb.select(F.col("vec_id").alias("qid"), "embedding")
+            if n_train is not None:
+                q_train = q_train.where(F.col("qid") < n_train)
+            t0 = time.time()
+            ivf_knn_join_arrays(
+                q_train, emb.select("vec_id", "embedding"), params.M_sq,
+                params.metric, **p0_opts,
+            ).write.mode("overwrite").parquet(p0_path)
+            print(json.dumps({
+                "stage": "phase0", "n": n, "n_train": n_train or n,
+                "sec": round(time.time() - t0, 1), "path": p0_path,
+            }), flush=True)
+        knn_df = spark.read.parquet(p0_path)
+        print(json.dumps({
+            "stage": "phase0_loaded", "path": p0_path, "rows": knn_df.count(),
+        }), flush=True)
+        if os.environ.get("SCALE_STOP_AFTER") == "phase0":
+            spark.stop()
+            return
+
     if idx_path and os.path.isdir(f"{idx_path}/adjacency"):
         adj, meta = load_index(spark, idx_path)
         adj = adj.localCheckpoint()
@@ -158,7 +211,8 @@ def main() -> None:
         t0 = time.time()
         adj, ep = build_roargraph_from_table(
             spark, emb, params, n_queries=n_train, ensure_reachable=True,
-            expand_width=build_width, phase0=phase0,
+            expand_width=build_width, phase0=phase0, knn_df=knn_df,
+            phase0_opts=p0_opts or None,
         )
         adj = adj.localCheckpoint()
         n_nodes = adj.count()
