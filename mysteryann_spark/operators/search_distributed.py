@@ -163,8 +163,17 @@ def search_graph_distributed(
     # path, so the scratch is unconditionally safe to delete there —
     # unlike the success path, which keeps it while the returned lazy
     # plan still reads the snapshot (reset_scan_live).
+    # SPARK_GRAFT_ROUND_LOG: per-round wall breakdown (one JSON line per
+    # round to stdout) for profiling the driver-sync term — measurement
+    # only, no plan change; off outside explicit profiling runs.
+    round_log = bool(os.environ.get("SPARK_GRAFT_ROUND_LOG"))
+    if round_log:
+        import json as _json
+        import time as _time
+
     try:
         for rnd in range(max_rounds):
+            t_r0 = _time.time() if round_log else 0.0
             if rnd and rnd % _STATS_RESET_EVERY == 0:
                 # stats reset: re-read the state from parquet so estimated
                 # sizeInBytes restarts from the actual file size (values
@@ -189,8 +198,10 @@ def search_graph_distributed(
                 .select("qid", "nn_id")
                 .localCheckpoint(eager=True)
             )
+            t_front = _time.time() if round_log else 0.0
             if frontier.isEmpty():
                 break
+            t_probe = _time.time() if round_log else 0.0
 
             # expand: frontier ⋈ adjacency → fresh candidate ids per query
             # (anti-join against the PRE-mark state — same id set, already
@@ -210,6 +221,7 @@ def search_graph_distributed(
                 .join(visited.select("qid", "nn_id"), ["qid", "nn_id"], "left_anti")
                 .localCheckpoint(eager=True)
             )
+            t_cand = _time.time() if round_log else 0.0
             if exclude_self:
                 cand = cand.where(F.col("nn_id") != F.col("qid"))
 
@@ -246,6 +258,22 @@ def search_graph_distributed(
             # the eager checkpoint just materialized everything derived from
             # the reset scan — the snapshot files are no longer referenced
             reset_scan_live = False
+            if round_log:
+                t_end = _time.time()
+                print(
+                    _json.dumps(
+                        {
+                            "stage": "round_log",
+                            "rnd": rnd,
+                            "frontier_s": round(t_front - t_r0, 3),
+                            "probe_s": round(t_probe - t_front, 3),
+                            "cand_s": round(t_cand - t_probe, 3),
+                            "score_union_s": round(t_end - t_cand, 3),
+                            "total_s": round(t_end - t_r0, 3),
+                        }
+                    ),
+                    flush=True,
+                )
     except BaseException:
         if reset_dir is not None:
             shutil.rmtree(reset_dir, ignore_errors=True)
