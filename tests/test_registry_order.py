@@ -10,32 +10,34 @@ from mysteryann_spark.queries.registry import _BACK, _FRONT, all_queries
 
 DRIVER_WINDOW = 50
 
-# Round-11 must-verify set (r10 VERDICT "Next round" #1): the 18 r8-floor
-# entries absent from both the r9 and r10 driver windows (3-round cap
-# trips this round), plus the entry whose PLAN changed in round 11
-# (save_index records the measured max_degree in the index header).
+# Round-12 must-verify set (r11 VERDICT "Next round" #1): the 18 r9-floor
+# entries absent from both the r10 and r11 driver windows (3-round cap
+# trips this round), plus the two entries whose PLAN changed in round 12
+# (routed-assignment flat fallback + f32 memoization; staged-rename
+# index rebuild).
 MUST_BE_IN_WINDOW = {
-    # r8 floor — 3-round cap trips this round
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "doc_bm25_topk",
-    "doc_substring_spans",
-    "emb_pca_variance",
-    "events_sessionize",
-    "events_transitions",
-    "hybrid_rrf_topk",
-    "join_skew_topkeys",
-    "multimodal_audio_spectral",
-    "multimodal_decode_real",
-    "multimodal_meanpool",
-    "pipeline_decontaminate",
-    "pipeline_decontaminate_semantic",
-    "pipeline_quota_sample",
-    "roargraph_degrees",
-    "roargraph_nsg_import",
-    "stream_neardup_docs",
-    # plan changed in round 11
-    "roargraph_save_load_search",
+    # r9 floor — 3-round cap trips this round
+    "ann_ivf_topk",
+    "ann_ivfpq_vectors",
+    "anti_join_customers",
+    "bipartite_search_topk",
+    "distinct_agg",
+    "emb_pca_project",
+    "filter_project",
+    "roargraph_delete",
+    "roargraph_insert",
+    "roargraph_search_cosine",
+    "roargraph_search_filtered",
+    "roargraph_search_ip",
+    "roargraph_search_topk",
+    "rollup_customer_balance",
+    "semi_join_customers",
+    "topk_orders",
+    "window_rank",
+    "window_running",
+    # plan changed in round 12
+    "ann_ivfpq_hier_topk",
+    "ann_ivfpq_persisted",
 }
 
 
