@@ -109,7 +109,13 @@ def main() -> None:
     print(json.dumps({"stage": "exact_gt", "n_queries": nq,
                       "sec": round(time.time() - t0, 1)}), flush=True)
 
-    staged = stage_graph_index(emb.select("vec_id", "embedding"), adj)
+    # SCALE_DIST_SKIP_BROADCAST=1: frontier-path-only runs (e.g. the
+    # per-round sync-term profile) skip the broadcast A/B leg AND its
+    # multi-GB shared-artifact staging.
+    skip_broadcast = os.environ.get("SCALE_DIST_SKIP_BROADCAST") == "1"
+    staged = None
+    if not skip_broadcast:
+        staged = stage_graph_index(emb.select("vec_id", "embedding"), adj)
     parity = os.environ.get("SCALE_DIST_PARITY") == "1"
 
     def to_arr(res):
@@ -145,20 +151,21 @@ def main() -> None:
             "recall_at_k": round(recall, 4),
         }
 
-        t0 = time.time()
-        bres = search_graph(
-            q, emb, adj, ep, k=params.k, l_search=L, metric=params.metric,
-            staged=staged, expand_width=width,
-        ).localCheckpoint()
-        bres.count()
-        out["broadcast_sec"] = round(time.time() - t0, 1)
-        out["broadcast_qps"] = round(nq / (time.time() - t0), 2)
-        if parity:
-            d_set = dres.select("qid", "nn_id", "rank")
-            b_set = bres.select("qid", "nn_id", "rank")
-            out["parity_diff_rows"] = (
-                d_set.exceptAll(b_set).count() + b_set.exceptAll(d_set).count()
-            )
+        if not skip_broadcast:
+            t0 = time.time()
+            bres = search_graph(
+                q, emb, adj, ep, k=params.k, l_search=L, metric=params.metric,
+                staged=staged, expand_width=width,
+            ).localCheckpoint()
+            bres.count()
+            out["broadcast_sec"] = round(time.time() - t0, 1)
+            out["broadcast_qps"] = round(nq / (time.time() - t0), 2)
+            if parity:
+                d_set = dres.select("qid", "nn_id", "rank")
+                b_set = bres.select("qid", "nn_id", "rank")
+                out["parity_diff_rows"] = (
+                    d_set.exceptAll(b_set).count() + b_set.exceptAll(d_set).count()
+                )
         print(json.dumps(out), flush=True)
     spark.stop()
 
