@@ -193,21 +193,50 @@ def _verify_pairs_staged(
             ia = np.searchsorted(reps, pdf["rep_a"].to_numpy())
             ib = np.searchsorted(reps, pdf["rep_b"].to_numpy())
             est = (sigmat[ia] == sigmat[ib]).mean(axis=1)
-            jac = np.empty(n, dtype=np.float64)
-            for i in range(n):
-                a0, a1 = indptr[ia[i]], indptr[ia[i] + 1]
-                b0, b1 = indptr[ib[i]], indptr[ib[i] + 1]
-                na, nb = int(a1 - a0), int(b1 - b0)
-                if na == 0 or nb == 0:
-                    jac[i] = np.nan  # 0/0 union: SQL null, dropped below
+            # Exact |A ∩ B| per pair, vectorized by grouping pairs on
+            # their right rep: each group's B set is searchsorted ONCE
+            # against the concatenation of all its partners' token sets,
+            # so the Python loop runs per DISTINCT right rep (mean pair
+            # degree ~420 on the sf0.1 corpus) instead of per pair —
+            # intersection counts are exact integers, so jaccard values
+            # and >= threshold verdicts are unchanged to the bit.
+            na = indptr[ia + 1] - indptr[ia]
+            nb = indptr[ib + 1] - indptr[ib]
+            inter = np.zeros(n, dtype=np.int64)
+            order = np.argsort(ib, kind="stable")
+            ib_s = ib[order]
+            starts = np.flatnonzero(np.r_[True, ib_s[1:] != ib_s[:-1]])
+            bounds = np.append(starts, n)
+            for gi in range(len(starts)):
+                lo, hi = bounds[gi], bounds[gi + 1]
+                b = ib_s[lo]
+                B = flat[indptr[b] : indptr[b + 1]]
+                if len(B) == 0:
                     continue
-                A, B = flat[a0:a1], flat[b0:b1]
-                if na > nb:  # search the smaller set in the bigger one
-                    A, B = B, A
-                idx = np.minimum(np.searchsorted(B, A), len(B) - 1)
-                inter = int(np.count_nonzero(B[idx] == A))
-                union = na + nb - inter
-                jac[i] = inter / union if union else np.nan
+                a_idx = ia[order[lo:hi]]
+                lens = indptr[a_idx + 1] - indptr[a_idx]
+                tot = int(lens.sum())
+                if tot == 0:
+                    continue
+                ends = np.cumsum(lens)
+                pos = (
+                    np.arange(tot, dtype=np.int64)
+                    - np.repeat(ends - lens, lens)
+                    + np.repeat(indptr[a_idx], lens)
+                )
+                a_cat = flat[pos]
+                idx = np.searchsorted(B, a_cat)
+                idxc = np.minimum(idx, len(B) - 1)
+                hit = (idx < len(B)) & (B[idxc] == a_cat)
+                csum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(hit)])
+                inter[order[lo:hi]] = csum[ends] - csum[ends - lens]
+            union = na + nb - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                jac = np.where(
+                    (na == 0) | (nb == 0) | (union == 0),
+                    np.nan,
+                    inter / np.maximum(union, 1),
+                )
             keep = jac >= threshold  # NaN compares False
             yield pd.DataFrame(
                 {

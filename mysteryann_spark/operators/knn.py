@@ -38,6 +38,7 @@ from pyspark.sql.types import (
 
 from mysteryann_spark.functions.vector import l2_sq, np_distances
 from mysteryann_spark.sources.staging import (
+    list_staged_files,
     load_staged,
     stage_parquet,
     table_matrix,
@@ -172,7 +173,7 @@ def knn_join(
         n_blocks = max(1, math.ceil(q_sel.count() / query_block_rows))
         q_path = stage_parquet(q_sel.repartition(n_blocks), storage_dir)
     # metadata-only file listing — no query data reaches the driver
-    files = sorted(spark.read.parquet(q_path).inputFiles())
+    files = list_staged_files(q_path)
     if not files:
         return spark.createDataFrame([], _RANKED_SCHEMA)
     blocks = [files] if query_block_rows is None else [[f] for f in files]
@@ -329,7 +330,7 @@ def range_join(
     """
     spark = base_df.sparkSession
     q_path = stage_parquet(queries_df.select(query_id, vec_col))
-    files = sorted(spark.read.parquet(q_path).inputFiles())
+    files = list_staged_files(q_path)
     if not files:
         return spark.createDataFrame([], _CAND_SCHEMA)
     r = float(radius)

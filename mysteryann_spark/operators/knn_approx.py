@@ -56,6 +56,7 @@ from mysteryann_spark.operators.knn import (
     _RANKED_SCHEMA,
 )
 from mysteryann_spark.sources.staging import (
+    list_staged_files,
     load_staged,
     stage_parquet,
     table_matrix,
@@ -73,6 +74,7 @@ def train_routing_centroids(
     vec_col: str = "embedding",
     hierarchical: bool | None = None,
     branch: int | None = None,
+    n_base: int | None = None,
 ) -> tuple[np.ndarray, tuple[np.ndarray, np.ndarray] | None]:
     """Seeded k-means centroids over a bounded deterministic hash-sample,
     in ROUTING space: raw vectors for l2/ip, L2-normalized for cosine
@@ -98,7 +100,10 @@ def train_routing_centroids(
 
     if train_sample is None:
         train_sample = max(4096, 256 * n_centroids)
-    n_base = base_df.count()
+    if n_base is None:
+        # callers that already counted the base pass it in — at 10^8
+        # rows this duplicate count() was a full extra pass per build
+        n_base = base_df.count()
     rate = max(1, int(np.ceil(n_base / float(train_sample))))
     head = base_df.select(vec_col).head()
     dim = len(head[0]) if head is not None and head[0] is not None else 0
@@ -184,6 +189,7 @@ def ivf_knn_join(
         vec_col,
         hierarchical=hierarchical,
         branch=branch,
+        n_base=n_base,
     )
     bc_cent = spark.sparkContext.broadcast(cmat)
     bc_route = spark.sparkContext.broadcast(route) if route is not None else None
@@ -234,7 +240,7 @@ def ivf_knn_join(
         ),
         storage_dir,
     )
-    files = sorted(spark.read.parquet(q_path).inputFiles())
+    files = list_staged_files(q_path)
     if not files:
         return spark.createDataFrame([], _RANKED_SCHEMA)
 

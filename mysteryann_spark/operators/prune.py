@@ -87,6 +87,169 @@ def occlusion_prune_np(
     return [int(ids[j]) for j in kept]
 
 
+def _batched_l2_like(metric: str, q3: np.ndarray, b3: np.ndarray) -> np.ndarray:
+    """``np_distances`` over a STACK of same-shape operand pairs —
+    per-slice bit-identical to calling ``np_distances(metric, q3[i],
+    b3[i])`` in a loop (verified: same-dims batched dgemm/einsum matches
+    the 2-D calls bitwise; padding or dim changes would NOT — see
+    tests/test_prune.py::test_batched_distances_bitwise). Inputs must be
+    C-contiguous with the scalar path's dtype already applied."""
+    if metric == "l2":
+        qq = np.einsum("bij,bij->bi", q3, q3)[:, :, None]
+        bb = np.einsum("bij,bij->bi", b3, b3)[:, None, :]
+        d = qq + bb - 2.0 * np.matmul(q3, b3.transpose(0, 2, 1))
+        np.maximum(d, 0.0, out=d)
+        return d
+    if metric == "ip":
+        return -np.matmul(q3, b3.transpose(0, 2, 1))
+    if metric == "cosine":
+        qn = np.linalg.norm(q3, axis=2, keepdims=True)
+        qn[qn == 0.0] = 1.0
+        bn = np.linalg.norm(b3, axis=2, keepdims=True)
+        bn[bn == 0.0] = 1.0
+        return -np.matmul(q3 / qn, (b3 / bn).transpose(0, 2, 1))
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def _np_dtype_of(mat: np.ndarray) -> np.dtype:
+    from mysteryann_spark.functions.vector import _pair_dtype
+
+    return _pair_dtype(mat, mat)
+
+
+def occlusion_prune_batch(
+    pools_ids: list[np.ndarray],
+    tgt_rows: np.ndarray,
+    flat_rows: np.ndarray,
+    mat: np.ndarray,
+    m: int,
+    metric: str = "l2",
+    pool_cap: int | None = None,
+) -> list[np.ndarray]:
+    """Whole-batch rendering of ``occlusion_prune_np`` + the per-node
+    target-distance prep: one call prunes EVERY node's pool, returning a
+    list of kept-id arrays in input order.
+
+    Bit-identical to the scalar loop by construction: every float is
+    produced by the same formulas on operands of the same shape, dtype
+    and contiguity (pools grouped by size so batched GEMMs keep each
+    slice's dims — a padded batch would change dgemm tiling and flip
+    last bits), and the sort/dedup/cap/greedy/backfill steps are exact
+    integer/ordering operations vectorized across nodes. What the batch
+    form removes is the per-node Python overhead — ~0.2 ms/node of
+    numpy-call latency and the per-candidate occlusion loop — which was
+    93% of the prune kernel's wall (profiled at sf0.1: 0.42 s of a
+    0.45 s single-task stage; three such stages per graph build).
+    Parity with the scalar kernel is locked by
+    tests/test_prune.py::test_batch_matches_scalar_kernel.
+
+    ``pools_ids``: per-node candidate-id arrays (pre-dedup, collect_list
+    order); ``tgt_rows``: each node's row in ``mat``; ``flat_rows``: row
+    in ``mat`` of each flattened candidate (concatenated pool order).
+    """
+    if pool_cap is None:
+        pool_cap = max(8 * m, 256)
+    B = len(pools_ids)
+    dt = _np_dtype_of(mat)
+    widths = np.fromiter((len(p) for p in pools_ids), dtype=np.int64, count=B)
+    total = int(widths.sum())
+    out: list = [None] * B
+    if total == 0:
+        return [np.empty(0, dtype=np.int64) for _ in range(B)]
+    indptr = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(widths)])
+    flat_ids = np.concatenate(
+        [np.asarray(p, dtype=np.int64) for p in pools_ids if len(p)]
+    )
+    flat_vecs = np.ascontiguousarray(mat[flat_rows], dtype=dt)
+    tgt_vecs = np.ascontiguousarray(mat[tgt_rows], dtype=dt)
+    owner = np.repeat(np.arange(B, dtype=np.int64), widths)
+
+    # --- target distances over the FULL pool (pre-dedup), grouped by
+    # pool size so each batched slice GEMMs at the scalar path's dims
+    flat_dists = np.empty(total, dtype=np.float64)
+    size_order = np.argsort(widths, kind="stable")
+    sw = widths[size_order]
+    grp_starts = np.flatnonzero(np.r_[True, sw[1:] != sw[:-1]])
+    grp_bounds = np.append(grp_starts, B)
+    for gi in range(len(grp_starts)):
+        k = int(sw[grp_starts[gi]])
+        if k == 0:
+            continue
+        rows_g = size_order[grp_bounds[gi] : grp_bounds[gi + 1]]
+        pos = (indptr[rows_g][:, None] + np.arange(k, dtype=np.int64)).ravel()
+        v3 = np.ascontiguousarray(flat_vecs[pos]).reshape(len(rows_g), k, -1)
+        t3 = np.ascontiguousarray(tgt_vecs[rows_g])[:, None, :]
+        dg = _batched_l2_like(metric, t3, v3)[:, 0, :]
+        flat_dists[pos] = dg.astype(np.float64, copy=False).ravel()
+
+    # --- (dist, id) sort within each node — the scalar lexsort, global
+    ord1 = np.lexsort((flat_ids, flat_dists, owner))
+    so, si, sd = owner[ord1], flat_ids[ord1], flat_dists[ord1]
+    rank1 = np.arange(total, dtype=np.int64) - np.repeat(indptr[:-1], widths)
+    # dedup keeping the first (closest) occurrence of each (node, id)
+    ord2 = np.lexsort((rank1, si, so))
+    so2, si2 = so[ord2], si[ord2]
+    first = np.r_[True, (so2[1:] != so2[:-1]) | (si2[1:] != si2[:-1])]
+    keep = np.zeros(total, dtype=bool)
+    keep[ord2[first]] = True
+    # cap at pool_cap nearest per node: 1-based kept-rank within node
+    cum0 = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(keep)])
+    kept_rank = cum0[1:] - np.repeat(cum0[indptr[:-1]], widths)
+    keep &= kept_rank <= pool_cap
+
+    so, si, sd = so[keep], si[keep], sd[keep]
+    srows = flat_rows[ord1][keep]
+    widths2 = np.bincount(so, minlength=B)
+    indptr2 = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(widths2)])
+
+    # --- occlusion greedy + backfill, grouped by surviving pool size
+    size_order2 = np.argsort(widths2, kind="stable")
+    sw2 = widths2[size_order2]
+    g_starts = np.flatnonzero(np.r_[True, sw2[1:] != sw2[:-1]])
+    g_bounds = np.append(g_starts, B)
+    for gi in range(len(g_starts)):
+        k = int(sw2[g_starts[gi]])
+        rows_g = size_order2[g_bounds[gi] : g_bounds[gi + 1]]
+        if k == 0:
+            for b in rows_g:
+                out[b] = np.empty(0, dtype=np.int64)
+            continue
+        Bg = len(rows_g)
+        pos = (indptr2[rows_g][:, None] + np.arange(k, dtype=np.int64)).ravel()
+        ids_g = si[pos].reshape(Bg, k)
+        d_g = sd[pos].reshape(Bg, k)
+        v3 = np.ascontiguousarray(mat[srows[pos]], dtype=dt).reshape(Bg, k, -1)
+        pair = _batched_l2_like(metric, v3, v3).astype(np.float64, copy=False)
+
+        kept_m = np.zeros((Bg, k), dtype=bool)
+        kept_m[:, 0] = True
+        cnt = np.ones(Bg, dtype=np.int64)
+        for j in range(1, k):
+            active = cnt < m
+            if not active.any():
+                break
+            occ = ((pair[:, j, :] < d_g[:, j, None]) & kept_m).any(axis=1)
+            take = active & ~occ
+            kept_m[:, j] = take
+            cnt += take
+        notk = ~kept_m
+        bf_rank = np.cumsum(notk, axis=1)
+        bf = notk & (bf_rank <= (m - cnt)[:, None])
+        # output order: greedily-kept js ascending, then backfill ascending
+        ki, kj = np.nonzero(kept_m)
+        bi, bj = np.nonzero(bf)
+        kept_split = np.split(ids_g[ki, kj], np.cumsum(np.bincount(ki, minlength=Bg)))[:-1]
+        bf_counts = np.bincount(bi, minlength=Bg)
+        bf_split = np.split(ids_g[bi, bj], np.cumsum(bf_counts))[:-1]
+        for r, b in enumerate(rows_g):
+            out[b] = (
+                np.concatenate([kept_split[r], bf_split[r]])
+                if bf_counts[r]
+                else kept_split[r]
+            )
+    return out
+
+
 _ADJ_SCHEMA = StructType(
     [
         StructField("node", LongType(), False),
@@ -159,15 +322,22 @@ def prune_candidates(
             return pos
 
         for pdf in batches:
-            out_nodes, out_nbrs = [], []
+            if len(pdf) == 0:
+                continue
+            # whole-batch prune (occlusion_prune_batch): bit-identical to
+            # the per-node occlusion_prune_np loop, without its ~0.2 ms/
+            # node Python overhead — the profiled 93% of this kernel
             node_rows = rows_of(pdf["node"].to_numpy(dtype=np.int64))
-            for node, nrow, cids in zip(pdf["node"], node_rows, pdf["cand_ids"]):
-                ids = np.asarray(cids, dtype=np.int64)
-                vecs = mat[rows_of(ids)]
-                tgt = mat[nrow][None, :]
-                dists = np_distances(metric, tgt, vecs)[0]
-                out_nodes.append(node)
-                out_nbrs.append(occlusion_prune_np(ids, dists, vecs, m, metric))
-            yield pd.DataFrame({"node": out_nodes, "nbrs": out_nbrs})
+            pools = [np.asarray(c, dtype=np.int64) for c in pdf["cand_ids"]]
+            flat = (
+                np.concatenate(pools)
+                if pools
+                else np.empty(0, dtype=np.int64)
+            )
+            flat_rows = rows_of(flat) if len(flat) else flat
+            nbrs = occlusion_prune_batch(
+                pools, node_rows, flat_rows, mat, m, metric
+            )
+            yield pd.DataFrame({"node": pdf["node"], "nbrs": nbrs})
 
     return pools.mapInPandas(prune_batch, _ADJ_SCHEMA)

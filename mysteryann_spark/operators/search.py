@@ -311,6 +311,7 @@ def _beam_search_batch(
     metric: str,
     exclude_rows: np.ndarray,
     expand_width: int = 1,
+    return_arrays: bool = False,
 ) -> tuple[list[list[tuple[float, int]]], np.ndarray, np.ndarray]:
     """Vectorized lockstep rendering of ``_beam_search_batch_ref`` —
     bit-identical state evolution (pools ordered by the same (dist, row)
@@ -446,6 +447,12 @@ def _beam_search_batch(
             orow[beat], dists[beat], nbr[beat], L,
         )
 
+    if return_arrays:
+        # the raw (dist, row) pool arrays, sentinel-padded — the
+        # mapInPandas wrappers consume these directly and build their
+        # output columns with whole-batch numpy instead of the O(n_q x L)
+        # per-entry tuple conversion below (same values, same order)
+        return out_d, out_r, cmps, hops
     pools = [
         [
             (float(out_d[i, j]), int(out_r[i, j]))
@@ -555,6 +562,7 @@ def _beam_search_bipartite_batch(
     bmat: np.ndarray,
     l_search: int,
     metric: str,
+    return_arrays: bool = False,
 ) -> tuple[list[list[tuple[float, int]]], np.ndarray, np.ndarray]:
     """Vectorized rendering of ``_beam_search_bipartite_batch_ref`` —
     bit-identical state evolution (parity-gated in tests/test_graph.py),
@@ -666,6 +674,8 @@ def _beam_search_bipartite_batch(
             orow[beat], dists[beat], nbr[beat], L,
         )
 
+    if return_arrays:
+        return out_d, out_r, cmps, hops
     pools = [
         [
             (float(out_d[i, j]), int(out_r[i, j]))
@@ -714,10 +724,13 @@ def search_bipartite(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_mat, b_indptr, b_indices = load_staged(base_path + "|" + adj_path, _build)
+        sent = len(b_indptr) - 1  # the kernel's sentinel row id
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = {c: [] for c in ("qid", "nn_id", "dist", "rank", "cmps", "hops")}
+            cols: dict[str, list] = {
+                c: [] for c in ("qid", "nn_id", "dist", "rank", "cmps", "hops")
+            }
             for s in range(0, len(pdf), _BATCH_CHUNK):
                 sub = pdf.iloc[s : s + _BATCH_CHUNK]
                 qids = sub[query_id].to_numpy()
@@ -727,18 +740,26 @@ def search_bipartite(
                         0, base_count, size=n_seeds)]
                     for qid in qids
                 ]
-                pools, cmps, hops = _beam_search_bipartite_batch(
-                    qmat, seeds, b_indptr, b_indices, b_mat, l_search, metric
+                od, orr, cmps, hops = _beam_search_bipartite_batch(
+                    qmat, seeds, b_indptr, b_indices, b_mat, l_search, metric,
+                    return_arrays=True,
                 )
-                for j, qid in enumerate(qids):
-                    for rank, (d, row) in enumerate(pools[j][:k], start=1):
-                        out["qid"].append(qid)
-                        out["nn_id"].append(row)
-                        out["dist"].append(d)
-                        out["rank"].append(rank)
-                        out["cmps"].append(int(cmps[j]))
-                        out["hops"].append(int(hops[j]))
-            yield pd.DataFrame(out)
+                # whole-batch output assembly (same rows, same order as
+                # the per-entry loop this replaces — guide §4.2: no
+                # per-row Python on the hot path)
+                valid = orr != sent
+                rnk = np.cumsum(valid, axis=1)
+                keep = valid & (rnk <= k)
+                qi, ci = np.nonzero(keep)
+                cols["qid"].append(qids[qi])
+                cols["nn_id"].append(orr[qi, ci])
+                cols["dist"].append(od[qi, ci])
+                cols["rank"].append(rnk[qi, ci].astype(np.int32))
+                cols["cmps"].append(cmps[qi].astype(np.int32))
+                cols["hops"].append(hops[qi].astype(np.int32))
+            yield pd.DataFrame(
+                {c: np.concatenate(v) if v else np.empty(0) for c, v in cols.items()}
+            )
 
     return queries_df.select(query_id, vec_col).mapInPandas(run, _RESULT_SCHEMA)
 
@@ -788,10 +809,13 @@ def search_graph(
             base_paths, adj_paths, base_id, vec_col
         )
         b_ep = int(np.searchsorted(b_ids, entry_point))
+        sent = b_mat.shape[0]  # the kernel's sentinel row id
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = {c: [] for c in ("qid", "nn_id", "dist", "rank", "cmps", "hops")}
+            cols: dict[str, list] = {
+                c: [] for c in ("qid", "nn_id", "dist", "rank", "cmps", "hops")
+            }
             # lockstep chunks bound per-round state while keeping the
             # shared distance call large enough to amortize
             for s in range(0, len(pdf), _BATCH_CHUNK):
@@ -808,23 +832,26 @@ def search_graph(
                     )
                 else:
                     excl = np.full(len(sub), -1, dtype=np.int64)
-                pools, cmps, hops = _beam_search_batch(
+                od, orr, cmps, hops = _beam_search_batch(
                     qmat, b_ep, b_indptr, b_indices, b_mat, l_search, metric, excl,
-                    expand_width=expand_width,
+                    expand_width=expand_width, return_arrays=True,
                 )
-                for j, qid in enumerate(qids):
-                    pool = pools[j]
-                    if excl[j] >= 0:
-                        # the entry point always seeds the pool — when the
-                        # query IS the medoid, its row must still drop here
-                        pool = [(d, r) for d, r in pool if r != excl[j]]
-                    for rank, (d, row) in enumerate(pool[:k], start=1):
-                        out["qid"].append(qid)
-                        out["nn_id"].append(int(b_ids[row]))
-                        out["dist"].append(d)
-                        out["rank"].append(rank)
-                        out["cmps"].append(int(cmps[j]))
-                        out["hops"].append(int(hops[j]))
-            yield pd.DataFrame(out)
+                # whole-batch output assembly — same rows, same order as
+                # the per-entry loop this replaces (guide §4.2). The
+                # entry point always seeds the pool, so when the query IS
+                # the medoid its row still drops here via the excl mask.
+                valid = (orr != sent) & (orr != excl[:, None])
+                rnk = np.cumsum(valid, axis=1)
+                keep = valid & (rnk <= k)
+                qi, ci = np.nonzero(keep)
+                cols["qid"].append(qids[qi])
+                cols["nn_id"].append(b_ids[orr[qi, ci]])
+                cols["dist"].append(od[qi, ci])
+                cols["rank"].append(rnk[qi, ci].astype(np.int32))
+                cols["cmps"].append(cmps[qi].astype(np.int32))
+                cols["hops"].append(hops[qi].astype(np.int32))
+            yield pd.DataFrame(
+                {c: np.concatenate(v) if v else np.empty(0) for c, v in cols.items()}
+            )
 
     return queries_df.select(query_id, vec_col).mapInPandas(run, _RESULT_SCHEMA)

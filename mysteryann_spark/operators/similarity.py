@@ -377,6 +377,7 @@ def train_centroids_routed(
     vec_col: str,
     hierarchical: bool | None = None,
     branch: int | None = None,
+    n_base: int | None = None,
 ):
     """Like ``train_centroids`` but also returns the two-level routing
     structure when one exists: ``(bc_centroids, bc_route | None)`` where
@@ -394,7 +395,10 @@ def train_centroids_routed(
     it at sf scale, where no table reaches the threshold), False forces
     flat. ``branch`` overrides the ~2*sqrt(k) level-1 width."""
     sc = base_df.sparkSession.sparkContext
-    n_base = base_df.count()
+    if n_base is None:
+        # callers that already counted the base pass it in — the repeat
+        # count() was one full extra pass per index build at 10^8 rows
+        n_base = base_df.count()
     rate = max(1, int(np.ceil(n_base / float(train_sample))))
     head = base_df.select(vec_col).head()
     dim = len(head[0]) if head is not None and head[0] is not None else 0
@@ -729,13 +733,15 @@ def train_pq_codebooks(
     train_sample: int,
     base_id: str,
     vec_col: str,
+    n_base: int | None = None,
 ):
     """Broadcast of per-subspace PQ codebooks (m, n_codes, dim/m), trained
     by seeded k-means on a bounded hash-sample of L2-NORMALIZED base
     vectors (the FAISS ``ProductQuantizer::train`` protocol). Like IVF
     centroids, the codebooks are a tiny model — the one driver collect is
     bounded by ``train_sample``, never the data size."""
-    n_base = base_df.count()
+    if n_base is None:
+        n_base = base_df.count()
     rate = max(1, int(np.ceil(n_base / float(train_sample))))
     head = base_df.select(vec_col).head()
     head_dim = len(head[0]) if head is not None and head[0] is not None else 0
@@ -917,9 +923,10 @@ def build_ivfpq_index(
     - ``centroids`` (n_centroids, dim) / ``books`` (m, n_codes, dim/m):
       the trained model, kilobytes — broadcast at search time.
     """
+    n_base = base_df.count()  # shared by both trainers — one pass, not two
     bc_cent, bc_route = train_centroids_routed(
         base_df, n_centroids, max_iter, seed, train_sample, base_id, vec_col,
-        hierarchical=hierarchical, branch=branch,
+        hierarchical=hierarchical, branch=branch, n_base=n_base,
     )
     # PQ codebooks are m independent (n_codes x dim/m) models — their
     # sample need only cover n_codes clusters per subspace, NOT the
@@ -933,7 +940,7 @@ def build_ivfpq_index(
     bc_books = train_pq_codebooks(
         base_df, m, n_codes, max_iter, seed + 1000,
         pq_train_sample if pq_train_sample is not None else train_sample,
-        base_id, vec_col,
+        base_id, vec_col, n_base=n_base,
     )
     encode = pq_encode_udf(bc_books)
     lists = base_df.select(

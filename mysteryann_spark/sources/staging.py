@@ -717,6 +717,28 @@ def stage_parquet(df: DataFrame, storage_dir: str | None = None) -> str:
     return path
 
 
+def list_staged_files(path: str) -> list[str]:
+    """Part-file URIs of a staged Parquet artifact, listed driver-side
+    through pyarrow's filesystem layer. The previous route —
+    ``spark.read.parquet(path).inputFiles()`` — plans a scan relation
+    with schema inference, which costs 1-2 driver jobs (parquet-footer
+    reads) on EVERY kNN/range/IVF join invocation; a directory listing
+    needs none (guide §1.2: remove work, then tune). Returns sorted
+    ``scheme://``-qualified URIs, the same shape ``inputFiles`` produced,
+    so the executor-side block readers are unchanged."""
+    import pyarrow.fs as pafs
+
+    uri = path if ":/" in path else "file://" + os.path.abspath(path)
+    fs, rel = pafs.FileSystem.from_uri(uri)
+    scheme = uri.split(":", 1)[0]
+    out = []
+    for fi in fs.get_file_info(pafs.FileSelector(rel, recursive=False)):
+        name = fi.base_name
+        if fi.type == pafs.FileType.File and not name.startswith(("_", ".")):
+            out.append(f"{scheme}://{fi.path}")
+    return sorted(out)
+
+
 class StagedBase:
     """Append-only staged vector set shared across index-maintenance calls.
 

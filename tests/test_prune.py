@@ -101,3 +101,64 @@ def test_prune_properties(pool):
     assert got == naive_prune(ids, dists, vecs, m)
     first = min(zip(dists, ids))[1]
     assert int(first) in got
+
+
+# --- round 12: whole-batch kernel parity --------------------------------
+
+
+def test_batched_distances_bitwise():
+    """The batch kernel's load-bearing assumption: batched matmul/einsum
+    over same-shape slices is BITWISE identical to the per-slice 2-D
+    calls (padding or dim changes would flip last bits and with them
+    occlusion tie decisions)."""
+    from mysteryann_spark.operators.prune import _batched_l2_like
+
+    rng = np.random.default_rng(3)
+    for metric in ("l2", "ip", "cosine"):
+        for k in (3, 17, 64):
+            mats = [np.ascontiguousarray(rng.normal(size=(k, 48))) for _ in range(9)]
+            batch = np.stack(mats)
+            got = _batched_l2_like(metric, batch, batch)
+            for i, m in enumerate(mats):
+                want = np_distances(metric, m, m)
+                assert np.array_equal(got[i], want), (metric, k, i)
+
+
+def test_batch_matches_scalar_kernel():
+    """occlusion_prune_batch == the occlusion_prune_np loop, element for
+    element and in output ORDER, across metrics, dtypes, duplicate
+    candidates, empty pools and the pool_cap truncation."""
+    from mysteryann_spark.operators.prune import occlusion_prune_batch
+
+    rng = np.random.default_rng(11)
+    n = 300
+    for metric in ("l2", "ip", "cosine"):
+        for dtype in (np.float64, np.float32):
+            mat = rng.normal(size=(n, 32)).astype(dtype)
+            pools, tgt_rows = [], []
+            for _ in range(120):
+                k = int(rng.integers(0, 50))
+                ids = rng.integers(0, n, size=k)  # duplicates allowed
+                node = int(rng.integers(0, n))
+                pools.append(ids[ids != node].astype(np.int64))
+                tgt_rows.append(node)
+            tgt_rows = np.asarray(tgt_rows, dtype=np.int64)
+            flat = (
+                np.concatenate(pools) if pools else np.empty(0, dtype=np.int64)
+            )
+            m = int(rng.integers(1, 10))
+            got = occlusion_prune_batch(
+                pools, tgt_rows, flat, mat, m, metric, pool_cap=24
+            )
+            for b, ids in enumerate(pools):
+                vecs = mat[ids]
+                tgt = mat[tgt_rows[b]][None, :]
+                dists = (
+                    np_distances(metric, tgt, vecs)[0]
+                    if len(ids)
+                    else np.empty(0)
+                )
+                want = occlusion_prune_np(ids, dists, vecs, m, metric, pool_cap=24)
+                assert [int(x) for x in got[b]] == [int(x) for x in want], (
+                    metric, dtype, b,
+                )
