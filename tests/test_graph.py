@@ -171,6 +171,36 @@ def test_distributed_search_survives_many_rounds(spark):
            {key(r): (r["nn_id"], round(r["dist"], 9), r["cmps"], r["hops"]) for r in bc}
 
 
+def test_distributed_search_reset_every_round_parity(spark, emb, index, monkeypatch):
+    """r12 bounded-pool rendering: force a stats reset EVERY round so the
+    pool parquet round-trip, the alternating seen-compaction generations,
+    and the end-in-a-reset-round pool re-materialization all run on every
+    single round — results must stay bit-identical to the broadcast path
+    and the returned (post-cleanup) plan must still collect, because the
+    scratch dir is removed before the function returns."""
+    import os
+    import tempfile
+
+    from mysteryann_spark.operators import search_distributed as sd
+
+    monkeypatch.setattr(sd, "_STATS_RESET_EVERY", 1)
+    adj, ep = index
+    q = emb.where("vec_id < 8").select(F.col("vec_id").alias("qid"), "embedding")
+
+    def stage_dirs():
+        root = tempfile.gettempdir()
+        return {d for d in os.listdir(root) if d.startswith("mysteryann-stage-")}
+
+    before = stage_dirs()
+    res = sd.search_graph_distributed(q, emb, adj, ep, k=5, l_search=8, metric="l2")
+    assert stage_dirs() == before  # scratch gone BEFORE the plan is consumed
+    di = res.collect()
+    bc = search_graph(q, emb, adj, ep, k=5, l_search=8, metric="l2").collect()
+    key = lambda r: (r["qid"], r["rank"])  # noqa: E731
+    assert {key(r): (r["nn_id"], round(r["dist"], 9), r["cmps"], r["hops"]) for r in di} == \
+           {key(r): (r["nn_id"], round(r["dist"], 9), r["cmps"], r["hops"]) for r in bc}
+
+
 def test_distributed_search_stats_reset_scratch_bounded(spark):
     """The stats-reset snapshots must not accumulate scratch: the loop
     reuses ONE overwrite-mode dir and removes it on exit, so a
