@@ -64,6 +64,17 @@ def main() -> None:
         # the pyarrow import (~2 s) there
         import pyarrow.parquet  # noqa: F401
 
+        # warm the per-worker BLAS path at a realistic size: the FIRST
+        # sizeable GEMM in a forked worker pays OpenBLAS init plus the
+        # first-touch page faults of a fresh ~32 MB output buffer
+        # (measured 0.05-0.2 s quiet, 1-5 s under host contention) —
+        # r11's import-only warm-up left that to the first timed GEMM
+        # stage. Same warm-up-completeness class as the imports above;
+        # query computations are unchanged.
+        import numpy as _np
+
+        _np.matmul(_np.ones((2000, 64)), _np.ones((64, 2000)))
+
         yield from batches
 
     _warm.mapInPandas(_warm_fn, _warm.schema).count()

@@ -16,6 +16,8 @@ makes pass 2 a no-op re-scan of pass 1's input.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -296,17 +298,42 @@ def prune_candidates(
     from mysteryann_spark.sources.staging import (
         load_staged_matrix,
         stage_parquet,
+        staged_row_count,
     )
 
     if staged_base is None:
         staged_base = stage_parquet(base_df.select(base_id, vec_col))
     paths = [staged_base] if isinstance(staged_base, str) else list(staged_base)
 
-    pools = (
-        cand_df.where(F.col("cand_id") != F.col("node"))
-        .groupBy("node")
-        .agg(F.collect_list("cand_id").alias("cand_ids"))
+    pairs = cand_df.where(F.col("cand_id") != F.col("node"))
+    # Kernel-stage parallelism derives from DATA SIZE, not from AQE's
+    # byte-based coalesce: the pools shuffle is tiny in BYTES (bare id
+    # pairs) but heavy in kernel CPU, so AQE's advisory-size pick
+    # serializes the prune (measured at sf0.1: the final build prune ran
+    # 1.08 s of kernel on ONE task; phase-1 0.49 s — guide §2.2, §4).
+    # An explicit numPartitions repartition on the groupBy key pins the
+    # SAME single exchange (HashPartitioning(node, n) satisfies the
+    # aggregate, no second shuffle; AQE leaves user-numbered repartitions
+    # alone) at ceil(n_staged / nodes-per-task), capped at 4x cluster
+    # parallelism so huge builds get ~core-count-matched tasks instead of
+    # hundreds of thousands of overhead-bound ones. n_staged comes from
+    # the staged artifact's parquet footers — driver-side metadata, no
+    # job. Values are partition-independent: pools are (dist,id)-sorted
+    # and deduplicated inside the kernel (locked by
+    # tests/test_prune.py::test_prune_candidates_partition_invariant).
+    try:
+        n_staged = staged_row_count(paths)
+    except OSError:
+        n_staged = 0
+    per_task = int(os.environ.get("SPARK_GRAFT_PRUNE_NODES_PER_TASK", "256"))
+    n_parts = min(
+        -(-n_staged // max(per_task, 1)),
+        cand_df.sparkSession.sparkContext.defaultParallelism * 4,
     )
+    if n_parts > 1:
+        pairs = pairs.repartition(n_parts, "node")
+
+    pools = pairs.groupBy("node").agg(F.collect_list("cand_id").alias("cand_ids"))
 
     def prune_batch(batches) -> "pd.DataFrame":
         # incremental: a previously-built chain prefix is patched with the

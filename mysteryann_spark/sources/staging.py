@@ -739,6 +739,24 @@ def list_staged_files(path: str) -> list[str]:
     return sorted(out)
 
 
+def staged_row_count(paths: list[str]) -> int:
+    """Total parquet-footer row count of staged artifacts, read
+    driver-side (pyarrow metadata; no Spark job, no data read). Chained
+    incremental sets count overridden duplicate ids twice — callers use
+    this as a SIZING ESTIMATE (e.g. kernel-stage partition counts), not
+    as an exact row count."""
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    total = 0
+    for p in paths:
+        for uri in list_staged_files(p):
+            fs, rel = pafs.FileSystem.from_uri(uri)
+            with fs.open_input_file(rel) as f:
+                total += pq.ParquetFile(f).metadata.num_rows
+    return total
+
+
 class StagedBase:
     """Append-only staged vector set shared across index-maintenance calls.
 

@@ -162,3 +162,31 @@ def test_batch_matches_scalar_kernel():
                 assert [int(x) for x in got[b]] == [int(x) for x in want], (
                     metric, dtype, b,
                 )
+
+
+def test_prune_candidates_partition_invariant(spark, emb, monkeypatch):
+    """r12 kernel-stage parallelism: prune_candidates derives its groupBy
+    partition count from the staged-base size instead of AQE's byte-based
+    coalesce (which serialized the kernel on one task). The adjacency must
+    be IDENTICAL at 1 partition and at many — pool assembly order differs
+    across partitionings, and the kernel's (dist,id) sort must erase it."""
+    from pyspark.sql import functions as F
+
+    from mysteryann_spark.operators.prune import prune_candidates
+
+    cands = (
+        emb.select(F.col("vec_id").alias("node"))
+        .crossJoin(emb.select(F.col("vec_id").alias("cand_id")))
+        .where((F.col("cand_id") % 7 == F.col("node") % 7) & (F.col("cand_id") != F.col("node")))
+    )
+
+    def run():
+        rows = prune_candidates(cands, emb, m=8, metric="l2").collect()
+        return {r["node"]: list(r["nbrs"]) for r in rows}
+
+    monkeypatch.setenv("SPARK_GRAFT_PRUNE_NODES_PER_TASK", "1000000000")
+    one_task = run()
+    monkeypatch.setenv("SPARK_GRAFT_PRUNE_NODES_PER_TASK", "16")
+    many_tasks = run()
+    assert one_task == many_tasks
+    assert len(one_task) > 0

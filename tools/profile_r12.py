@@ -99,6 +99,11 @@ def main() -> None:
     def _warm_fn(batches):
         import pyarrow.parquet  # noqa: F401
 
+        import numpy as _np
+
+        # mirror bench.py's BLAS/page-fault warm-up (see bench.py)
+        _np.matmul(_np.ones((2000, 64)), _np.ones((64, 2000)))
+
         yield from batches
 
     _warm.mapInPandas(_warm_fn, _warm.schema).count()
