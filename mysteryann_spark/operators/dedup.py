@@ -192,7 +192,6 @@ def _verify_pairs_staged(
                 continue
             ia = np.searchsorted(reps, pdf["rep_a"].to_numpy())
             ib = np.searchsorted(reps, pdf["rep_b"].to_numpy())
-            est = (sigmat[ia] == sigmat[ib]).mean(axis=1)
             # Exact |A ∩ B| per pair, vectorized by grouping pairs on
             # their right rep: each group's B set is searchsorted ONCE
             # against the concatenation of all its partners' token sets,
@@ -238,11 +237,17 @@ def _verify_pairs_staged(
                     inter / np.maximum(union, 1),
                 )
             keep = jac >= threshold  # NaN compares False
+            # signature estimate only for the SURVIVORS: est_jaccard is
+            # an output column, never a filter, and each pair's estimate
+            # is independent — computing it over all candidates cost two
+            # (n_pairs x num_perm) fancy-index copies (~16 s in-process
+            # over the sf0.1 pair set, the verify stage's top cost) for
+            # values that were then thrown away for >98% of pairs
             yield pd.DataFrame(
                 {
                     "rep_a": pdf["rep_a"].to_numpy()[keep],
                     "rep_b": pdf["rep_b"].to_numpy()[keep],
-                    "est_jaccard": est[keep],
+                    "est_jaccard": (sigmat[ia[keep]] == sigmat[ib[keep]]).mean(axis=1),
                     "jaccard": jac[keep],
                 }
             )
