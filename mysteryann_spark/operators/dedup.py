@@ -323,19 +323,65 @@ def minhash_lsh_pairs(
         ]
     )
     if assume_broadcastable:
-        # Tokenize + group exactly ONCE: the per-rep table (a few hundred
-        # bytes per distinct token set) is staged as Parquet by a single
-        # job, and every consumer — banding, the verify kernel, both
-        # member-expansion joins — reads the staged copy instead of
+        # Tokenize + group + BAND exactly ONCE: the per-rep table (a few
+        # hundred bytes per distinct token set) is staged as Parquet by a
+        # single job, and every consumer — banding, the verify kernel,
+        # both member-expansion joins — reads the staged copy instead of
         # re-deriving the lineage. Signing and banding happen in numpy
         # (splitmix64 family) inside Arrow kernels: the Catalyst
         # num_perm-pass xxhash64 expression cost more in codegen compile
-        # than the whole query's execution. The explicit repartition
-        # keeps AQE from coalescing the post-groupBy stage (a few
-        # thousand reps is KBs) onto one core.
+        # than the whole query's execution. Band buckets are computed IN
+        # the staging pass (one Arrow kernel fused into the write job)
+        # and stored as a per-rep array column, so downstream banding is
+        # a pure-JVM posexplode — previously the band kernel ran as a
+        # separate Python stage on BOTH sides of the bucket self-join
+        # (probe + broadcast build), re-shipping every token set through
+        # Arrow twice and paying the fixed Python-stage floor twice.
+        import pyarrow as pa
+
         from mysteryann_spark.sources.staging import stage_parquet
 
-        staged = stage_parquet(grouped.select("rep", "htok", "members"))
+        def band_stage_kernel(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+            for rb in batches:
+                n = rb.num_rows
+                if n == 0:
+                    continue
+                htok_arr = rb.column(rb.schema.get_field_index("htok"))
+                # raw list offsets index the child values buffer even for
+                # sliced arrays; normalize to a batch-local CSR
+                off = htok_arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+                vals = htok_arr.values.to_numpy(zero_copy_only=False)
+                indptr = off - off[0]
+                flat = np.ascontiguousarray(vals[off[0] : off[-1]]).astype(
+                    np.int64, copy=False
+                )
+                sigmat = _minhash_mat(indptr, flat, num_perm, seed)
+                buckets = _band_buckets(sigmat, bands, rows_per_band)
+                bucket_col = pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(0, (n + 1) * bands, bands, dtype=np.int32)
+                    ),
+                    pa.array(buckets.reshape(-1)),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        rb.column(rb.schema.get_field_index("rep")),
+                        htok_arr,
+                        rb.column(rb.schema.get_field_index("members")),
+                        bucket_col,
+                    ],
+                    names=["rep", "htok", "members", "buckets"],
+                )
+
+        staged_schema = (
+            "rep bigint, htok array<bigint>, members array<bigint>, "
+            "buckets array<bigint>"
+        )
+        staged = stage_parquet(
+            grouped.select("rep", "htok", "members").mapInArrow(
+                band_stage_kernel, staged_schema
+            )
+        )
         groups = docs.sparkSession.read.parquet(staged)
         sigs = None
     else:
@@ -348,40 +394,13 @@ def minhash_lsh_pairs(
     # (signature + token-hash set) re-attaches after the candidate pair
     # set is deduplicated (and so minimal).
     if assume_broadcastable:
-        band_schema = StructType(
-            [
-                StructField("rep", LongType(), False),
-                StructField("band", LongType(), False),
-                StructField("bucket", LongType(), False),
-            ]
+        # Buckets were computed in the staging pass; posexplode's position
+        # column IS the band index (the fused kernel emits buckets in band
+        # order), so the (rep, band, bucket) triples are identical to the
+        # ones the standalone band kernel produced.
+        banded = groups.select(
+            "rep", F.posexplode("buckets").alias("band", "bucket")
         )
-
-        def band_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                n = len(pdf)
-                if n == 0:
-                    continue
-                toks = pdf["htok"]
-                widths = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
-                indptr = np.concatenate(
-                    [np.zeros(1, dtype=np.int64), np.cumsum(widths, dtype=np.int64)]
-                )
-                flat = (
-                    np.concatenate([np.asarray(t, dtype=np.int64) for t in toks])
-                    if indptr[-1]
-                    else np.empty(0, dtype=np.int64)
-                )
-                sigmat = _minhash_mat(indptr, flat, num_perm, seed)
-                buckets = _band_buckets(sigmat, bands, rows_per_band)
-                yield pd.DataFrame(
-                    {
-                        "rep": np.repeat(pdf["rep"].to_numpy(), bands),
-                        "band": np.tile(np.arange(bands, dtype=np.int64), n),
-                        "bucket": buckets.reshape(-1),
-                    }
-                )
-
-        banded = groups.select("rep", "htok").mapInPandas(band_kernel, band_schema)
     else:
         banded = sigs.select(
             "rep",
@@ -413,11 +432,14 @@ def minhash_lsh_pairs(
     # The bucket self-join fans out quadratically inside hot buckets while
     # its INPUT is tiny (one row per rep per band) — AQE sizes partitions
     # by input bytes and would run the explosion nearly serial. Spread the
-    # probe side across the cluster first; the pair dedup below re-hashes.
+    # PROBE side across the cluster first; the pair dedup below re-hashes.
+    # The build side stays unspread: under the broadcast hint a
+    # repartition there is a pure extra exchange (the broadcast flattens
+    # partitioning anyway), and under the shuffled fallback the join's own
+    # exchange supersedes it.
     from mysteryann_spark.session import spread
 
-    banded = spread(banded)
-    a = banded.select("band", "bucket", F.col("rep").alias("rep_a"))
+    a = spread(banded).select("band", "bucket", F.col("rep").alias("rep_a"))
     b = banded.select("band", "bucket", F.col("rep").alias("rep_b"))
     # Broadcasting the build side keeps the probe side's spread
     # partitioning, so a hot bucket's pair explosion parallelizes over

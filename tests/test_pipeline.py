@@ -86,6 +86,23 @@ def test_minhash_broadcastable_paths_agree(spark, docs):
         assert abs(j - off[p]) < 1e-9, p
 
 
+def test_minhash_single_python_stage_downstream_of_staging(spark, docs):
+    """r12 plan-shape lock: banding is fused into the staging write (one
+    Arrow kernel in the out-of-plan staging job), so the returned pairs
+    plan must contain exactly ONE Python stage — the verify kernel — and
+    no banding MapInPandas/MapInArrow on either side of the bucket
+    self-join (pre-r12 the band kernel executed twice: probe + broadcast
+    build, each paying the fixed Python-stage floor)."""
+    from mysteryann_spark.plans.inspect import formatted_plan
+
+    import re
+
+    plan = formatted_plan(minhash_lsh_pairs(docs, num_perm=32, bands=8, threshold=0.5))
+    # count operator-detail headers ("(n) MapInPandas"), not tree echoes
+    n_python = len(re.findall(r"^\(\d+\) (?:MapInPandas|MapInArrow)", plan, re.M))
+    assert n_python == 1, plan
+
+
 def test_minhash_estimates_track_jaccard(spark, docs):
     rows = minhash_lsh_pairs(docs, num_perm=32, bands=8, threshold=0.5).collect()
     assert rows
