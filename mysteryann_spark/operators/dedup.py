@@ -382,7 +382,10 @@ def minhash_lsh_pairs(
                 band_stage_kernel, staged_schema
             )
         )
-        groups = docs.sparkSession.read.parquet(staged)
+        # explicit schema: the staged layout is statically known, so the
+        # read skips the schema-inference footer job (one driver job per
+        # query invocation; at scale, a footer read per staged part file)
+        groups = docs.sparkSession.read.schema(staged_schema).parquet(staged)
         sigs = None
     else:
         staged = None

@@ -208,12 +208,20 @@ def search_graph_distributed(
                 if reset_dir is None:
                     reset_dir = tempfile.mkdtemp(prefix="mysteryann-stage-")
                 pool_path = os.path.join(reset_dir, "pool")
+                # explicit schemas on the read-backs: the frames were just
+                # written from driver-known schemas, so re-inferring them
+                # costs a footer-read job per reset for nothing (stats
+                # still come from the file listing, which is the point of
+                # the round-trip)
+                pool_schema = pool.schema
                 pool.write.mode("overwrite").parquet(pool_path)
-                pool = spark.read.parquet(pool_path)
+                pool = spark.read.schema(pool_schema).parquet(pool_path)
                 seen_gen += 1
                 seen_path = os.path.join(reset_dir, f"seen{seen_gen % 2}")
-                _union_all(seen_parts).write.mode("overwrite").parquet(seen_path)
-                seen_parts = [spark.read.parquet(seen_path)]
+                seen_union = _union_all(seen_parts)
+                seen_schema = seen_union.schema
+                seen_union.write.mode("overwrite").parquet(seen_path)
+                seen_parts = [spark.read.schema(seen_schema).parquet(seen_path)]
 
             # one row per live query — tiny; the count() both materializes
             # the lazy checkpoint and answers the emptiness probe in a
