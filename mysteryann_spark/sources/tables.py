@@ -28,15 +28,33 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Inferred-schema memo per table path: schema inference launches a
+# footer-read driver job on EVERY spark.read.parquet call, so a query that
+# loads two tables re-pays 1-2 small jobs (plus their driver gaps) per
+# invocation for metadata that cannot change — the table files are static
+# for the life of the path. The memo caches the INFERRED schema (first
+# read per path still infers, under the same session confs) and later
+# reads pass it explicitly; data reading is unchanged. This memoizes
+# metadata only — never rows or results.
+_SCHEMA_CACHE: dict[str, "object"] = {}
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # the conf governs the parquet-to-catalyst type mapping at scan
+        # time (TIMESTAMP(NANOS) -> bigint), so it is required on the
+        # explicit-schema read path too
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_event_ts(spark.read.parquet(path))
-    return spark.read.parquet(path)
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(cached).parquet(path)
+    return normalize_event_ts(df) if name == "events" else df
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
