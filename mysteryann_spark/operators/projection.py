@@ -332,7 +332,12 @@ def build_roargraph(
 
     # every base node is a "query" here and the beam loop is pure compute:
     # seconds-per-partition, so spreading an under-partitioned input wins
-    # (measured 2x at sf0.1) — unlike the GEMM paths, see session.spread
+    # (measured 2x at sf0.1) — unlike the GEMM paths, see session.spread.
+    # Reuse the prune phases' staged base for the search index: without
+    # ``staged`` the call re-writes the FULL base to a second staged copy
+    # (an O(n) duplicate write per build — same parquet layout, same
+    # id-sorted worker artifact, so results are bit-identical either way);
+    # only the adjacency still needs staging here.
     visited = search_graph(
         spread(base_df.select(F.col(base_id).alias("qid"), vec_col)),
         base_df,
@@ -344,6 +349,7 @@ def build_roargraph(
         base_id=base_id,
         vec_col=vec_col,
         expand_width=expand_width,
+        staged=(staged_base, stage_parquet(adj3)),
     )
     supply_cands = visited.select(
         F.col("qid").alias("node"), F.col("nn_id").alias("cand_id")
