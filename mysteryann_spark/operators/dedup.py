@@ -90,8 +90,8 @@ def minhash_signatures(
 
 _VERIFY_SCHEMA = StructType(
     [
-        StructField("rep_a", LongType(), False),
-        StructField("rep_b", LongType(), False),
+        StructField("id_a", LongType(), False),
+        StructField("id_b", LongType(), False),
         StructField("est_jaccard", DoubleType(), False),
         StructField("jaccard", DoubleType(), False),
     ]
@@ -151,84 +151,120 @@ def _verify_pairs_staged(
     cand: DataFrame, staged: str, num_perm: int, threshold: float, seed: int
 ) -> DataFrame:
     """Exact-Jaccard verification of (rep_a, rep_b) candidate pairs
-    against STAGED per-rep payloads (token-hash set + MinHash signature).
+    against STAGED per-rep payloads (token-hash set + member list),
+    expanded to DOC pairs in the same kernel.
 
     ``staged`` is the Parquet artifact written by ``minhash_lsh_pairs``
-    (one row per distinct token set: rep, htok, members, sig); it is
+    (one row per distinct token set: rep, htok, members, buckets); it is
     loaded per worker process as CSR numpy arrays — no driver collect,
-    no per-pair array shipping. The kernel computes the signature
-    estimate as one vectorized matrix compare and the exact intersection
-    per pair via searchsorted over the two sorted token arrays — the
-    exact-Jaccard arithmetic (inter / (na + nb - inter)) is identical
-    double math to the SQL join path, so the jaccard VALUES and the
-    >=threshold verdicts agree bit-for-bit for any pair both paths
-    consider. The CANDIDATE sets and est_jaccard may differ between the
-    two paths: this path signs/bands with the splitmix64 family while
-    the SQL path uses xxhash64, so band buckets (and thus which
-    sub-threshold pairs get examined at all) are drawn from different
-    hash families. tests/test_pipeline.py compares the two paths'
-    final outputs on the test corpus.
+    no per-pair array shipping (only the columns the kernel uses are
+    decoded; the buckets column never leaves the parquet). The kernel
+    computes the signature estimate as one vectorized matrix compare and
+    the exact intersection per pair via searchsorted over the two sorted
+    token arrays — the exact-Jaccard arithmetic (inter / (na + nb -
+    inter)) is identical double math to the SQL join path, so the
+    jaccard VALUES and the >=threshold verdicts agree bit-for-bit for
+    any pair both paths consider. The CANDIDATE sets and est_jaccard may
+    differ between the two paths: this path signs/bands with the
+    splitmix64 family while the SQL path uses xxhash64, so band buckets
+    (and thus which sub-threshold pairs get examined at all) are drawn
+    from different hash families. tests/test_pipeline.py compares the
+    two paths' final outputs on the test corpus.
+
+    Surviving rep pairs expand to (id_a, id_b) doc pairs HERE — a
+    vectorized members_a x members_b cross product over the worker's CSR
+    member lists — instead of through two broadcast member joins plus
+    two JVM explodes: the member lists already sit next to the kernel,
+    so the expansion costs zero broadcast builds, zero join stages, and
+    two fewer driver jobs per query (measured r13; values identical —
+    same pairs, least/greatest orientation, est/jaccard constant across
+    a rep pair's expansion). Intra-group (jaccard = 1.0) pairs remain
+    the caller's separate JVM leg.
     """
-    from mysteryann_spark.sources.staging import (
-        load_staged,
-        read_staged,
-        table_ragged,
-    )
+    from mysteryann_spark.sources.staging import load_staged, table_ragged
 
     def build():
-        tbl = read_staged(staged)
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(staged, columns=["rep", "htok", "members"])
         reps, indptr, flat = table_ragged(tbl, "rep", "htok")
         flat = np.ascontiguousarray(flat)
+        # member lists in the SAME rep order (table_ragged id-sorts both)
+        _, mind, mflat = table_ragged(tbl, "rep", "members")
         # recompute the splitmix64 MinHash matrix once per worker from the
         # CSR token sets (cheaper than shipping num_perm longs per rep)
         sigmat = _minhash_mat(indptr, flat, num_perm, seed)
-        return reps, indptr, flat, sigmat
+        # Global (rep_index, token_rank) key table for the intersection
+        # kernel: token values are full-range int64 hashes, so they are
+        # RANKED against the worker's token vocabulary and packed with
+        # the rep index into one int64 key. Each rep's htok segment is
+        # sorted and distinct, so the packed keys are globally ascending
+        # — membership of (rep b, token t) is ONE searchsorted, and a
+        # whole chunk of pairs intersects in a single vectorized call
+        # (the per-distinct-rep Python loop this replaces measured ~10x
+        # the kernel's single-thread cost in per-group numpy-call
+        # overhead once the pair set was split over 32 tasks).
+        vocab = np.unique(flat)
+        v = max(1, len(vocab))
+        if len(reps) and v > (2**62) // max(1, len(reps)):
+            raise ValueError(
+                "minhash verify key space overflow: "
+                f"{len(reps)} reps x {v} distinct tokens"
+            )
+        frank = np.searchsorted(vocab, flat)
+        rep_of = np.repeat(np.arange(len(reps), dtype=np.int64), np.diff(indptr))
+        keys_b = rep_of * v + frank
+        return reps, indptr, sigmat, mind, mflat, frank, keys_b, v
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        reps, indptr, flat, sigmat = load_staged(staged, build)
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            ia = np.searchsorted(reps, pdf["rep_a"].to_numpy())
-            ib = np.searchsorted(reps, pdf["rep_b"].to_numpy())
-            # Exact |A ∩ B| per pair, vectorized by grouping pairs on
-            # their right rep: each group's B set is searchsorted ONCE
-            # against the concatenation of all its partners' token sets,
-            # so the Python loop runs per DISTINCT right rep (mean pair
-            # degree ~420 on the sf0.1 corpus) instead of per pair —
-            # intersection counts are exact integers, so jaccard values
-            # and >= threshold verdicts are unchanged to the bit.
+        reps, indptr, sigmat, mind, mflat, frank, keys_b, v = load_staged(
+            staged, build
+        )
+        n_keys = len(keys_b)
+
+        def chunk_out(ra: np.ndarray, rb: np.ndarray) -> pd.DataFrame:
+            n = len(ra)
+            ia = np.searchsorted(reps, ra)
+            ib = np.searchsorted(reps, rb)
+            # Exact |A ∩ B| per pair, fully vectorized: every token of
+            # every pair's A set is packed as (right-rep index, token
+            # rank) and membership-tested against the worker's global
+            # sorted key table in ONE searchsorted per token slice — no
+            # per-pair or per-rep Python loop at all. Intersection counts
+            # are exact integers, so jaccard values and >= threshold
+            # verdicts are unchanged to the bit.
             na = indptr[ia + 1] - indptr[ia]
             nb = indptr[ib + 1] - indptr[ib]
             inter = np.zeros(n, dtype=np.int64)
-            order = np.argsort(ib, kind="stable")
-            ib_s = ib[order]
-            starts = np.flatnonzero(np.r_[True, ib_s[1:] != ib_s[:-1]])
-            bounds = np.append(starts, n)
-            for gi in range(len(starts)):
-                lo, hi = bounds[gi], bounds[gi + 1]
-                b = ib_s[lo]
-                B = flat[indptr[b] : indptr[b + 1]]
-                if len(B) == 0:
-                    continue
-                a_idx = ia[order[lo:hi]]
-                lens = indptr[a_idx + 1] - indptr[a_idx]
+            cum = np.cumsum(na)
+            # bound the transient per-token key arrays (a chunk's pairs
+            # can reference arbitrarily deep token sets at scale)
+            tok_cap = 1 << 23
+            p0 = 0
+            base = 0
+            while p0 < n:
+                p1 = int(np.searchsorted(cum, base + tok_cap, side="left")) + 1
+                p1 = min(max(p1, p0 + 1), n)
+                sl = slice(p0, p1)
+                lens = na[sl]
                 tot = int(lens.sum())
-                if tot == 0:
-                    continue
-                ends = np.cumsum(lens)
-                pos = (
-                    np.arange(tot, dtype=np.int64)
-                    - np.repeat(ends - lens, lens)
-                    + np.repeat(indptr[a_idx], lens)
-                )
-                a_cat = flat[pos]
-                idx = np.searchsorted(B, a_cat)
-                idxc = np.minimum(idx, len(B) - 1)
-                hit = (idx < len(B)) & (B[idxc] == a_cat)
-                csum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(hit)])
-                inter[order[lo:hi]] = csum[ends] - csum[ends - lens]
+                if tot:
+                    ends = np.cumsum(lens)
+                    pos = (
+                        np.arange(tot, dtype=np.int64)
+                        - np.repeat(ends - lens, lens)
+                        + np.repeat(indptr[ia[sl]], lens)
+                    )
+                    keys = np.repeat(ib[sl], lens) * v + frank[pos]
+                    idx = np.searchsorted(keys_b, keys)
+                    idxc = np.minimum(idx, n_keys - 1)
+                    hit = (idx < n_keys) & (keys_b[idxc] == keys)
+                    csum = np.concatenate(
+                        [np.zeros(1, dtype=np.int64), np.cumsum(hit)]
+                    )
+                    inter[sl] = csum[ends] - csum[ends - lens]
+                base = int(cum[p1 - 1])
+                p0 = p1
             union = na + nb - inter
             with np.errstate(invalid="ignore", divide="ignore"):
                 jac = np.where(
@@ -243,14 +279,58 @@ def _verify_pairs_staged(
             # (n_pairs x num_perm) fancy-index copies (~16 s in-process
             # over the sf0.1 pair set, the verify stage's top cost) for
             # values that were then thrown away for >98% of pairs
-            yield pd.DataFrame(
+            ka, kb = ia[keep], ib[keep]
+            est = (sigmat[ka] == sigmat[kb]).mean(axis=1)
+            jk = jac[keep]
+            # expand each surviving rep pair to its members_a x members_b
+            # doc pairs (vectorized cross product over the CSR member
+            # lists; member sets of distinct reps are disjoint, so x != y
+            # always and min/max is the id_a < id_b orientation)
+            la = mind[ka + 1] - mind[ka]
+            lb = mind[kb + 1] - mind[kb]
+            cnt = la * lb
+            total = int(cnt.sum())
+            pidx = np.repeat(np.arange(len(ka), dtype=np.int64), cnt)
+            ends = np.cumsum(cnt)
+            off = np.arange(total, dtype=np.int64) - np.repeat(ends - cnt, cnt)
+            lb_p = lb[pidx]
+            x = mflat[mind[ka][pidx] + (off // np.maximum(lb_p, 1))]
+            y = mflat[mind[kb][pidx] + (off % np.maximum(lb_p, 1))]
+            return pd.DataFrame(
                 {
-                    "rep_a": pdf["rep_a"].to_numpy()[keep],
-                    "rep_b": pdf["rep_b"].to_numpy()[keep],
-                    "est_jaccard": (sigmat[ia[keep]] == sigmat[ib[keep]]).mean(axis=1),
-                    "jaccard": jac[keep],
+                    "id_a": np.minimum(x, y),
+                    "id_b": np.maximum(x, y),
+                    "est_jaccard": np.repeat(est, cnt),
+                    "jaccard": np.repeat(jk, cnt),
                 }
             )
+
+        # Accumulate Arrow batches into bounded chunks before grouping:
+        # the group loop runs once per (distinct right rep x CHUNK), so
+        # default-size 10k-row batches multiplied its Python iteration
+        # count ~chunks-per-task-fold (measured r13: the 32-task verify
+        # stage summed 33.6 s of executor run for ~3 s of single-thread
+        # kernel work — per-group numpy-call overhead on tiny groups, not
+        # compute). 512k-pair chunks keep the loop near one pass per
+        # distinct rep per task while bounding peak chunk memory (~8 MB
+        # of ids) at any scale; values are chunk-size-independent (each
+        # pair's verdict is computed from its own two token sets alone).
+        acc: list[pd.DataFrame] = []
+        acc_rows = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            acc.append(pdf)
+            acc_rows += len(pdf)
+            if acc_rows >= 524288:
+                ra = np.concatenate([p["rep_a"].to_numpy() for p in acc])
+                rb = np.concatenate([p["rep_b"].to_numpy() for p in acc])
+                acc, acc_rows = [], 0
+                yield chunk_out(ra, rb)
+        if acc:
+            ra = np.concatenate([p["rep_a"].to_numpy() for p in acc])
+            rb = np.concatenate([p["rep_b"].to_numpy() for p in acc])
+            yield chunk_out(ra, rb)
 
     # The caller repartitions the pair set explicitly (see
     # minhash_lsh_pairs) so the kernel chains into the dedup stage with
@@ -476,8 +556,12 @@ def minhash_lsh_pairs(
         # movement plus an interpreted array_intersect per pair; the
         # staged kernel moves 16 B/pair and intersects with vectorized
         # searchsorted over worker-cached CSR arrays. Same regime gate as
-        # the broadcast hints: per-rep payloads fit worker RAM.
-        verified = _verify_pairs_staged(cand, staged, num_perm, threshold, seed)
+        # the broadcast hints: per-rep payloads fit worker RAM. The
+        # kernel also expands surviving rep pairs to doc pairs in place
+        # (member lists are already worker-resident), so this path has
+        # NO member joins at all — two broadcast builds and two driver
+        # jobs fewer per query than the join form below.
+        cross = _verify_pairs_staged(cand, staged, num_perm, threshold, seed)
     else:
         est = (
             F.size(
@@ -516,31 +600,34 @@ def minhash_lsh_pairs(
             .where(F.col("jaccard") >= threshold)
             .select("rep_a", "rep_b", "est_jaccard", "jaccard")
         )
-    # Expand verified rep pairs to doc pairs. est/jaccard are constant
-    # across a group pair (identical token sets => identical signatures).
+        # Expand verified rep pairs to doc pairs (join form: the staged
+        # path expands inside the verify kernel instead). est/jaccard are
+        # constant across a group pair (identical token sets => identical
+        # signatures).
+        mem = groups.select("rep", "members")
+        cross = (
+            verified.join(
+                maybe_bc(
+                    mem.select(F.col("rep").alias("rep_a"), F.col("members").alias("ma"))
+                ),
+                "rep_a",
+            )
+            .join(
+                maybe_bc(
+                    mem.select(F.col("rep").alias("rep_b"), F.col("members").alias("mb"))
+                ),
+                "rep_b",
+            )
+            .select(F.explode("ma").alias("x"), "mb", "est_jaccard", "jaccard")
+            .select("x", F.explode("mb").alias("y"), "est_jaccard", "jaccard")
+            .select(
+                F.least("x", "y").alias("id_a"),
+                F.greatest("x", "y").alias("id_b"),
+                "est_jaccard",
+                "jaccard",
+            )
+        )
     members = groups.select("rep", "members")
-    cross = (
-        verified.join(
-            maybe_bc(
-                members.select(F.col("rep").alias("rep_a"), F.col("members").alias("ma"))
-            ),
-            "rep_a",
-        )
-        .join(
-            maybe_bc(
-                members.select(F.col("rep").alias("rep_b"), F.col("members").alias("mb"))
-            ),
-            "rep_b",
-        )
-        .select(F.explode("ma").alias("x"), "mb", "est_jaccard", "jaccard")
-        .select("x", F.explode("mb").alias("y"), "est_jaccard", "jaccard")
-        .select(
-            F.least("x", "y").alias("id_a"),
-            F.greatest("x", "y").alias("id_b"),
-            "est_jaccard",
-            "jaccard",
-        )
-    )
     intra = (
         members.where(F.size("members") >= 2)
         .select(F.explode("members").alias("id_a"), "members")
