@@ -437,6 +437,16 @@ def minhash_lsh_pairs(
                 )
                 sigmat = _minhash_mat(indptr, flat, num_perm, seed)
                 buckets = _band_buckets(sigmat, bands, rows_per_band)
+                # int32 list offsets cap one batch at 2^31 bucket cells;
+                # reachable only if arrow.maxRecordsPerBatch is raised/
+                # disabled — fail loudly instead of silently wrapping
+                # (r12 ADVICE)
+                if (n + 1) * bands >= 2**31:
+                    raise ValueError(
+                        f"band-bucket batch too large for int32 list "
+                        f"offsets: {n} rows x {bands} bands; lower "
+                        "spark.sql.execution.arrow.maxRecordsPerBatch"
+                    )
                 bucket_col = pa.ListArray.from_arrays(
                     pa.array(
                         np.arange(0, (n + 1) * bands, bands, dtype=np.int32)

@@ -320,7 +320,17 @@ def build_roargraph(
     # --- phases 2+3: reverse edges + re-prune overfull nodes
     adj3 = _prune_merged(_edges(adj1), base_df, params.M_pjbp, metric,
                          staged_base=staged_base)
-    adj3 = adj3.localCheckpoint()  # cut lineage: phase 4 searches this graph
+    # ONE staged parquet write both cuts adj3's lineage (phase 4 + the
+    # merged prune reference it; un-cut, phases 0-3 would re-execute) and
+    # IS the phase-4 search's staged adjacency — previously adj3
+    # materialized twice per build (a localCheckpoint job plus a separate
+    # stage_parquet job of identical content). Values are unchanged:
+    # parquet round-trips the exact (node, nbrs) longs, and every
+    # consumer joins/aggregates by id, not row order.
+    adj3_path = stage_parquet(adj3)
+    adj3 = base_df.sparkSession.read.schema(
+        "node bigint, nbrs array<bigint>"
+    ).parquet(adj3_path)
 
     ep_thread.join()
     ep = ep_box["ep"]
@@ -333,11 +343,11 @@ def build_roargraph(
     # every base node is a "query" here and the beam loop is pure compute:
     # seconds-per-partition, so spreading an under-partitioned input wins
     # (measured 2x at sf0.1) — unlike the GEMM paths, see session.spread.
-    # Reuse the prune phases' staged base for the search index: without
-    # ``staged`` the call re-writes the FULL base to a second staged copy
-    # (an O(n) duplicate write per build — same parquet layout, same
-    # id-sorted worker artifact, so results are bit-identical either way);
-    # only the adjacency still needs staging here.
+    # Reuse the prune phases' staged base AND adj3's own staged write for
+    # the search index: without ``staged`` the call re-writes the FULL
+    # base and adjacency to fresh staged copies (O(n) duplicate writes
+    # per build — same parquet layout, same id-sorted worker artifact, so
+    # results are bit-identical either way).
     visited = search_graph(
         spread(base_df.select(F.col(base_id).alias("qid"), vec_col)),
         base_df,
@@ -349,7 +359,7 @@ def build_roargraph(
         base_id=base_id,
         vec_col=vec_col,
         expand_width=expand_width,
-        staged=(staged_base, stage_parquet(adj3)),
+        staged=(staged_base, adj3_path),
     )
     supply_cands = visited.select(
         F.col("qid").alias("node"), F.col("nn_id").alias("cand_id")

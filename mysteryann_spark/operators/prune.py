@@ -323,7 +323,17 @@ def prune_candidates(
     # tests/test_prune.py::test_prune_candidates_partition_invariant).
     try:
         n_staged = staged_row_count(paths)
-    except OSError:
+    except OSError as e:
+        # n_staged = 0 falls back to AQE's byte-based coalesce — exactly
+        # the single-task pathology the repartition exists to fix, so a
+        # silent 0 would make a regression invisible (r12 verdict #4)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "staged_row_count failed (%s); prune stage falls back to AQE "
+            "partition coalescing",
+            e,
+        )
         n_staged = 0
     per_task = int(os.environ.get("SPARK_GRAFT_PRUNE_NODES_PER_TASK", "256"))
     n_parts = min(

@@ -397,11 +397,20 @@ def train_centroids_routed(
     sc = base_df.sparkSession.sparkContext
     if n_base is None:
         # callers that already counted the base pass it in — the repeat
-        # count() was one full extra pass per index build at 10^8 rows
-        n_base = base_df.count()
+        # count() was one full extra pass per index build at 10^8 rows.
+        # Count and the dim witness come from ONE aggregate job (a
+        # separate head() was a second driver job + gap per train call;
+        # first() without ordering is an arbitrary row, which is all the
+        # dim estimate needs — head() was equally arbitrary).
+        stat = base_df.agg(
+            F.count(F.lit(1)).alias("n"), F.first(vec_col).alias("v")
+        ).head()
+        n_base = int(stat["n"])
+        dim = len(stat["v"]) if stat is not None and stat["v"] is not None else 0
+    else:
+        head = base_df.select(vec_col).head()
+        dim = len(head[0]) if head is not None and head[0] is not None else 0
     rate = max(1, int(np.ceil(n_base / float(train_sample))))
-    head = base_df.select(vec_col).head()
-    dim = len(head[0]) if head is not None and head[0] is not None else 0
     _guard_train_collect(
         -(-n_base // rate),
         dim,
@@ -741,10 +750,17 @@ def train_pq_codebooks(
     centroids, the codebooks are a tiny model — the one driver collect is
     bounded by ``train_sample``, never the data size."""
     if n_base is None:
-        n_base = base_df.count()
+        # one aggregate job for count + dim witness (see
+        # train_centroids_routed — same two-jobs-into-one fusion)
+        stat = base_df.agg(
+            F.count(F.lit(1)).alias("n"), F.first(vec_col).alias("v")
+        ).head()
+        n_base = int(stat["n"])
+        head_dim = len(stat["v"]) if stat is not None and stat["v"] is not None else 0
+    else:
+        head = base_df.select(vec_col).head()
+        head_dim = len(head[0]) if head is not None and head[0] is not None else 0
     rate = max(1, int(np.ceil(n_base / float(train_sample))))
-    head = base_df.select(vec_col).head()
-    head_dim = len(head[0]) if head is not None and head[0] is not None else 0
     _guard_train_collect(
         -(-n_base // rate),
         head_dim,

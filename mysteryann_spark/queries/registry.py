@@ -65,93 +65,31 @@ def _overlay_pinned(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
 
 
 # The correctness driver gates only the FIRST 50 entries in iteration order
-# (CORRECTNESS_r01..r11.json all cut off at exactly 50).  Registry order
-# is therefore a verification-coverage decision, not cosmetics.  Round-12
-# policy (r11 VERDICT "Next round" #1: seat the 18 last-seen-r9 entries
-# before the 3-round staleness cap trips):
+# (CORRECTNESS_r01..r12.json all cut off at exactly 50).  Registry order
+# is therefore a verification-coverage decision, not cosmetics.  Round-13
+# policy (r12 VERDICT "Next round" #5: rotate onto the stalest cohort,
+# keep the rotation ordered):
 #
-#   * ``_FRONT`` — (a) the 18 last-seen-r9 entries (absent from BOTH the
-#     r10 and r11 windows — the 3-round cap trips this round); (b) entries
-#     whose PLAN changed in round 12 (routed assignment gained a flat
-#     fallback for -1 rows + per-executor float32 centroid memoization;
-#     save_ivfpq rebuilds over an existing path now stage to a sibling
-#     temp dir and rename-swap); (c) backfill from the last-seen-r10
-#     cohort in its r10 window order so r13's rotation stays small.
+#   * ``_FRONT`` — (a) the 20 last-seen-r10 entries (3 rounds stale —
+#     the staleness-cap cohort); (b) every entry whose PLAN changed in
+#     round 13 (minhash verify kernel, build adj3 single-staging,
+#     trainer job fusion, frontier seen-probe, bipartite footer count).
 #   * ``_FRONT`` is deliberately SHORTER than the 50-slot window: the
 #     slack means entries added mid-round (unlisted, sorting between
 #     _FRONT and _BACK) land inside the window by default instead of
 #     silently missing driver verification at position 51+; with no new
-#     entries the slack backfills from the _BACK head (the next-stalest).
-#   * ``_BACK`` — head: the 23 last-seen-r10 entries the window could not
-#     seat this round (r13's FIRST pick, together with whatever the slack
-#     does not reach), then everything driver-verified in r11, in its
-#     r11 window order.
+#     entries the slack backfills from the _BACK head (the next-stalest
+#     r11 entries).
+#   * ``_BACK`` — head: the last-seen-r11 remainder (r14's first pick,
+#     in its r12 _BACK order), then everything driver-verified in r12,
+#     in its r12 window order.
 #
 # Rows-only note: ``roargraph_sweep`` is rows-only BY DESIGN, not by gap —
 # its QPS/latency columns measure the host; its deterministic columns
 # (recall, cmps, hops) are hash-pinned via ``roargraph_sweep_quality``.
 _FRONT = [
-    # (a) the r9-floor rotation debt — the reason this round's window
-    # exists (seated in the old _BACK-head order)
-    "filter_project",
-    "topk_orders",
-    "window_rank",
-    "window_running",
-    "semi_join_customers",
-    "anti_join_customers",
-    "distinct_agg",
-    "rollup_customer_balance",
-    "emb_pca_project",
-    "roargraph_insert",
-    "roargraph_delete",
-    "roargraph_search_topk",
-    "roargraph_search_ip",
-    "roargraph_search_cosine",
-    "roargraph_search_filtered",
-    "ann_ivfpq_vectors",
-    "bipartite_search_topk",
-    "ann_ivf_topk",
-    # (b) plan changed in round 12: the hier entry exercises the routed
-    # assignment's -1 fallback + executor-memoized float32 centroids;
-    # the persisted entry exercises the staged-rename overwrite path
-    "ann_ivfpq_hier_topk",
-    "ann_ivfpq_persisted",
-    # (c) last-seen-r10 backfill so the r13 rotation cohort stays small
-    "roargraph_build_ivf",
-    "roargraph_binary_interop",
-    "knn_exact",
-    "knn_medoid",
-    "knn_recall_l2_vs_cosine",
-    "knn_rderr_truncated",
-    "ann_cosine_topk",
-    "ann_quantized_topk",
-    "ann_range_search",
-    "ann_lsh_topk",
-    "dedup_embedding",
-    "dedup_groups_full",
-    "dedup_ann_pairs",
-    "emb_outlier_zscore",
-    "multimodal_audio_stats",
-    "fbin_roundtrip_norms",
-    "roargraph_search_distributed",
-    "above_avg_balance",
-    "brand_sales",
-    "case_buckets",
-    "cube_orders",
-    "date_functions",
-    "distance_pairs",
-    "doc_gopher_quality",
-    "doc_pii_scrub",
-    "flagship_revenue_by_nation",
-    "funnel_steps",
-]
-_BACK = [
-    # last-seen-r10 remainder the window could not seat — r13's FIRST
-    # pick (with no mid-round additions the first 3 backfill into the
-    # r12 window through the _FRONT slack)
-    "grouping_sets_sales",
-    "json_events",
-    "math_functions",
+    # (a) the 20 last-seen-r10 entries — 3 rounds stale at r13, the
+    # cap-trip cohort (seated in their r12 _BACK order)
     "multimodal_frame_sample",
     "pipeline_mix_sample",
     "pipeline_pack_sequences",
@@ -172,8 +110,42 @@ _BACK = [
     "events_pivot",
     "events_approx_distinct",
     "multimodal_decode",
-    # driver-verified in round 11 (hash or rows-ran), kept in the r11
-    # window order (minus the two moved to _FRONT as plan-changed)
+    # (b) every entry whose PLAN changed in round 13 and is not already
+    # seated above: the minhash verify kernel (doc-pair expansion +
+    # vectorized intersection), the build's adj3 single-staging, the
+    # trainer count+head fusion, the frontier seen-probe, and the
+    # bipartite footer count — regardless of freshness (a changed plan
+    # re-verifies the round it changed)
+    "roargraph_insert",
+    "roargraph_delete",
+    "roargraph_search_topk",
+    "roargraph_search_ip",
+    "roargraph_search_cosine",
+    "roargraph_search_filtered",
+    "ann_ivfpq_vectors",
+    "ann_ivf_topk",
+    "ann_ivfpq_hier_topk",
+    "ann_ivfpq_persisted",
+    "roargraph_build_ivf",
+    "roargraph_binary_interop",
+    "dedup_groups_full",
+    "roargraph_search_distributed",
+    "pipeline_quota_sample",
+    "roargraph_degrees",
+    "roargraph_nsg_import",
+    "roargraph_save_load_search",
+    "ann_pq_topk",
+    "dedup_minhash_lsh",
+    "roargraph_sweep",
+    "dedup_semantic",
+    "ann_ivfpq_topk",
+    "pipeline_curate",
+    "dedup_components",
+    "bipartite_edges",
+]
+_BACK = [
+    # last-seen-r11 remainder the window could not seat — r14's FIRST
+    # pick (the _FRONT slack backfills the head into the r13 window)
     "dedup_simhash",
     "dedup_simhash_pairs",
     "doc_bm25_topk",
@@ -188,13 +160,8 @@ _BACK = [
     "multimodal_meanpool",
     "pipeline_decontaminate",
     "pipeline_decontaminate_semantic",
-    "pipeline_quota_sample",
-    "roargraph_degrees",
-    "roargraph_nsg_import",
     "stream_neardup_docs",
-    "roargraph_save_load_search",
     "bpe_pair_counts",
-    "ann_pq_topk",
     "stream_tumbling_oracled",
     "stream_dedup_oracled",
     "pipeline_chunk_documents",
@@ -204,15 +171,9 @@ _BACK = [
     "pipeline_shard_manifest",
     "events_retention",
     "bucketed_join_revenue",
-    "dedup_minhash_lsh",
-    "roargraph_sweep",
     "ann_filtered_topk",
-    "dedup_semantic",
     "dedup_fingerprint",
     "dedup_jaccard_bigram",
-    "ann_ivfpq_topk",
-    "pipeline_curate",
-    "dedup_components",
     "dedup_exact",
     "doc_rolling_fingerprint",
     "doc_bpe_tokens",
@@ -220,8 +181,44 @@ _BACK = [
     "doc_lang_id",
     "doc_quality",
     "doc_tfidf_topterms",
-    "bipartite_edges",
     "udf_registry_distances",
+    # driver-verified in round 12 (fresh), kept in the r12 window order
+    "filter_project",
+    "topk_orders",
+    "window_rank",
+    "window_running",
+    "semi_join_customers",
+    "anti_join_customers",
+    "distinct_agg",
+    "rollup_customer_balance",
+    "emb_pca_project",
+    "bipartite_search_topk",
+    "knn_exact",
+    "knn_medoid",
+    "knn_recall_l2_vs_cosine",
+    "knn_rderr_truncated",
+    "ann_cosine_topk",
+    "ann_quantized_topk",
+    "ann_range_search",
+    "ann_lsh_topk",
+    "dedup_embedding",
+    "dedup_ann_pairs",
+    "emb_outlier_zscore",
+    "multimodal_audio_stats",
+    "fbin_roundtrip_norms",
+    "above_avg_balance",
+    "brand_sales",
+    "case_buckets",
+    "cube_orders",
+    "date_functions",
+    "distance_pairs",
+    "doc_gopher_quality",
+    "doc_pii_scrub",
+    "flagship_revenue_by_nation",
+    "funnel_steps",
+    "grouping_sets_sales",
+    "json_events",
+    "math_functions",
 ]
 
 

@@ -283,8 +283,12 @@ FROM u GROUP BY vec_id
 def bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge list of qbaseNNbipartite built from the exact kNN lists; query
     nodes offset by the base count (global ID space)."""
+    from mysteryann_spark.sources.tables import table_row_count
+
     e = _emb(spark, sf_dir)
-    base_count = e.count()
+    # exact count from the table's parquet footers, driver-side — the
+    # count() job (plus its driver gap) was pure metadata re-derivation
+    base_count = table_row_count("embeddings", sf_dir)
     knn = knn_join_arrays(_queries(spark, sf_dir), e, _K, "l2")
     adj = build_bipartite(knn, _K, base_count)
     return adj.select("node", F.explode("nbrs").alias("nbr"))

@@ -36,7 +36,42 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # read per path still infers, under the same session confs) and later
 # reads pass it explicitly; data reading is unchanged. This memoizes
 # metadata only — never rows or results.
+#
+# ASSUMPTION (r12 ADVICE): the files at a path are never regenerated with
+# a DIFFERENT schema inside one process — true for the driver/bench/test
+# datasets, which are written once. An in-process fixture that rewrites a
+# table with new columns must call ``clear_schema_cache()`` (or use a
+# fresh path), or the stale schema would silently null-fill the read.
 _SCHEMA_CACHE: dict[str, "object"] = {}
+
+
+def clear_schema_cache(path: str | None = None) -> None:
+    """Drop the memoized inferred schema for ``path`` (or all paths) —
+    the escape hatch for test fixtures that rewrite a table in place."""
+    if path is None:
+        _SCHEMA_CACHE.clear()
+    else:
+        _SCHEMA_CACHE.pop(path, None)
+
+
+def table_row_count(name: str, sf_dir: str = DEFAULT_SF_DIR) -> int:
+    """EXACT row count of a source table from its parquet footers, read
+    driver-side (pyarrow metadata — no Spark job, no data read). Parquet
+    footer ``num_rows`` is exact by format contract, so this equals
+    ``load_table(...).count()`` while skipping one driver job + its gap
+    per call (same remove-the-job class as staging.list_staged_files).
+    NOT memoized: every invocation re-reads the footers, so results
+    always derive from the current inputs."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):  # single-file table (the testdata layout)
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+    from mysteryann_spark.sources.staging import staged_row_count
+
+    return staged_row_count([path])
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

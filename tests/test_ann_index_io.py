@@ -240,3 +240,48 @@ def test_load_mid_write_window_fails_clean_then_backfills(spark, tmp_path):
         .join(reloaded["lists"].select("nn_id", "cid"), "nn_id")
     )
     assert joined.where(F.col("vcid") != F.col("cid")).count() == 0
+
+
+def test_load_mid_write_window_with_route_fails_clean_then_backfills(
+    spark, tmp_path
+):
+    """The ROUTED variant of the mid-write window (r12 verdict #7): a
+    hierarchical index's mid-write shape is models + ROUTE present,
+    ``lists`` absent. The reader must still fail cleanly on the missing
+    dataset, and the later vectors backfill must derive cids through the
+    PERSISTED route (routed and flat assignment disagree at cell
+    boundaries, so agreement with the lists' cids proves the route was
+    threaded, not just the flat centroids)."""
+    import os
+    import shutil
+
+    from mysteryann_spark.sources.ann_index_io import save_ivfpq_vectors
+    from mysteryann_spark.sources.tables import load_table
+
+    base = load_table(spark, "embeddings", SF_TINY)
+    index = build_ivfpq_index(
+        base, n_centroids=8, m=8, n_codes=32, hierarchical=True, branch=4
+    )
+    assert "route" in index
+    path = str(tmp_path / "idx")
+    save_ivfpq(index, path)
+    lists_dir = f"{path}/lists"
+    saved = f"{tmp_path}/lists_aside"
+    shutil.move(lists_dir, saved)
+    # the mid-write shape this test locks: models AND route on disk
+    assert os.path.isdir(f"{path}/route")
+    assert os.path.isdir(f"{path}/centroids")
+    with pytest.raises(Exception, match="(?i)path does not exist|lists"):
+        load_ivfpq(spark, path)
+    shutil.move(saved, lists_dir)
+    loaded = load_ivfpq(spark, path)
+    assert "route" in loaded
+    save_ivfpq_vectors(loaded, path, base)
+    reloaded = load_ivfpq(spark, path)
+    assert "vectors" in reloaded
+    joined = (
+        reloaded["vectors"]
+        .select("nn_id", F.col("cid").alias("vcid"))
+        .join(reloaded["lists"].select("nn_id", "cid"), "nn_id")
+    )
+    assert joined.where(F.col("vcid") != F.col("cid")).count() == 0

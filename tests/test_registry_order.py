@@ -10,34 +10,60 @@ from mysteryann_spark.queries.registry import _BACK, _FRONT, all_queries
 
 DRIVER_WINDOW = 50
 
-# Round-12 must-verify set (r11 VERDICT "Next round" #1): the 18 r9-floor
-# entries absent from both the r10 and r11 driver windows (3-round cap
-# trips this round), plus the two entries whose PLAN changed in round 12
-# (routed-assignment flat fallback + f32 memoization; staged-rename
-# index rebuild).
+# Round-13 must-verify set (r12 VERDICT "Next round" #5): the 20
+# last-seen-r10 entries (3-round staleness cap trips this round), plus
+# every entry whose PLAN changed in round 13 (minhash verify kernel,
+# build adj3 single-staging, trainer count+head fusion, frontier
+# seen-probe, bipartite footer count).
 MUST_BE_IN_WINDOW = {
-    # r9 floor — 3-round cap trips this round
+    # last seen r10 — 3-round cap trips this round
+    "multimodal_frame_sample",
+    "pipeline_mix_sample",
+    "pipeline_pack_sequences",
+    "pipeline_profile",
+    "pricing_summary",
+    "setops_nations",
+    "string_functions",
+    "vector_normalize",
+    "vector_norms",
+    "roargraph_stream_insert",
+    "roargraph_stream_maintain",
+    "roargraph_sweep_quality",
+    "events_tumbling",
+    "events_interval_join",
+    "events_sliding",
+    "events_asof_click",
+    "roargraph_search_distributed_wide",
+    "events_pivot",
+    "events_approx_distinct",
+    "multimodal_decode",
+    # plan changed in round 13
+    "dedup_minhash_lsh",
+    "dedup_groups_full",
+    "dedup_components",
+    "dedup_semantic",
+    "pipeline_curate",
+    "pipeline_quota_sample",
     "ann_ivf_topk",
-    "ann_ivfpq_vectors",
-    "anti_join_customers",
-    "bipartite_search_topk",
-    "distinct_agg",
-    "emb_pca_project",
-    "filter_project",
-    "roargraph_delete",
-    "roargraph_insert",
-    "roargraph_search_cosine",
-    "roargraph_search_filtered",
-    "roargraph_search_ip",
-    "roargraph_search_topk",
-    "rollup_customer_balance",
-    "semi_join_customers",
-    "topk_orders",
-    "window_rank",
-    "window_running",
-    # plan changed in round 12
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
     "ann_ivfpq_hier_topk",
     "ann_ivfpq_persisted",
+    "ann_ivfpq_vectors",
+    "roargraph_build_ivf",
+    "roargraph_insert",
+    "roargraph_delete",
+    "roargraph_search_topk",
+    "roargraph_search_ip",
+    "roargraph_search_cosine",
+    "roargraph_search_filtered",
+    "roargraph_search_distributed",
+    "roargraph_degrees",
+    "roargraph_sweep",
+    "roargraph_nsg_import",
+    "roargraph_save_load_search",
+    "roargraph_binary_interop",
+    "bipartite_edges",
 }
 
 
@@ -51,7 +77,7 @@ def test_must_verify_entries_inside_driver_window():
     names = list(all_queries())
     window = set(names[:DRIVER_WINDOW])
     missing = MUST_BE_IN_WINDOW - window
-    assert not missing, f"round-10 must-verify entries outside first 50: {missing}"
+    assert not missing, f"round-13 must-verify entries outside first 50: {missing}"
 
 
 def test_front_leads_the_window_with_slack():
