@@ -75,6 +75,7 @@ def train_routing_centroids(
     hierarchical: bool | None = None,
     branch: int | None = None,
     n_base: int | None = None,
+    dim: int | None = None,
 ) -> tuple[np.ndarray, tuple[np.ndarray, np.ndarray] | None]:
     """Seeded k-means centroids over a bounded deterministic hash-sample,
     in ROUTING space: raw vectors for l2/ip, L2-normalized for cosine
@@ -105,8 +106,10 @@ def train_routing_centroids(
         # rows this duplicate count() was a full extra pass per build
         n_base = base_df.count()
     rate = max(1, int(np.ceil(n_base / float(train_sample))))
-    head = base_df.select(vec_col).head()
-    dim = len(head[0]) if head is not None and head[0] is not None else 0
+    if dim is None:
+        # no dim witness threaded in: one head() job remains
+        head = base_df.select(vec_col).head()
+        dim = len(head[0]) if head is not None and head[0] is not None else 0
     _guard_train_collect(
         -(-n_base // rate),
         dim,
@@ -171,7 +174,13 @@ def ivf_knn_join(
     two-level L2 route does not order by.
     """
     spark = base_df.sparkSession
-    n_base = base_df.count()
+    # count + dim witness in ONE aggregate job (the trainer's separate
+    # head() was one more driver job + gap per build)
+    stat = base_df.agg(
+        F.count(F.lit(1)).alias("n"), F.first(vec_col).alias("v")
+    ).head()
+    n_base = int(stat["n"])
+    dim = len(stat["v"]) if stat is not None and stat["v"] is not None else 0
     if n_base == 0:
         return spark.createDataFrame([], _RANKED_SCHEMA)
     if n_centroids is None:
@@ -190,6 +199,7 @@ def ivf_knn_join(
         hierarchical=hierarchical,
         branch=branch,
         n_base=n_base,
+        dim=dim,
     )
     bc_cent = spark.sparkContext.broadcast(cmat)
     bc_route = spark.sparkContext.broadcast(route) if route is not None else None

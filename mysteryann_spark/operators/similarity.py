@@ -378,6 +378,7 @@ def train_centroids_routed(
     hierarchical: bool | None = None,
     branch: int | None = None,
     n_base: int | None = None,
+    dim: int | None = None,
 ):
     """Like ``train_centroids`` but also returns the two-level routing
     structure when one exists: ``(bc_centroids, bc_route | None)`` where
@@ -407,7 +408,8 @@ def train_centroids_routed(
         ).head()
         n_base = int(stat["n"])
         dim = len(stat["v"]) if stat is not None and stat["v"] is not None else 0
-    else:
+    elif dim is None:
+        # n_base given but no dim witness: one head() job remains
         head = base_df.select(vec_col).head()
         dim = len(head[0]) if head is not None and head[0] is not None else 0
     rate = max(1, int(np.ceil(n_base / float(train_sample))))
@@ -743,6 +745,7 @@ def train_pq_codebooks(
     base_id: str,
     vec_col: str,
     n_base: int | None = None,
+    dim: int | None = None,
 ):
     """Broadcast of per-subspace PQ codebooks (m, n_codes, dim/m), trained
     by seeded k-means on a bounded hash-sample of L2-NORMALIZED base
@@ -757,9 +760,11 @@ def train_pq_codebooks(
         ).head()
         n_base = int(stat["n"])
         head_dim = len(stat["v"]) if stat is not None and stat["v"] is not None else 0
-    else:
+    elif dim is None:
         head = base_df.select(vec_col).head()
         head_dim = len(head[0]) if head is not None and head[0] is not None else 0
+    else:
+        head_dim = dim
     rate = max(1, int(np.ceil(n_base / float(train_sample))))
     _guard_train_collect(
         -(-n_base // rate),
@@ -939,10 +944,16 @@ def build_ivfpq_index(
     - ``centroids`` (n_centroids, dim) / ``books`` (m, n_codes, dim/m):
       the trained model, kilobytes — broadcast at search time.
     """
-    n_base = base_df.count()  # shared by both trainers — one pass, not two
+    # one aggregate shared by both trainers: count (one pass, not two)
+    # plus the dim witness (saves each trainer's separate head() job)
+    stat = base_df.agg(
+        F.count(F.lit(1)).alias("n"), F.first(vec_col).alias("v")
+    ).head()
+    n_base = int(stat["n"])
+    dim = len(stat["v"]) if stat is not None and stat["v"] is not None else 0
     bc_cent, bc_route = train_centroids_routed(
         base_df, n_centroids, max_iter, seed, train_sample, base_id, vec_col,
-        hierarchical=hierarchical, branch=branch, n_base=n_base,
+        hierarchical=hierarchical, branch=branch, n_base=n_base, dim=dim,
     )
     # PQ codebooks are m independent (n_codes x dim/m) models — their
     # sample need only cover n_codes clusters per subspace, NOT the
@@ -956,7 +967,7 @@ def build_ivfpq_index(
     bc_books = train_pq_codebooks(
         base_df, m, n_codes, max_iter, seed + 1000,
         pq_train_sample if pq_train_sample is not None else train_sample,
-        base_id, vec_col, n_base=n_base,
+        base_id, vec_col, n_base=n_base, dim=dim,
     )
     encode = pq_encode_udf(bc_books)
     lists = base_df.select(
