@@ -272,6 +272,26 @@ def build_roargraph(
     ep_thread = threading.Thread(target=_medoid, name="medoid")
     ep_thread.start()
 
+    # The staged base copy (shared by all three prune calls + the phase-4
+    # search) reads only base_df, so its O(n) distributed write OVERLAPS
+    # the phase-0 jobs on a second driver thread instead of serializing
+    # after them (guide §2.6 — same pattern as the medoid above; Spark
+    # schedules concurrent jobs from separate driver threads).
+    from mysteryann_spark.sources.staging import stage_parquet
+
+    stage_box: dict = {}
+
+    def _stage_base() -> None:
+        try:
+            stage_box["path"] = stage_parquet(
+                base_df.select(F.col(base_id), F.col(vec_col))
+            )
+        except BaseException as e:  # re-raised on join below
+            stage_box["err"] = e
+
+    stage_thread = threading.Thread(target=_stage_base, name="stage-base")
+    stage_thread.start()
+
     # --- phase 0: kNN of every training query into the base set
     # (the table the reference loads as learn_base_knn_, :2622-2639)
     if knn_df is not None:
@@ -292,12 +312,12 @@ def build_roargraph(
         raise ValueError(f"unknown phase0 mode {phase0!r} (exact|ivf)")
 
     # one staged copy of the base serves all three prune calls (the
-    # pools shuffle bare id pairs and the kernels look vectors up here)
-    from mysteryann_spark.sources.staging import stage_parquet
-
-    staged_base = stage_parquet(
-        base_df.select(F.col(base_id), F.col(vec_col))
-    )
+    # pools shuffle bare id pairs and the kernels look vectors up here);
+    # written concurrently with phase 0 above
+    stage_thread.join()
+    if "err" in stage_box:
+        raise stage_box["err"]
+    staged_base = stage_box["path"]
 
     # --- phase 1: target = 1-NN; rest of the list -> target's pool
     tgt = F.element_at("nn", 1)
