@@ -64,7 +64,6 @@ import os
 import shutil
 from functools import reduce
 
-import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -82,67 +81,24 @@ def _union_all(frames: list[DataFrame]) -> DataFrame:
     return reduce(DataFrame.unionByName, frames)
 
 
-def _seen_probe_fn(snap_path: str, gen: int):
-    """Worker-side EXACT membership filter against the compacted seen-id
-    snapshot (the r12-verdict bloom-pre-pass item, done one better: the
-    snapshot parquet is already on shared storage, so each worker loads
-    it ONCE per compaction epoch — staging-cache pattern — and probes a
-    sorted packed-key table; exact, so bit-parity with the anti-join
-    holds, where a bloom's false positives would still need the full
-    anti-join for most rows). (qid, nn_id) values are full-range int64s,
-    so both columns are RANKED against the snapshot's own vocabularies
-    and packed into one int64 key; a probe id absent from either
-    vocabulary cannot be a member. Replaces the per-round shuffle+sort
-    of the WHOLE seen union (the loop's last O(history) term) with a
-    per-round Python probe over the round's candidates plus a bounded
-    residual anti-join."""
-    from mysteryann_spark.sources.staging import load_staged
-
-    def build():
-        import pyarrow.parquet as pq
-
-        t = pq.read_table(snap_path, columns=["qid", "nn_id"])
-        q = t["qid"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        n = t["nn_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        uq = np.unique(q)
-        un = np.unique(n)
-        v = max(1, len(un))
-        if len(uq) and v > (2**62) // len(uq):
-            raise ValueError(
-                f"seen-probe key space overflow: {len(uq)} qids x {v} ids"
-            )
-        keys = np.sort(np.searchsorted(uq, q) * v + np.searchsorted(un, n))
-        return uq, un, v, keys
-
-    def probe(batches):
-        # gen in the cache key: the compaction alternates TWO snapshot
-        # paths, so a bare-path key would serve generation g-2's table
-        uq, un, v, keys = load_staged(f"seenprobe|{snap_path}|g{gen}", build)
-        nk = len(keys)
-        nu, nn_ = len(uq), len(un)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            pq_ = pdf["qid"].to_numpy()
-            pn = pdf["nn_id"].to_numpy()
-            qr = np.searchsorted(uq, pq_)
-            nr = np.searchsorted(un, pn)
-            valid = (qr < nu) & (nr < nn_)
-            if nu and nn_:
-                qrc = np.minimum(qr, nu - 1)
-                nrc = np.minimum(nr, nn_ - 1)
-                valid &= (uq[qrc] == pq_) & (un[nrc] == pn)
-            member = np.zeros(len(pdf), dtype=bool)
-            if nk and valid.any():
-                k = qr[valid] * v + nr[valid]
-                ix = np.searchsorted(keys, k)
-                ixc = np.minimum(ix, nk - 1)
-                member[valid] = (ix < nk) & (keys[ixc] == k)
-            out = pdf[~member]
-            if len(out):
-                yield out
-
-    return probe
+# NOTE (r13 adjudication — the r12-verdict "bloom pre-pass" item): a
+# worker-staged EXACT membership probe of the compacted seen snapshot
+# (sorted packed-key table per worker per compaction epoch, mapInPandas
+# filter before the dedup, residual-only anti-join) was implemented and
+# measured at 10^6 base / width 4 with bit-identical counters at BOTH
+# batch sizes — and LOST at both: 2000 queries: probe-active cand-leg
+# epoch means 1.67-2.08 vs 1.42-1.56 s/round on a quieter box (totals
+# 181.2 vs 171.2 s); 8000 queries (4x the history — the regime the
+# O(history) anti-join argument predicted a win): cand-leg 12.8/8.7/4.9
+# vs 3.05/2.60/2.30 s/round (totals 564.8 vs 262.6 s). The "flat
+# per-round probe cost" hypothesis is FALSE: every worker re-reads,
+# de-duplicates and sorts the whole snapshot once per compaction epoch —
+# an O(history x n_workers) cost the JVM anti-join never pays — plus the
+# full pre-dedup candidate volume crosses a Python boundary every round.
+# The JVM's SMJ over bare 16 B id pairs amortizes the seen shuffle far
+# better at every scale measured; reverted like r12's semi-join variant
+# (logs: /tmp/dist_r13_legA/B.log, /tmp/dist_r13_8k_legA/B.log; full
+# numbers in OPTIMIZATION_r13.md).
 
 
 def search_graph_distributed(
@@ -250,21 +206,6 @@ def search_graph_distributed(
     # bounded dir per call whose loop ended right after a reset).
     reset_dir: str | None = None
     seen_gen = 0
-    # Worker-staged exact probe of the compacted seen snapshot (see
-    # _seen_probe_fn); None until the first compaction exists.
-    # SPARK_GRAFT_SEEN_PROBE=1 opts in; DEFAULT OFF — adjudicated at the
-    # 10^6-base / 2000-query / width-4 rehearsal (r13): counters were
-    # bit-identical but the probe-active epochs ran ~0.1-0.4 s/round
-    # SLOWER on a quieter box (cand-leg means 1.67-2.08 vs 1.42-1.56
-    # s/round) — at this scale the whole seen union peaks at ~4.2M bare
-    # id pairs, and the JVM's SMJ anti-join over that beats the probe's
-    # added Python stage + per-epoch worker snapshot loads. The probe's
-    # per-round cost is ~flat in history while the anti-join's grows, so
-    # the flag is the measured escape hatch for history >> round-volume
-    # regimes (hundreds of rounds / 10x the query batch); bit-parity for
-    # both settings is locked in tests/test_graph.py.
-    probe_fn = None
-    probe_enabled = os.environ.get("SPARK_GRAFT_SEEN_PROBE", "0") == "1"
 
     # SPARK_GRAFT_ROUND_LOG: per-round wall breakdown (one JSON line per
     # round to stdout) for profiling the driver-sync term — measurement
@@ -301,8 +242,6 @@ def search_graph_distributed(
                 seen_schema = seen_union.schema
                 seen_union.write.mode("overwrite").parquet(seen_path)
                 seen_parts = [spark.read.schema(seen_schema).parquet(seen_path)]
-                if probe_enabled:
-                    probe_fn = _seen_probe_fn(seen_path, seen_gen)
 
             # one row per live query — tiny; the count() both materializes
             # the lazy checkpoint and answers the emptiness probe in a
@@ -332,20 +271,9 @@ def search_graph_distributed(
                 broadcast_if_under(frontier, frontier_bytes)
                 .join(adj_df, frontier["nn_id"] == adj_df["node"])
                 .select("qid", F.explode("nbrs").alias("nn_id"))
+                .dropDuplicates(["qid", "nn_id"])
+                .join(_union_all(seen_parts), ["qid", "nn_id"], "left_anti")
             )
-            if probe_fn is not None:
-                # drop candidates present in the compacted snapshot
-                # worker-side (exact — bit-parity with the anti-join);
-                # placed BEFORE dropDuplicates so the dedup exchange
-                # still feeds the residual anti-join unchanged. The
-                # anti-join right side shrinks from the full seen union
-                # (O(history) shuffled + sorted EVERY round) to the
-                # <=_STATS_RESET_EVERY post-snapshot round frames.
-                cand = cand.mapInPandas(probe_fn, "qid bigint, nn_id bigint")
-            cand = cand.dropDuplicates(["qid", "nn_id"])
-            resid = seen_parts[1:] if probe_fn is not None else seen_parts
-            if resid:
-                cand = cand.join(_union_all(resid), ["qid", "nn_id"], "left_anti")
             if exclude_self:
                 cand = cand.where(F.col("nn_id") != F.col("qid"))
 

@@ -73,7 +73,7 @@ def _overlay_pinned(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
 #   * ``_FRONT`` — (a) the 20 last-seen-r10 entries (3 rounds stale —
 #     the staleness-cap cohort); (b) every entry whose PLAN changed in
 #     round 13 (minhash verify kernel, build adj3 single-staging,
-#     trainer job fusion, frontier seen-probe, bipartite footer count).
+#     trainer job fusion, bipartite footer count).
 #   * ``_FRONT`` is deliberately SHORTER than the 50-slot window: the
 #     slack means entries added mid-round (unlisted, sorting between
 #     _FRONT and _BACK) land inside the window by default instead of
@@ -113,7 +113,7 @@ _FRONT = [
     # (b) every entry whose PLAN changed in round 13 and is not already
     # seated above: the minhash verify kernel (doc-pair expansion +
     # vectorized intersection), the build's adj3 single-staging, the
-    # trainer count+head fusion, the frontier seen-probe, and the
+    # trainer count+head fusion, and the
     # bipartite footer count — regardless of freshness (a changed plan
     # re-verifies the round it changed)
     "roargraph_insert",
@@ -129,7 +129,6 @@ _FRONT = [
     "roargraph_build_ivf",
     "roargraph_binary_interop",
     "dedup_groups_full",
-    "roargraph_search_distributed",
     "pipeline_quota_sample",
     "roargraph_degrees",
     "roargraph_nsg_import",
@@ -193,6 +192,7 @@ _BACK = [
     "rollup_customer_balance",
     "emb_pca_project",
     "bipartite_search_topk",
+    "roargraph_search_distributed",
     "knn_exact",
     "knn_medoid",
     "knn_recall_l2_vs_cosine",

@@ -171,27 +171,19 @@ def test_distributed_search_survives_many_rounds(spark):
            {key(r): (r["nn_id"], round(r["dist"], 9), r["cmps"], r["hops"]) for r in bc}
 
 
-@pytest.mark.parametrize("seen_probe", ["0", "1"])
-def test_distributed_search_reset_every_round_parity(
-    spark, emb, index, monkeypatch, seen_probe
-):
+def test_distributed_search_reset_every_round_parity(spark, emb, index, monkeypatch):
     """r12 bounded-pool rendering: force a stats reset EVERY round so the
     pool parquet round-trip, the alternating seen-compaction generations,
     and the end-in-a-reset-round pool re-materialization all run on every
     single round — results must stay bit-identical to the broadcast path
     and the returned (post-cleanup) plan must still collect, because the
-    scratch dir is removed before the function returns. Parametrized over
-    SPARK_GRAFT_SEEN_PROBE (r13): probe=1 runs the worker-staged exact
-    seen-snapshot probe on EVERY round (fresh snapshot + alternating
-    generations each round — the hardest probe regime); probe=0 is the
-    default anti-join path."""
+    scratch dir is removed before the function returns."""
     import os
     import tempfile
 
     from mysteryann_spark.operators import search_distributed as sd
 
     monkeypatch.setattr(sd, "_STATS_RESET_EVERY", 1)
-    monkeypatch.setenv("SPARK_GRAFT_SEEN_PROBE", seen_probe)
     adj, ep = index
     q = emb.where("vec_id < 8").select(F.col("vec_id").alias("qid"), "embedding")
 

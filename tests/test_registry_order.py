@@ -13,8 +13,8 @@ DRIVER_WINDOW = 50
 # Round-13 must-verify set (r12 VERDICT "Next round" #5): the 20
 # last-seen-r10 entries (3-round staleness cap trips this round), plus
 # every entry whose PLAN changed in round 13 (minhash verify kernel,
-# build adj3 single-staging, trainer count+head fusion, frontier
-# seen-probe, bipartite footer count).
+# build adj3 single-staging, trainer count+head fusion,
+# bipartite footer count).
 MUST_BE_IN_WINDOW = {
     # last seen r10 — 3-round cap trips this round
     "multimodal_frame_sample",
@@ -57,7 +57,6 @@ MUST_BE_IN_WINDOW = {
     "roargraph_search_ip",
     "roargraph_search_cosine",
     "roargraph_search_filtered",
-    "roargraph_search_distributed",
     "roargraph_degrees",
     "roargraph_sweep",
     "roargraph_nsg_import",
